@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ``ray.init`` / ``ray.shutdown`` here or in the library code — sessions
+are owned by the caller (driver, bench.py, pytest fixture).
 """
 
 from __future__ import annotations
@@ -18,27 +13,90 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship link-and-cluster pipeline over the interleaved corpus derived
+    from /root/testdata/sf0.001 (TESTDATA.md). Returns the clusters table."""
+    from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
+    from entity_linking_ray.testdata import derive_documents, derive_entities
+
+    docs = derive_documents(SF_SMOKE)
+    out = run_pipeline(docs, derive_entities(), concurrency=2)
+    return out["clusters"]
+
+
+def _q_er_mentions_by_surface(sf_dir: str):
+    """Mention extraction (M2/M8 + S4 explode) aggregated per surface form —
+    DuckDB-checkable because the interleave derivation preserves tokens."""
+    import pyarrow as pa
+
+    import ray
+
+    from entity_linking_ray.stages.mentions import extract_mentions
+    from entity_linking_ray.testdata import ALIAS_WORDS, derive_documents
+    from ray.data.aggregate import Sum
+
+    docs = derive_documents(sf_dir)
+    mentions = extract_mentions(docs, ALIAS_WORDS, concurrency=2)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["norm_mention"]).group_by("norm_mention")
+            .aggregate([("norm_mention", "count")]).rename_columns(["mention", "n"])
+        )
+
+    return (
+        mentions.map_batches(partial, batch_format="pyarrow")
+        .groupby("mention")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _q_er_links(sf_dir: str):
+    """Flagship links table (rows-only check: model-scored, not SQL-expressible)."""
+    from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
+    from entity_linking_ray.testdata import derive_documents, derive_entities
+
+    out = run_pipeline(derive_documents(sf_dir), derive_entities(), concurrency=2)
+    return out["links"]
+
+
+def _q_er_clusters(sf_dir: str):
+    """Flagship clusters table (rows-only: transitive clustering)."""
+    from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
+    from entity_linking_ray.testdata import derive_documents, derive_entities
+
+    out = run_pipeline(derive_documents(sf_dir), derive_entities(), concurrency=2)
+    return out["clusters"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from entity_linking_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {
+        "er_mentions_by_surface": _q_er_mentions_by_surface,
+        "er_links": _q_er_links,
+        "er_clusters": _q_er_clusters,
+    }
+    out.update(q.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from entity_linking_ray import queries as q
+
+    alias_list = ", ".join(
+        f"'{w}'" for w in ["spark", "customer", "vector", "stream", "window", "query", "merge", "hash"]
+    )
+    out = {
+        "er_mentions_by_surface": f"""
+            SELECT tok AS mention, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            WHERE tok IN ({alias_list})
+            GROUP BY tok
+        """,
+    }
+    out.update(q.ORACLE_SQL)
+    return out

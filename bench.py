@@ -1,0 +1,117 @@
+"""Benchmark harness: headline flagship pipeline + per-query timings over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "e2e_link_and_cluster", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+--scaling: runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox substitute for N vs 4N
+nodes, per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
+    from entity_linking_ray.testdata import derive_documents, derive_entities
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    derive_documents(sf_dir).count()
+    n_docs = derive_documents(sf_dir).count()
+
+    t0 = time.time()
+    out = run_pipeline(
+        derive_documents(sf_dir), derive_entities(),
+        concurrency=max(2, num_cpus // 2), hot_cap=50_000,
+        num_partitions=max(8, num_cpus),
+    )
+    n_clusters_rows = out["clusters"].count()
+    elapsed = time.time() - t0
+    return {"sec": elapsed, "n_docs": n_docs, "rows": n_clusters_rows,
+            "docs_per_sec": n_docs / elapsed}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        # consume lazily-built datasets
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        here = os.path.dirname(os.path.abspath(__file__))
+
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="headline")
+            out = subprocess.run(
+                [sys.executable, os.path.join(here, "bench.py")], env=env,
+                capture_output=True, text=True, check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = run(8), run(32)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling_8_to_32", "sec_8": lo["value"], "sec_32": hi["value"],
+            "docs_per_sec_8": lo["docs_per_sec"], "docs_per_sec_32": hi["docs_per_sec"],
+            "scaling_efficiency": round(eff, 3), "sf_dir": SF_DIR,
+        }))
+        return
+
+    _init_ray(NUM_CPUS)
+    import ray
+
+    headline = run_headline(SF_DIR, NUM_CPUS)
+    queries = {}
+    if os.environ.get("GRAFT_BENCH_MODE") != "headline":
+        queries = run_queries(SF_DIR)
+    print(json.dumps({
+        "metric": "e2e_link_and_cluster",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": headline["n_docs"],
+        "docs_per_sec": round(headline["docs_per_sec"], 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Evaluation: pairwise F1 at shared blocking keys, recall@k, accuracy.
+
+Reference analogues: G2 recall@gen (``candidate_retrieval/evaluator.py:
+16-91``), G3 rank histogram (``zeshel_utils.py:70-99``), G4 accuracy/P/R/F1
+(``el_main.py:665-670``). The pairwise-F1-at-block-key metric is the
+BASELINE.json gate: over all mention pairs that share a blocking key
+(normalized surface form), gold-match = both link to the same non-NIL gold
+entity; predicted-match = same predicted cluster.
+
+Driver-side pandas implementations — these run on small labeled sets
+(the gold corpus), not on the document stream.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pandas as pd
+
+from ..functions.normalize import normalize_str
+
+
+def pairwise_f1(clusters_df: pd.DataFrame, gold_df: pd.DataFrame) -> dict:
+    """clusters_df: (doc_id, span_idx, offset, cluster_id);
+    gold_df: (doc_id, span_idx, offset, mention, entity_id)."""
+    g = gold_df.copy()
+    g["block"] = [normalize_str(m) for m in g["mention"]]
+    merged = g.merge(clusters_df, on=["doc_id", "span_idx", "offset"], how="left")
+    merged["cluster_id"] = merged["cluster_id"].fillna(
+        "u:" + merged["doc_id"] + ":" + merged["offset"].astype(str)
+    )
+
+    tp = fp = fn = 0
+    for _, grp in merged.groupby("block"):
+        rows = grp.reset_index(drop=True)
+        n = len(rows)
+        ent = rows["entity_id"].to_numpy()
+        cl = rows["cluster_id"].to_numpy()
+        for i in range(n):
+            for j in range(i + 1, n):
+                gold_match = ent[i] == ent[j] and ent[i] != "NIL"
+                pred_match = cl[i] == cl[j]
+                if gold_match and pred_match:
+                    tp += 1
+                elif pred_match and not gold_match:
+                    fp += 1
+                elif gold_match and not pred_match:
+                    fn += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": precision, "recall": recall, "f1": f1}
+
+
+def link_accuracy(links_df: pd.DataFrame, gold_df: pd.DataFrame) -> dict:
+    """Per-mention link accuracy incl. NIL handling (G4 analogue)."""
+    merged = gold_df.merge(
+        links_df, on=["doc_id", "span_idx", "offset"], how="left", suffixes=("_gold", "_pred")
+    )
+    merged["entity_id_pred"] = merged["entity_id_pred"].fillna("NIL")
+    correct = (merged["entity_id_gold"] == merged["entity_id_pred"]).sum()
+    return {
+        "n": len(merged),
+        "correct": int(correct),
+        "accuracy": float(correct / len(merged)) if len(merged) else 1.0,
+    }
+
+
+def recall_at_k(scored_pairs_df: pd.DataFrame, gold_df: pd.DataFrame,
+                ks=(1, 5, 10)) -> dict:
+    """Fraction of non-NIL gold mentions whose gold entity appears in the
+    candidate top-k (G2/G3 analogue)."""
+    gold = gold_df[gold_df["entity_id"] != "NIL"]
+    cand = scored_pairs_df.merge(
+        gold, on=["doc_id", "span_idx", "offset"], how="inner", suffixes=("", "_gold")
+    )
+    hit_rank: dict[tuple, int] = {}
+    for r in cand.itertuples():
+        if r.entity_id == r.entity_id_gold:
+            key = (r.doc_id, r.span_idx, r.offset)
+            hit_rank[key] = min(hit_rank.get(key, 1 << 30), r.rank)
+    out = {}
+    n = len(gold)
+    for k in ks:
+        out[f"recall@{k}"] = sum(1 for v in hit_rank.values() if v < k) / n if n else 1.0
+    return out
+
+
+def cluster_size_histogram(clusters_df: pd.DataFrame) -> dict[int, int]:
+    sizes = clusters_df.groupby("cluster_id").size()
+    return dict(collections.Counter(sizes.tolist()))

@@ -1,0 +1,93 @@
+"""Blocking: primary key = normalized-surface-form hash; second family =
+MinHash-LSH band keys over character shingles; explicit hot-key salting.
+
+Reference analogue: the alias table IS the primary blocking structure
+(J1, ``service_main.py:117-123``); the reference has no near-dup family
+(D5 absent) and no skew handling (SURVEY.md §4 — hot aliases processed
+serially). Both gaps are closed here per the north-star contract.
+
+Salting contract: a block whose size exceeds ``cap`` is split into
+``ceil(size/cap)`` salted sub-blocks (``block_key ⊕ salt``). Downstream
+per-block work must either be associative (min/count — salt freely, then
+re-aggregate on the unsalted key) or pair-generating (pairs are generated
+within sub-blocks only, trading recall for a hard quadratic bound — the
+standard blocking trade; per-block metrics record the truncation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.hashing import hash_strings, splitmix64
+from ..functions.minhash import band_keys, signature_matrix
+
+
+def add_block_key(batch: pa.Table, col: str = "norm_mention") -> pa.Table:
+    """Primary blocking key: stable u64 hash of the normalized surface."""
+    keys = hash_strings(batch[col].to_pylist())
+    return batch.append_column("block_key", pa.array(keys, pa.int64()))
+
+
+def lsh_band_rows(batch: pa.Table, col: str = "norm_mention",
+                  num_perm: int = 32, num_bands: int = 8, shingle_k: int = 3,
+                  key_cols: tuple = ("doc_id", "span_idx", "offset")) -> pa.Table:
+    """Second blocking family: explode each row into ``num_bands`` rows of
+    (key_cols..., band_key) — consumed by ``groupby("band_key")``."""
+    strings = batch[col].to_pylist()
+    sigs = signature_matrix(strings, num_perm=num_perm, k=shingle_k)
+    bk = band_keys(sigs, num_bands=num_bands)  # [n, num_bands]
+    n = len(strings)
+    out = {c: np.repeat(np.asarray(batch[c].to_pylist(), dtype=object), num_bands) for c in key_cols}
+    tbl = {c: pa.array(list(out[c])) for c in key_cols}
+    tbl["band_key"] = pa.array(bk.reshape(-1), pa.int64())
+    return pa.table(tbl)
+
+
+def block_sizes(ds: ray.data.Dataset, key: str = "block_key") -> ray.data.Dataset:
+    """Per-block mention counts (pre-aggregated per batch before the
+    shuffle — the combiner pattern from SURVEY.md §4 skew row)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(key).aggregate([(key, "count")]).rename_columns([key, "n"])
+
+    partials = ds.select_columns([key]).map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(key).aggregate(Sum("n", alias_name="block_size"))
+
+
+def hot_keys(ds: ray.data.Dataset, cap: int, key: str = "block_key") -> dict[int, int]:
+    """Driver-side map block_key → num_salts for blocks over the cap.
+    The result is tiny (only hot keys) and is broadcast via ``ray.put``."""
+    hot: dict[int, int] = {}
+    sizes = block_sizes(ds, key=key)
+    for b in sizes.filter(expr=f"block_size > {cap}").iter_batches(batch_format="pyarrow"):
+        for k, n in zip(b[key].to_pylist(), b["block_size"].to_pylist()):
+            hot[int(k)] = int(np.ceil(n / cap))
+    return hot
+
+
+def add_salted_key(batch: pa.Table, hot: dict[int, int], key: str = "block_key",
+                   row_hash_cols: tuple = ("doc_id", "offset")) -> pa.Table:
+    """salted_key = block_key for cold blocks; block_key ⊕ mix(row_hash %
+    num_salts) for hot ones. Deterministic per row (resume-safe)."""
+    keys = np.asarray(batch[key].to_pylist(), dtype=np.int64)
+    salts = np.zeros(len(keys), dtype=np.uint64)
+    if hot:
+        rh = hash_strings(
+            [f"{a}:{b}" for a, b in zip(batch[row_hash_cols[0]].to_pylist(),
+                                        batch[row_hash_cols[1]].to_pylist())]
+        )
+        for i, k in enumerate(keys):
+            ns = hot.get(int(k))
+            if ns:
+                salts[i] = np.uint64(int(rh[i]) % ns + 1)
+    mixed = splitmix64(keys.astype(np.uint64) ^ splitmix64(salts))
+    mixed = (mixed & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    salted = np.where(salts > 0, mixed, keys)
+    return batch.append_column("salted_key", pa.array(salted, pa.int64()))

@@ -1,0 +1,155 @@
+"""Transitive clustering: connected components via iterative hash-min
+label propagation — union-find expressed as groupby/join shuffles.
+
+The reference never clusters (it stops at per-mention best link); the
+north-star contract requires transitive clusters. Algorithm: hash-min
+label propagation with pointer jumping (cf. BTS, ICDE 2024, PAPERS.md;
+CC-MR-style shortcutting):
+
+    L0(n)      = min(n, min direct neighbor)         [1 groupby]
+    per round:   msgs: L(dst) candidate = L(src) over the pre-doubled
+                 edge list                            [1 join]
+                 L ← groupby-min(msgs ∪ L)            [1 shuffle agg]
+                 L ← min(L, L(L))  (pointer jumping)  [1 self-join]
+
+Pointer jumping halves remaining path depth each round → O(log diameter)
+rounds. Convergence detection is a cheap tree-aggregate checksum (two
+independent 25-bit masked sums of splitmix64(node ⊕ label) — labels are
+monotone non-increasing, so an unchanged double checksum means converged
+with error probability ~2^-50), NOT an extra join.
+
+Per-batch combiners pre-aggregate every min before its shuffle; min is
+associative so hot keys can be salted without changing results (the
+flagship additionally salts hot entity anchors at edge build,
+pipelines/link_and_cluster.py).
+
+Node ids are 63-bit hashes (see functions/hashing.py for why not u64);
+at 10^12-doc scale ids widen to 128-bit (two int64 columns) — the
+dataflow is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+_MASK1 = (1 << 25) - 1
+_MASK2 = ((1 << 25) - 1) << 25
+
+
+def _partial_min(batch: pa.Table, key: str = "node", val: str = "label") -> pa.Table:
+    """Per-batch combiner: min(label) per node before the shuffle."""
+    return batch.group_by(key).aggregate([(val, "min")]).rename_columns([key, val])
+
+
+def _groupby_min(ds: ray.data.Dataset, key: str = "node", val: str = "label") -> ray.data.Dataset:
+    partials = ds.map_batches(lambda b: _partial_min(b, key, val), batch_format="pyarrow")
+    return partials.groupby(key).aggregate(Min(val, alias_name=val))
+
+
+def _checksum(labels: ray.data.Dataset) -> tuple[int, int]:
+    """Two independent masked sums over splitmix64(node ^ label) — a tree
+    aggregate (no hash shuffle)."""
+    from ..functions.hashing import splitmix64
+
+    def hashes(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["node"].to_pylist(), dtype=np.uint64)
+        y = np.asarray(b["label"].to_pylist(), dtype=np.uint64)
+        h = splitmix64(x ^ y)
+        return pa.table({
+            "h1": pa.array((h & np.uint64(_MASK1)).astype(np.int64), pa.int64()),
+            "h2": pa.array(((h & np.uint64(_MASK2)) >> np.uint64(25)).astype(np.int64), pa.int64()),
+        })
+
+    hs = labels.map_batches(hashes, batch_format="pyarrow")
+    res = hs.sum(["h1", "h2"])
+    return (res["sum(h1)"], res["sum(h2)"])
+
+
+def connected_components(edges: ray.data.Dataset, max_iters: int = 20,
+                         num_partitions: int = 16) -> ray.data.Dataset:
+    """edges(src:int64, dst:int64) → labels(node:int64, label:int64).
+
+    Includes every endpoint node; isolated nodes are the caller's concern
+    (they are their own cluster by definition).
+    """
+    edges = edges.select_columns(["src", "dst"])
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [batch["src"].combine_chunks(), batch["dst"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [batch["dst"].combine_chunks(), batch["src"].combine_chunks()]
+                ),
+            }
+        )
+
+    doubled = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if doubled.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+
+    # round 0: label(n) = min(n, min direct neighbor)
+    msgs0 = doubled.map_batches(
+        lambda b: pa.table({"node": b["src"], "label": b["dst"]}), batch_format="pyarrow"
+    )
+    self0 = doubled.map_batches(
+        lambda b: pa.table({"node": b["src"], "label": b["src"]}), batch_format="pyarrow"
+    )
+    labels = _groupby_min(msgs0.union(self0)).materialize()
+    prev_sum = _checksum(labels)
+
+    for _ in range(max_iters):
+        # one join: attach src labels, message them to dst
+        j = doubled.join(labels, "inner", num_partitions, on=("src",), right_on=("node",))
+        msgs = j.map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = _groupby_min(msgs.union(labels)).materialize()
+
+        # pointer jumping (shortcutting): label ← min(label, label(label))
+        lj = new_labels.join(new_labels, "left_outer", num_partitions,
+                             on=("label",), right_on=("node",),
+                             left_suffix="", right_suffix="_r")
+        labels = lj.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"],
+                 "label": pc.coalesce(
+                     pc.min_element_wise(b["label"], b["label_r"]), b["label"])}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+        cur_sum = _checksum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def union_find_reference(edge_list) -> dict[int, int]:
+    """Driver-side union-find oracle for tests (SURVEY.md §7 hard-part 2)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}

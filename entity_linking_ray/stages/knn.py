@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once), two-phase top-k (per-batch
+partial top-k → per-query merge). Scale path: :func:`ivf_knn` restricts
+each query to its top-``nprobe`` coarse buckets (IVF with deterministic
+sampled centroids), turning the scan into a bucket-pruned one.
+
+Computation is float64 to match DuckDB's ``list_cosine_similarity`` oracle
+ordering on near-ties.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_knn(ds: ray.data.Dataset, queries: np.ndarray, query_ids,
+                    k: int = 5, vec_col: str = "embedding", id_col: str = "vec_id",
+                    exclude_self: bool = True) -> ray.data.Dataset:
+    """→ (query_id, neighbor_id, rank, cosine), rank 0-based by
+    (cosine desc, neighbor_id asc)."""
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    blob_ref = ray.put((Qn, list(query_ids)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        Q, qids = ray.get(blob_ref)
+        V = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+        ids = np.asarray(batch[id_col].to_pylist())
+        C = Q @ V.T  # [q, n]
+        out_q, out_n, out_c = [], [], []
+        kk = min(k + (1 if exclude_self else 0), C.shape[1])
+        for qi in range(len(Q)):
+            part = np.argpartition(-C[qi], kk - 1)[:kk] if kk < C.shape[1] else np.arange(C.shape[1])
+            for j in part:
+                if exclude_self and ids[j] == qids[qi]:
+                    continue
+                out_q.append(qids[qi])
+                out_n.append(ids[j])
+                out_c.append(float(C[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q), "neighbor_id": pa.array(out_n),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ivf_assignments(ds: ray.data.Dataset, centroids: np.ndarray,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> ray.data.Dataset:
+    """Adds ``bucket`` = argmax-cosine centroid per row."""
+    Cn = _normalize(centroids)
+    c_ref = ray.put(Cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        V = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+        b = np.argmax(V @ C.T, axis=1).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sample_centroids(ds: ray.data.Dataset, n_centroids: int,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic coarse centroids: the vectors whose id hash is
+    smallest (one streaming pass, no global sort)."""
+    from ..functions.hashing import hash_strings
+
+    best: list[tuple[int, np.ndarray]] = []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+        h = hash_strings([str(x) for x in b[id_col].to_pylist()])
+        for hv, vec in zip(h, b[vec_col].to_pylist()):
+            best.append((int(hv), np.asarray(vec, dtype=np.float64)))
+        best.sort(key=lambda t: t[0])
+        best = best[:n_centroids]
+    return np.stack([v for _, v in best])
+
+
+def ivf_knn(ds: ray.data.Dataset, queries: np.ndarray, query_ids, k: int = 5,
+            n_centroids: int = 16, nprobe: int = 4,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            exclude_self: bool = True) -> ray.data.Dataset:
+    """Bucket-pruned approximate k-NN: per query only rows in its top-nprobe
+    centroid buckets are scanned."""
+    cents = sample_centroids(ds, n_centroids, vec_col, id_col)
+    assigned = ivf_assignments(ds, cents, vec_col, id_col)
+    Cn = _normalize(cents)
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(Qn @ Cn.T), axis=1)[:, :nprobe]  # [q, nprobe]
+    blob_ref = ray.put((Qn, list(query_ids), probes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        Q, qids, prb = ray.get(blob_ref)
+        V = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+        ids = np.asarray(batch[id_col].to_pylist())
+        buckets = np.asarray(batch["bucket"].to_pylist())
+        C = Q @ V.T
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(Q)):
+            mask = np.isin(buckets, prb[qi])
+            if exclude_self:
+                mask &= ids != qids[qi]
+            idxs = np.nonzero(mask)[0]
+            if len(idxs) == 0:
+                continue
+            take = idxs[np.argpartition(-C[qi, idxs], min(k, len(idxs)) - 1)[:k]] \
+                if len(idxs) > k else idxs
+            for j in take:
+                out_q.append(qids[qi])
+                out_n.append(ids[j])
+                out_c.append(float(C[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q), "neighbor_id": pa.array(out_n),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    partials = assigned.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

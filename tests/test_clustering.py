@@ -1,0 +1,78 @@
+"""Label-propagation connected components vs a driver-side union-find
+oracle (SURVEY.md §7 hard-part 2), including chains and salted anchors."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from entity_linking_ray.stages.clustering import connected_components, union_find_reference
+
+
+def _run_cc(pairs):
+    t = pa.table(
+        {"src": pa.array([a for a, _ in pairs], pa.int64()),
+         "dst": pa.array([b for _, b in pairs], pa.int64())}
+    )
+    ds = ray.data.from_arrow(t)
+    out = connected_components(ds, num_partitions=4)
+    return {r["node"]: r["label"] for r in out.take_all()}
+
+
+def _partition_equal(labels, oracle):
+    assert set(labels) == set(oracle)
+    by_label, by_oracle = {}, {}
+    for n in labels:
+        by_label.setdefault(labels[n], set()).add(n)
+        by_oracle.setdefault(oracle[n], set()).add(n)
+    assert sorted(map(sorted, by_label.values())) == sorted(map(sorted, by_oracle.values()))
+
+
+def test_chain():
+    # chain exercises multi-round convergence + pointer jumping
+    pairs = [(i, i + 1) for i in range(1, 13)]
+    _partition_equal(_run_cc(pairs), union_find_reference(pairs))
+
+
+def test_stars_and_islands():
+    pairs = [(100, i) for i in range(1, 20)] + [(200, 201), (300, 301), (301, 302)]
+    _partition_equal(_run_cc(pairs), union_find_reference(pairs))
+
+
+def test_random_graph_matches_union_find():
+    rng = np.random.default_rng(7)
+    pairs = [tuple(map(int, rng.integers(0, 200, 2))) for _ in range(300)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    _partition_equal(_run_cc(pairs), union_find_reference(pairs))
+
+
+def test_empty_edges():
+    t = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    out = connected_components(ray.data.from_arrow(t))
+    assert out.count() == 0
+
+
+def test_hot_entity_salting_preserves_components(corpus):
+    """Salted sub-anchors (hot_cap tiny → heavy salting) must produce the
+    same mention partition as no salting."""
+    from entity_linking_ray.pipelines.link_and_cluster import (
+        attach_clusters, build_edges, run_pipeline,
+    )
+
+    docs = ray.data.from_arrow(corpus["documents"])
+    out_salted = run_pipeline(docs, corpus["entities"], hot_cap=10, concurrency=2, num_partitions=4)
+    out_plain = run_pipeline(docs, corpus["entities"], hot_cap=10**9, concurrency=2, num_partitions=4)
+    a = out_salted["clusters"].to_pandas()
+    b = out_plain["clusters"].to_pandas()
+    key = ["doc_id", "span_idx", "offset"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert (a[key] == b[key]).all().all()
+    # same partition: group sizes per joined cluster pair must biject
+    import pandas as pd
+
+    m = pd.DataFrame({"ca": a["cluster_id"], "cb": b["cluster_id"]})
+    assert (m.groupby("ca")["cb"].nunique() == 1).all()
+    assert (m.groupby("cb")["ca"].nunique() == 1).all()

@@ -1,0 +1,111 @@
+"""Unit tests for the pure kernels (no Ray needed beyond the session)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_linking_ray.functions.describe import synthesize_description
+from entity_linking_ray.functions.embed import cosine_matrix, embed_texts
+from entity_linking_ray.functions.minhash import (
+    band_keys, jaccard, minhash_signature, signature_matrix,
+)
+from entity_linking_ray.functions.normalize import normalize_array, normalize_str
+from entity_linking_ray.functions.simhash import hamming64, simhash64
+from entity_linking_ray.functions.strsim import (
+    jaro_winkler, jaro_winkler_batch, levenshtein, levenshtein_ratio,
+)
+
+
+class TestNormalize:
+    def test_accents_case_cjk(self):
+        arr = pa.array(["Café  de Flore", "LG G5", "南京南站 高铁", "ÀÉÎÕÜ"])
+        assert normalize_array(arr).to_pylist() == [
+            "cafe de flore", "lg g5", "南京南站 高铁", "aeiou",
+        ]
+
+    @given(st.text(max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_scalar_matches_vectorized(self, s):
+        assert normalize_array(pa.array([s])).to_pylist() == [normalize_str(s)]
+
+
+class TestStrsim:
+    def test_known_values(self):
+        assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
+        assert levenshtein("kitten", "sitting") == 3
+        assert levenshtein_ratio("abc", "abc") == 1.0
+        assert levenshtein_ratio("", "") == 1.0
+        assert jaro_winkler("", "x") == 0.0
+
+    def test_batch(self):
+        out = jaro_winkler_batch(["abc", "南京南站"], ["abc", "南京站"])
+        assert out[0] == 1.0 and 0.8 < out[1] < 1.0
+
+    @given(st.text(max_size=20), st.text(max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_symmetry_and_bounds(self, a, b):
+        assert levenshtein(a, b) == levenshtein(b, a)
+        assert 0.0 <= jaro_winkler(a, b) <= 1.0
+
+
+class TestMinHash:
+    def test_similarity_estimate(self):
+        a = "the quick brown fox jumps over the lazy dog"
+        b = "the quick brown fox jumped over the lazy dog"
+        sa, sb = minhash_signature(a, 128), minhash_signature(b, 128)
+        est = float((sa == sb).mean())
+        assert abs(est - jaccard(a, b)) < 0.15
+
+    def test_bands_collide_for_near_dups(self):
+        M = signature_matrix([
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumped over the lazy dog",
+            "completely different text entirely",
+        ])
+        bk = band_keys(M)
+        assert (bk[0] == bk[1]).sum() > 0
+        assert (bk[0] == bk[2]).sum() == 0
+
+    def test_int64_range(self):
+        bk = band_keys(signature_matrix(["hello world"]))
+        assert bk.dtype == np.int64 and (bk >= 0).all()
+
+    def test_deterministic(self):
+        assert (minhash_signature("abc def") == minhash_signature("abc def")).all()
+
+
+class TestSimHash:
+    def test_near_vs_far(self):
+        a = simhash64("the quick brown fox jumps over the lazy dog")
+        b = simhash64("the quick brown fox jumped over the lazy dog")
+        c = simhash64("alpha beta gamma delta epsilon")
+        assert hamming64(np.array([a]), b)[0] < hamming64(np.array([a]), c)[0]
+
+    def test_empty(self):
+        assert simhash64("") == 0
+
+
+class TestEmbed:
+    def test_similar_texts_high_cosine(self):
+        E = embed_texts(["apple banana cherry", "apple banana cherry date", "汽车 火车 高铁"])
+        C = cosine_matrix(E, E)
+        assert C[0, 1] > 0.7 and abs(C[0, 2]) < 0.3
+        assert np.allclose(np.linalg.norm(E, axis=1), 1.0, atol=1e-5)
+
+    def test_deterministic_and_boilerplate_invariant(self):
+        a = embed_texts(["x y z"])
+        b = embed_texts(["x y z x x x x"])  # binary bag: repeats don't matter
+        assert np.allclose(a, b)
+
+
+class TestDescribe:
+    def test_fallback_and_budget(self):
+        assert synthesize_description("X", []) == "摘要，X无描述信息。"
+        assert synthesize_description("X", [{"predicate": "类型", "object": "车站"}]) == "类型，车站。"
+        long = [{"predicate": "p", "object": "x" * 500}]
+        assert len(synthesize_description("X", long, budget=100)) == 100
+        many = [{"predicate": "p", "object": "y" * 30} for _ in range(20)]
+        out = synthesize_description("X", many, budget=100)
+        assert len(out) <= 100 and out.endswith("。")

@@ -1,0 +1,76 @@
+"""Mirror of the driver's oracle harness: run each queries() entry at
+sf0.001 and compare to its oracle_sql() via DuckDB (row count + sorted
+column names + order-insensitive values)."""
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _to_df(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLE = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(name, duck):
+    ray_df = _canon(_to_df(QUERIES[name](SF)))
+    sql_df = _canon(duck.execute(ORACLE[name]).fetchdf())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}")
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
+    for c in ray_df.columns:
+        a, b = ray_df[c], sql_df[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert ((a - b).abs() < 1e-6).all(), f"{name}.{c} float mismatch"
+        else:
+            eq = (a.astype(str).values == b.astype(str).values)
+            assert eq.all(), f"{name}.{c} mismatch: {a[~eq].head()} vs {b[~eq].head()}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(name):
+    res = QUERIES[name](SF)
+    if hasattr(res, "schema"):  # Dataset (ray to_pandas drops cols when empty)
+        assert len(res.schema().names) > 0
+    else:
+        df = _to_df(res)
+        assert len(df.columns) > 0
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    df = _to_df(res)
+    assert len(df) >= 0 and "cluster_id" in df.columns
