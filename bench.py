@@ -21,6 +21,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# replicate the derived corpus so per-stage compute dominates Ray's per-op
+# fixed costs (same input at every parallelism level; deterministic copies)
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "10"))
 
 
 def _init_ray(num_cpus: int):
@@ -33,6 +36,10 @@ def _init_ray(num_cpus: int):
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # default 128 MiB blocks coalesce this workload into fewer tasks than
+    # CPUs; 16 MiB keeps every map stage at full width (measured: 19 tasks
+    # → 70+ tasks at 32 cpus)
+    ctx.target_max_block_size = 16 * 1024 * 1024
 
 
 def run_headline(sf_dir: str, num_cpus: int) -> dict:
@@ -43,11 +50,12 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
 
     # warm the page cache so we measure compute+shuffle, not first disk read
     derive_documents(sf_dir).count()
-    n_docs = derive_documents(sf_dir).count()
+    nb = num_cpus * 4
+    n_docs = derive_documents(sf_dir, replicate=REPLICATE, num_blocks=nb).count()
 
     t0 = time.time()
     out = run_pipeline(
-        derive_documents(sf_dir), derive_entities(),
+        derive_documents(sf_dir, replicate=REPLICATE, num_blocks=nb), derive_entities(),
         concurrency=max(2, num_cpus // 2), hot_cap=50_000,
         num_partitions=max(8, num_cpus),
     )

@@ -32,6 +32,8 @@ _PROBES = 4
 def _tokenize(text: str) -> list[str]:
     """Whitespace tokens for spaced scripts + individual CJK codepoints
     (reference isolates CJK chars, tokenization.py:217-240)."""
+    if text.isascii():  # fast path: no CJK scan needed (C-level)
+        return text.lower().split()
     out: list[str] = []
     for tok in text.lower().split():
         run: list[str] = []
@@ -56,25 +58,54 @@ def _token_hash(tok: str) -> int:
     return h
 
 
+# per-process token-hash memo — token vocabularies repeat heavily across
+# batches, and the bytes-level FNV loop is the only pure-Python hot spot
+_HASH_CACHE: dict[str, int] = {}
+_HASH_CACHE_MAX = 1_000_000
+
+
+def _token_hash_cached(tok: str) -> int:
+    h = _HASH_CACHE.get(tok)
+    if h is None:
+        h = _token_hash(tok)
+        if len(_HASH_CACHE) >= _HASH_CACHE_MAX:
+            _HASH_CACHE.clear()
+        _HASH_CACHE[tok] = h
+    return h
+
+
 def embed_texts(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
-    """[n, dim] float32, rows L2-normalized (zero vector for empty text)."""
-    out = np.zeros((len(texts), dim), dtype=np.float32)
-    probe_salt = splitmix64(np.arange(_PROBES, dtype=U64) + U64(0xABCD))
+    """[n, dim] float32, rows L2-normalized (zero vector for empty text).
+
+    Vectorized across the whole batch: all texts' (deduped) tokens are
+    flattened into one hashed u64 array with per-text segment ids; the
+    probe scatter runs as ``np.add.at`` on the full 2-D output — no
+    per-text numpy calls (binary bag-of-tokens: repeats within a text are
+    deduped so boilerplate doesn't dominate the norm)."""
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float32)
+    if n == 0:
+        return out
+    seg: list[int] = []
+    hashes: list[int] = []
     for i, text in enumerate(texts):
-        # binary bag-of-tokens: dedupe so repeated boilerplate tokens don't
-        # dominate the norm (set-of-words hashing)
         toks = set(_tokenize(text))
         if not toks:
             continue
-        th = np.array([_token_hash(t) for t in toks], dtype=U64)
-        for p in range(_PROBES):
-            hp = splitmix64(th ^ probe_salt[p])
-            idx = (hp % U64(dim)).astype(np.int64)
-            sign = np.where((hp >> U64(32)) & U64(1), 1.0, -1.0).astype(np.float32)
-            np.add.at(out[i], idx, sign)
-        n = np.linalg.norm(out[i])
-        if n > 0:
-            out[i] /= n
+        seg.extend([i] * len(toks))
+        hashes.extend(_token_hash_cached(t) for t in toks)
+    if not hashes:
+        return out
+    th = np.array(hashes, dtype=U64)
+    rows = np.array(seg, dtype=np.int64)
+    probe_salt = splitmix64(np.arange(_PROBES, dtype=U64) + U64(0xABCD))
+    for p in range(_PROBES):
+        hp = splitmix64(th ^ probe_salt[p])
+        idx = (hp % U64(dim)).astype(np.int64)
+        sign = np.where((hp >> U64(32)) & U64(1), 1.0, -1.0).astype(np.float32)
+        np.add.at(out, (rows, idx), sign)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
     return out
 
 

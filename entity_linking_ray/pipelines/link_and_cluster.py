@@ -29,18 +29,21 @@ from ..stages.mentions import extract_mentions
 from ..stages.pairwise import explode_scored_pairs, link_mentions, score_and_link
 
 
-def _mention_node_hashes(batch: pa.Table) -> np.ndarray:
-    keys = [
-        f"m|{d}|{s}|{o}"
-        for d, s, o in zip(batch["doc_id"].to_pylist(), batch["span_idx"].to_pylist(),
-                           batch["offset"].to_pylist())
-    ]
-    return hash_strings(keys)
+def _salted_anchor(anchor: np.ndarray, salt: np.ndarray) -> np.ndarray:
+    """Numeric salted-anchor hash (no per-row string formatting)."""
+    from ..functions.hashing import splitmix64
+
+    with np.errstate(over="ignore"):
+        out = splitmix64(
+            anchor.astype(np.uint64) ^ splitmix64(salt.astype(np.uint64) + np.uint64(1))
+        )
+    return (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 def build_edges(links: ray.data.Dataset, hot_cap: int = 1000) -> ray.data.Dataset:
     """Accepted links → undirected edge list (mention node ↔ entity anchor),
-    with salted sub-anchors for hot entities."""
+    with salted sub-anchors for hot entities. Anchor hashes are computed
+    once per DISTINCT entity per batch (vectorized gather), not per row."""
     linked = links.filter(expr="entity_id != 'NIL'")
 
     # per-entity degree (combiner + small groupby), driver-collapsed: the
@@ -67,22 +70,29 @@ def build_edges(links: ray.data.Dataset, hot_cap: int = 1000) -> ray.data.Datase
 
     def to_edges(batch: pa.Table) -> pa.Table:
         hot_map = ray.get(hot_ref)
-        src = _mention_node_hashes(batch)
-        eids = batch["entity_id"].to_pylist()
-        anchors = []
-        for i, e in enumerate(eids):
-            ns = hot_map.get(e)
-            anchors.append(f"e|{e}" if not ns else f"e|{e}#s{int(src[i]) % ns}")
-        dst = hash_strings(anchors)
+        src = batch["node"].to_numpy(zero_copy_only=False)
+        eids = np.asarray(batch["entity_id"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(eids, return_inverse=True)
+        anchor_u = hash_strings([f"e|{e}" for e in uniq])
+        dst = anchor_u[inv]
+        if hot_map:
+            for j, e in enumerate(uniq):
+                ns = hot_map.get(e)
+                if ns:
+                    sel = np.nonzero(inv == j)[0]
+                    salt = (src[sel].astype(np.uint64) % np.uint64(ns)).astype(np.int64)
+                    dst[sel] = _salted_anchor(dst[sel], salt)
         return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
 
     edges = linked.map_batches(to_edges, batch_format="pyarrow")
     if hot:
-        connectors = [
-            {"src": int(hash_strings([f"e|{e}#s{s}"])[0]), "dst": int(hash_strings([f"e|{e}"])[0])}
-            for e, ns in hot.items()
-            for s in range(ns)
-        ]
+        connectors = []
+        for e, ns in hot.items():
+            anchor = int(hash_strings([f"e|{e}"])[0])
+            salted = _salted_anchor(
+                np.full(ns, anchor, dtype=np.int64), np.arange(ns, dtype=np.int64)
+            )
+            connectors.extend({"src": int(sv), "dst": anchor} for sv in salted)
         conn = ray.data.from_arrow(
             pa.table(
                 {
@@ -95,43 +105,67 @@ def build_edges(links: ray.data.Dataset, hot_cap: int = 1000) -> ray.data.Datase
     return edges
 
 
+SMALL_LABELS = 50_000_000  # rows; ~800 MB of (node,label) pairs
+
+
 def attach_clusters(links: ray.data.Dataset, labels: ray.data.Dataset,
                     num_partitions: int = 16) -> ray.data.Dataset:
     """links + component labels → clusters(doc_id, span_idx, offset,
-    cluster_id). NIL mentions become singleton clusters keyed by their own
-    node hash."""
+    cluster_id = decimal string of the component's min node hash). NIL
+    mentions become singleton clusters keyed by their own node hash.
 
-    def with_node(batch: pa.Table) -> pa.Table:
-        return batch.append_column("node", pa.array(_mention_node_hashes(batch), pa.int64()))
+    Small label sets broadcast as sorted arrays (searchsorted map-side
+    lookup, no shuffle); larger ones fall back to the hash join — the same
+    size-based plan choice as connected_components.
+    """
+    n_labels = labels.count()
 
-    keyed = links.map_batches(with_node, batch_format="pyarrow")
-    linked = keyed.filter(expr="entity_id != 'NIL'")
-    nil = keyed.filter(expr="entity_id == 'NIL'")
+    def fmt_from_label(batch: pa.Table, label_col: str) -> pa.Table:
+        cid = pc.cast(batch[label_col], pa.string())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"], "span_idx": batch["span_idx"],
+                "offset": batch["offset"], "cluster_id": cid,
+            }
+        )
 
+    if n_labels <= SMALL_LABELS:
+        nodes_l, labs_l = [], []
+        for b in labels.iter_batches(batch_format="pyarrow"):
+            nodes_l.append(b["node"].to_numpy(zero_copy_only=False))
+            labs_l.append(b["label"].to_numpy(zero_copy_only=False))
+        if nodes_l:
+            nodes = np.concatenate(nodes_l)
+            labs = np.concatenate(labs_l)
+            order = np.argsort(nodes)
+            nodes, labs = nodes[order], labs[order]
+        else:
+            nodes = np.empty(0, dtype=np.int64)
+            labs = np.empty(0, dtype=np.int64)
+        lut_ref = ray.put((nodes, labs))
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            nds, lbs = ray.get(lut_ref)
+            node = batch["node"].to_numpy(zero_copy_only=False)
+            if len(nds):
+                pos = np.searchsorted(nds, node)
+                pos = np.clip(pos, 0, len(nds) - 1)
+                found = nds[pos] == node
+                lab = np.where(found, lbs[pos], node)  # unlabeled → singleton
+            else:
+                lab = node
+            out = batch.append_column("label", pa.array(lab, pa.int64()))
+            return fmt_from_label(out, "label")
+
+        return links.map_batches(lookup, batch_format="pyarrow")
+
+    linked = links.filter(expr="entity_id != 'NIL'")
+    nil = links.filter(expr="entity_id == 'NIL'")
     joined = linked.join(labels, "inner", num_partitions, on=("node",), right_on=("node",))
-
-    def fmt(batch: pa.Table) -> pa.Table:
-        cid = [f"c{v:016x}" for v in batch["label"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"], "span_idx": batch["span_idx"],
-                "offset": batch["offset"],
-                "cluster_id": pa.array(cid, pa.string()),
-            }
-        )
-
-    def fmt_nil(batch: pa.Table) -> pa.Table:
-        cid = [f"c{v:016x}" for v in batch["node"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"], "span_idx": batch["span_idx"],
-                "offset": batch["offset"],
-                "cluster_id": pa.array(cid, pa.string()),
-            }
-        )
-
-    return joined.map_batches(fmt, batch_format="pyarrow").union(
-        nil.map_batches(fmt_nil, batch_format="pyarrow")
+    return joined.map_batches(
+        lambda b: fmt_from_label(b, "label"), batch_format="pyarrow"
+    ).union(
+        nil.map_batches(lambda b: fmt_from_label(b, "node"), batch_format="pyarrow")
     )
 
 
@@ -140,11 +174,14 @@ def annotate_documents(docs: ray.data.Dataset, links: ray.data.Dataset,
     """Per-doc mention/link counts with the ``spans`` column passed through
     untouched — the span-sequence-equality invariant surface.
 
-    Arrow's hash join rejects list<struct> non-key columns, so this is a
-    co-group join: tag-union both sides and merge per doc_id group — the
-    shuffle moves nested columns opaquely, which joins cannot.
-    """
+    Arrow's hash join rejects list<struct> non-key columns, so the spans
+    list rides through the join as an opaque per-row IPC-serialized binary
+    column and is decoded after — vectorized at the batch level, no
+    per-group Python (a tag-union groupby co-group works too but costs one
+    Python call per doc group)."""
     from .. import schemas
+
+    spans_type = pa.list_(schemas.SPAN_STRUCT)
 
     def partial(batch: pa.Table) -> pa.Table:
         linked = pc.cast(pc.not_equal(batch["entity_id"], "NIL"), pa.int64())
@@ -162,42 +199,33 @@ def annotate_documents(docs: ray.data.Dataset, links: ray.data.Dataset,
         .aggregate(Sum("n_mentions", alias_name="n_mentions"), Sum("n_linked", alias_name="n_linked"))
     )
 
-    spans_type = pa.list_(schemas.SPAN_STRUCT)
+    def encode(batch: pa.Table) -> pa.Table:
+        import pickle
 
-    def tag_docs(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        blobs = [pickle.dumps(v) for v in batch["spans"].to_pylist()]
         return pa.table({
-            "doc_id": batch["doc_id"], "spans": batch["spans"],
-            "n_mentions": pa.nulls(n, pa.int64()), "n_linked": pa.nulls(n, pa.int64()),
-            "tag": pa.array(np.zeros(n, np.int8)),
+            "doc_id": batch["doc_id"],
+            "spans_bin": pa.array(blobs, pa.large_binary()),
         })
 
-    def tag_counts(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+    encoded = docs.map_batches(encode, batch_format="pyarrow")
+    joined = encoded.join(per_doc, "left_outer", num_partitions,
+                          on=("doc_id",), right_on=("doc_id",))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import pickle
+
+        spans = pa.array(
+            [pickle.loads(b) for b in batch["spans_bin"].to_pylist()], spans_type
+        )
         return pa.table({
-            "doc_id": batch["doc_id"], "spans": pa.nulls(n, spans_type),
-            "n_mentions": pc.cast(batch["n_mentions"], pa.int64()),
-            "n_linked": pc.cast(batch["n_linked"], pa.int64()),
-            "tag": pa.array(np.ones(n, np.int8)),
+            "doc_id": batch["doc_id"],
+            "spans": spans,
+            "n_mentions": pc.fill_null(batch["n_mentions"], 0),
+            "n_linked": pc.fill_null(batch["n_linked"], 0),
         })
 
-    unioned = docs.map_batches(tag_docs, batch_format="pyarrow").union(
-        per_doc.map_batches(tag_counts, batch_format="pyarrow")
-    )
-
-    def merge(group: pa.Table) -> pa.Table:
-        doc_rows = group.filter(pc.equal(group["tag"], 0))
-        cnt_rows = group.filter(pc.equal(group["tag"], 1))
-        n_m = cnt_rows["n_mentions"][0].as_py() if cnt_rows.num_rows else 0
-        n_l = cnt_rows["n_linked"][0].as_py() if cnt_rows.num_rows else 0
-        n = doc_rows.num_rows
-        return pa.table({
-            "doc_id": doc_rows["doc_id"], "spans": doc_rows["spans"],
-            "n_mentions": pa.array([n_m] * n, pa.int64()),
-            "n_linked": pa.array([n_l] * n, pa.int64()),
-        })
-
-    return unioned.groupby("doc_id").map_groups(merge, batch_format="pyarrow")
+    return joined.map_batches(decode, batch_format="pyarrow")
 
 
 def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
@@ -218,6 +246,10 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
     scored = cands.map_batches(
         lambda b: score_and_link(b, threshold=threshold), batch_format="pyarrow"
     ).materialize()  # consumed by three downstream branches — pin once
+    # adapt join parallelism to row count: hash-join partitions cost actor
+    # spin-up, which dominates below ~500k rows/partition
+    n_mentions = scored.count()
+    num_partitions = max(2, min(num_partitions, n_mentions // 500_000 + 2))
     links = link_mentions(scored)
     edges = build_edges(links, hot_cap=hot_cap)
     labels = connected_components(edges, num_partitions=num_partitions)

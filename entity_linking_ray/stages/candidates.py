@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -52,6 +53,9 @@ def make_kb_blob(entities_tbl: pa.Table, dim: int = DEFAULT_DIM):
     from .ann import entity_embedding_blob
 
     ids, matrix = entity_embedding_blob(entities_tbl, dim=dim)
+    order = np.argsort(ids)
+    ids, matrix = ids[order], matrix[order]  # id-ascending: column order IS
+    # the tie-break order for stable argsort in the ANN top-k
     exploded = explode_aliases(entities_tbl)
     alias_to_ids: dict[str, list[str]] = {}
     eid_aliases: dict[str, list[str]] = {}
@@ -106,8 +110,34 @@ class CandidateGenerator:
         return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized candidate assembly.
+
+        The per-candidate work (exact lookup, ANN top-k, J8 precedence
+        dedup, feature gather) runs as whole-batch numpy array ops; Python
+        loops remain only over (a) DISTINCT surface forms in the batch,
+        (b) distinct (surface, entity) pairs for the cached string
+        similarity, and (c) hot-surface mentions (exact list > k — the
+        per-mention cosine-ranked truncation, reference analogue
+        el_main.py:113-180)."""
         n = batch.num_rows
-        norm = batch["norm_mention"].to_pylist()
+        kb = self.kb
+        ids = kb["ids"]          # object ndarray, ascending
+        M = kb["matrix"]
+        m = len(ids)
+        k = self.k
+        ann_k = min(self.ann_k, m)
+
+        empty_struct = pa.StructArray.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.float32()), pa.array([], pa.float32()),
+             pa.array([], pa.float32())],
+            names=["entity_id", "source", "retrieval_score", "strsim", "cosine"],
+        )
+        if n == 0:
+            return batch.append_column(
+                "cands", pa.ListArray.from_arrays(pa.array([0], pa.int32()), empty_struct))
+
+        norm = np.asarray(batch["norm_mention"].to_pylist(), dtype=object)
         ctx_l = batch["context_left"].to_pylist()
         ctx_r = batch["context_right"].to_pylist()
         # context-only embedding (M5 analogue) — the surface form itself is
@@ -115,59 +145,120 @@ class CandidateGenerator:
         # alias overlap (which strsim already captures); mirrors the
         # reference scoring context vs candidate *description* (A5).
         texts = [f"{l} {r}" for l, r in zip(ctx_l, ctx_r)]
-        Q = embed_texts(texts, dim=self.dim)  # [n, d] row-normalized
+        Q = embed_texts(texts, dim=self.dim)
+        scores = Q @ M.T  # [n, m] float32
 
-        # dense scores against the whole (broadcast) matrix
-        M = self.kb["matrix"]
-        ids = self.kb["ids"]
-        scores = Q @ M.T  # [n, m]
-        ann_k = min(self.ann_k, len(ids))
+        uniq, inv = np.unique(norm, return_inverse=True)
+        u = len(uniq)
+        row_of = kb["row_of"]
+        exact_rows_list: list[np.ndarray] = []
+        hot_u = np.zeros(u, dtype=bool)
+        for j in range(u):
+            eids = kb["alias_to_ids"].get(uniq[j], [])
+            rows = np.array([row_of[e] for e in eids if e in row_of], dtype=np.int64)
+            exact_rows_list.append(rows)
+            hot_u[j] = len(rows) > k
+
+        e_sizes = np.array(
+            [0 if hot_u[j] else len(exact_rows_list[j]) for j in range(u)], dtype=np.int64)
+        hot_m = hot_u[inv]
+
+        # ---- cold exact part: surface-major repeat/tile (aligned arrays)
+        cold_idx = np.nonzero(~hot_m)[0]
+        inv_cold = inv[cold_idx]
+        order_c = np.argsort(inv_cold, kind="stable")
+        ms = cold_idx[order_c]
+        cnt_per_u = np.bincount(inv_cold, minlength=u)
+        rep_counts = e_sizes[inv_cold[order_c]]
+        midx_e = np.repeat(ms, rep_counts)
+        tiles = [np.tile(exact_rows_list[j], cnt_per_u[j])
+                 for j in range(u) if cnt_per_u[j] > 0 and e_sizes[j] > 0]
+        ent_e = np.concatenate(tiles) if tiles else np.empty(0, dtype=np.int64)
+
+        # ---- ANN part with J8 precedence dedup (vectorized)
         if ann_k > 0:
-            part = np.argpartition(-scores, ann_k - 1, axis=1)[:, :ann_k]
+            if m <= 128:
+                A = np.argsort(-scores, kind="stable", axis=1)[:, :ann_k]
+            else:
+                topc = np.argpartition(-scores, ann_k - 1, axis=1)[:, :ann_k]
+                A = np.empty_like(topc)
+                for i in range(n):  # small fixed-k per-row refine
+                    c = topc[i]
+                    A[i] = c[np.lexsort((c, -scores[i, c]))]
+            max_e = int(e_sizes.max()) if u else 0
+            if max_e > 0:
+                P = np.full((u, max_e), -1, dtype=np.int64)
+                for j in range(u):
+                    if e_sizes[j] > 0:
+                        P[j, : e_sizes[j]] = exact_rows_list[j]
+                dup = (A[:, :, None] == P[inv][:, None, :]).any(axis=2)
+            else:
+                dup = np.zeros_like(A, dtype=bool)
+            room = np.clip(k - e_sizes[inv], 0, None)
+            room[hot_m] = 0
+            valid = ~dup
+            keep = valid & (np.cumsum(valid, axis=1) <= room[:, None])
+            ann_counts = keep.sum(axis=1).astype(np.int64)
+            midx_a = np.repeat(np.arange(n, dtype=np.int64), ann_counts)
+            ent_a = A[keep]
         else:
-            part = np.empty((n, 0), dtype=np.int64)
+            midx_a = np.empty(0, dtype=np.int64)
+            ent_a = np.empty(0, dtype=np.int64)
 
-        cands_col = []
-        row_of = self.kb["row_of"]
-        for i in range(n):
-            m_norm = norm[i]
-            exact = self.kb["alias_to_ids"].get(m_norm, [])
-            if len(exact) > self.k:
-                # hot block: keep the k exact candidates ranked by context
-                # cosine (desc, entity_id asc) so gold survives truncation —
-                # the reference's per-alias rescoring analogue
-                # (el_main.py:113-180 _run_biencoder_test).
-                rows = np.array([row_of.get(e, -1) for e in exact])
-                cos_all = np.where(rows >= 0, scores[i, rows], -1.0)
-                order = np.lexsort((np.array(exact, dtype=object), -cos_all))
-                exact = [exact[j] for j in order[: self.k]]
-            entries = []
-            seen = set()
-            for eid in exact:
-                r = row_of.get(eid)
-                cos = float(scores[i, r]) if r is not None else 0.0
-                entries.append(
-                    {"entity_id": eid, "source": "exact", "retrieval_score": 1.0,
-                     "strsim": self._strsim(m_norm, eid), "cosine": cos})
-                seen.add(eid)
-            if len(entries) < self.k and ann_k > 0:
-                cand_rows = part[i]
-                order = np.lexsort((ids[cand_rows], -scores[i, cand_rows]))
-                for j in cand_rows[order]:
-                    eid = ids[j]
-                    if eid in seen:
-                        continue
-                    entries.append(
-                        {"entity_id": eid, "source": "ann",
-                         "retrieval_score": float(scores[i, j]),
-                         "strsim": self._strsim(m_norm, eid),
-                         "cosine": float(scores[i, j])})
-                    seen.add(eid)
-                    if len(entries) >= self.k:
-                        break
-            cands_col.append(entries)
+        # ---- hot mentions: per-mention cosine-ranked exact truncation
+        hot_idx = np.nonzero(hot_m)[0]
+        if len(hot_idx):
+            h_mi, h_ent = [], []
+            for i in hot_idx:
+                rows = exact_rows_list[inv[i]]
+                cos = scores[i, rows]
+                sel = rows[np.lexsort((ids[rows], -cos))[:k]]
+                h_mi.append(np.full(len(sel), i, dtype=np.int64))
+                h_ent.append(sel)
+            midx_h = np.concatenate(h_mi)
+            ent_h = np.concatenate(h_ent)
+        else:
+            midx_h = np.empty(0, dtype=np.int64)
+            ent_h = np.empty(0, dtype=np.int64)
 
-        return batch.append_column("cands", pa.array(cands_col, pa.list_(CAND_STRUCT)))
+        # ---- assemble: exact (incl. hot) before ann, stable within groups
+        midx = np.concatenate([midx_e, midx_h, midx_a])
+        ent = np.concatenate([ent_e, ent_h, ent_a])
+        flag = np.concatenate([
+            np.zeros(len(midx_e) + len(midx_h), dtype=np.int8),
+            np.ones(len(midx_a), dtype=np.int8),
+        ])
+        order = np.lexsort((flag, midx))
+        midx_f, ent_f, flag_f = midx[order], ent[order], flag[order]
+
+        counts = np.bincount(midx, minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+
+        cos_f = scores[midx_f, ent_f].astype(np.float32)
+        retrieval_f = np.where(flag_f == 0, np.float32(1.0), cos_f)
+
+        # strsim over DISTINCT (surface, entity) pairs only, then gather
+        pair_codes = inv[midx_f] * m + ent_f
+        up_codes, uinv_p = np.unique(pair_codes, return_inverse=True)
+        sv = np.empty(len(up_codes), dtype=np.float32)
+        for t in range(len(up_codes)):
+            j, r = divmod(int(up_codes[t]), m)
+            sv[t] = self._strsim(uniq[j], ids[r])
+        strsim_f = sv[uinv_p]
+
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(ids[ent_f], pa.string()),
+                pc.if_else(pa.array(flag_f == 0), pa.scalar("exact"), pa.scalar("ann")),
+                pa.array(retrieval_f),
+                pa.array(strsim_f),
+                pa.array(cos_f),
+            ],
+            names=["entity_id", "source", "retrieval_score", "strsim", "cosine"],
+        )
+        cands = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+        return batch.append_column("cands", cands)
 
 
 def generate_candidates(mentions: "ray.data.Dataset", kb_blob_ref,

@@ -71,12 +71,22 @@ def _checksum(labels: ray.data.Dataset) -> tuple[int, int]:
     return (res["sum(h1)"], res["sum(h2)"])
 
 
+SMALL_GRAPH_EDGES = 2_000_000
+
+
 def connected_components(edges: ray.data.Dataset, max_iters: int = 20,
-                         num_partitions: int = 16) -> ray.data.Dataset:
+                         num_partitions: int = 16,
+                         small_graph_edges: int = SMALL_GRAPH_EDGES) -> ray.data.Dataset:
     """edges(src:int64, dst:int64) → labels(node:int64, label:int64).
 
     Includes every endpoint node; isolated nodes are the caller's concern
     (they are their own cluster by definition).
+
+    Size-based plan choice (ray_guide.md: "union-find on the driver only if
+    the candidate set is provably small"): below ``small_graph_edges`` the
+    edge list streams to a driver union-find (identical min-label
+    semantics, no shuffle rounds); above it, the distributed hash-min +
+    pointer-jumping loop runs. Both produce label == component-min-node.
     """
     edges = edges.select_columns(["src", "dst"])
 
@@ -92,11 +102,48 @@ def connected_components(edges: ray.data.Dataset, max_iters: int = 20,
             }
         )
 
-    doubled = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
-    if doubled.count() == 0:
+    edges = edges.materialize()
+    n_raw = edges.count()
+    if n_raw == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
         )
+    if n_raw <= small_graph_edges:
+        srcs, dsts = [], []
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            srcs.append(b["src"].to_numpy(zero_copy_only=False))
+            dsts.append(b["dst"].to_numpy(zero_copy_only=False))
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        su, du = inv[: len(src)], inv[len(src):]
+        label = np.arange(len(nodes), dtype=np.int64)
+        # vectorized hash-min + pointer jumping on compact ids (same
+        # min-label semantics as the distributed path, all numpy)
+        while True:
+            before = label
+            cand = np.minimum(label[su], label[du])
+            label = label.copy()
+            np.minimum.at(label, su, cand)
+            np.minimum.at(label, du, cand)
+            for _ in range(3):  # shortcut: label ← label[label]
+                nl = label[label]
+                if (nl == label).all():
+                    break
+                label = nl
+            if (label == before).all():
+                break
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.int64()),
+                      "label": pa.array(nodes[label], pa.int64())})
+        )
+
+    doubled = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    n_edges = doubled.count()
+    # Adapt join parallelism to data size: each hash-join partition costs an
+    # aggregator actor spin-up (~100s of ms), which dominates on small
+    # graphs. ~1M edge-endpoints per partition, capped by the caller.
+    num_partitions = max(2, min(num_partitions, n_edges // 1_000_000 + 2))
 
     # round 0: label(n) = min(n, min direct neighbor)
     msgs0 = doubled.map_batches(

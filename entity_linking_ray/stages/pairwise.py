@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -29,87 +30,125 @@ THRESHOLD = 0.62
 
 def score_and_link(batch: pa.Table, w_str: float = W_STR, w_cos: float = W_COS,
                    threshold: float = THRESHOLD) -> pa.Table:
-    """candidates (nested) → adds best_entity_id, best_score; rescores the
-    nested list in place (score field added per candidate)."""
-    cands = batch["cands"].to_pylist()
-    best_ids: list[str] = []
-    best_scores: list[float] = []
-    scored_lists = []
-    for entries in cands:
-        best_eid, best_s = "NIL", -1.0
-        out_entries = []
-        for c in entries:
-            # float32 BEFORE ranking so the stored score and the tie-break
-            # agree (float64-distinct but float32-equal scores must order
-            # by entity_id)
-            s = float(np.float32(w_str * c["strsim"] + w_cos * min(max(c["cosine"], 0.0), 1.0)))
-            c = dict(c)
-            c["score"] = s
-            out_entries.append(c)
-            if s > best_s or (s == best_s and (best_eid == "NIL" or c["entity_id"] < best_eid)):
-                best_s = s
-                best_eid = c["entity_id"]
-        out_entries.sort(key=lambda c: (-c["score"], c["entity_id"]))
-        for r, c in enumerate(out_entries):
-            c["rank"] = r
-        scored_lists.append(out_entries)
-        if best_s < threshold:
-            best_eid = "NIL"
-        best_ids.append(best_eid)
-        best_scores.append(best_s)
+    """candidates (nested) → adds entity_id (best link or NIL), best_score;
+    rescores + ranks the nested list in place.
 
-    scored_struct = pa.struct(
+    Fully vectorized over the Arrow list<struct> CHILD arrays — no
+    per-candidate Python objects (the dict-per-candidate version saturated
+    the allocator under task concurrency and anti-scaled). Tie-break is
+    (score desc, entity_id asc) with score in float32 so stored values and
+    ordering agree.
+    """
+    lst = batch["cands"].combine_chunks()
+    n = batch.num_rows
+    raw_offsets = lst.offsets.to_numpy().astype(np.int64)
+    offsets = raw_offsets - raw_offsets[0]  # normalize sliced arrays
+    counts = np.diff(offsets)
+    vals = lst.flatten()  # struct children, flattened across all mentions
+    m = len(vals)
+
+    strsim = vals.field("strsim").to_numpy(zero_copy_only=False)
+    cosine = vals.field("cosine").to_numpy(zero_copy_only=False)
+    score = (w_str * strsim + w_cos * np.clip(cosine, 0.0, 1.0)).astype(np.float32)
+
+    # lexicographic entity rank WITHOUT materializing python strings:
+    # dictionary-encode, sort the (small) dictionary, map codes → ranks
+    eids = vals.field("entity_id")
+    dct = pc.dictionary_encode(eids)
+    codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = np.asarray(dct.dictionary.to_pylist(), dtype=object)
+    rank_of_code = np.empty(len(dictionary), dtype=np.int64)
+    rank_of_code[np.argsort(dictionary)] = np.arange(len(dictionary))
+    eid_rank = rank_of_code[codes]
+
+    seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((eid_rank, -score.astype(np.float64), seg))
+    ranks = (np.arange(m, dtype=np.int64) - np.repeat(offsets[:-1], counts)).astype(np.int32)
+
+    perm = pa.array(order, pa.int64())
+    sorted_struct = pa.StructArray.from_arrays(
         [
-            pa.field("entity_id", pa.string()),
-            pa.field("source", pa.string()),
-            pa.field("retrieval_score", pa.float32()),
-            pa.field("strsim", pa.float32()),
-            pa.field("cosine", pa.float32()),
-            pa.field("score", pa.float32()),
-            pa.field("rank", pa.int32()),
-        ]
+            eids.take(perm),
+            vals.field("source").take(perm),
+            vals.field("retrieval_score").take(perm),
+            vals.field("strsim").take(perm),
+            vals.field("cosine").take(perm),
+            pa.array(score[order], pa.float32()),
+            pa.array(ranks, pa.int32()),
+        ],
+        names=["entity_id", "source", "retrieval_score", "strsim", "cosine", "score", "rank"],
     )
+    scored_list = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), sorted_struct)
+
+    # best per mention = first element of each non-empty sorted segment
+    has_cands = counts > 0
+    starts = offsets[:-1]
+    best_idx = np.where(has_cands, starts, 0)
+    best_score = np.where(has_cands, score[order][best_idx], -1.0).astype(np.float32)
+    best_eids = eids.take(perm).take(pa.array(best_idx, pa.int64()))
+    accept = pa.array(has_cands & (best_score >= threshold))
+    entity_id = pc.if_else(accept, best_eids, pa.scalar("NIL"))
+
     out = batch.drop_columns(["cands"])
-    out = out.append_column("cands", pa.array(scored_lists, pa.list_(scored_struct)))
-    out = out.append_column("entity_id", pa.array(best_ids, pa.string()))
-    out = out.append_column("best_score", pa.array(np.array(best_scores, np.float32)))
+    out = out.append_column("cands", scored_list)
+    out = out.append_column("entity_id", pc.cast(entity_id, pa.string()))
+    out = out.append_column("best_score", pa.array(best_score))
     return out
 
 
+def mention_node_hashes(batch: pa.Table) -> np.ndarray:
+    """63-bit node id per mention, vectorized: string hashing only over the
+    DISTINCT doc_ids in the batch; span_idx/offset mixed in numerically."""
+    from ..functions.hashing import hash_strings, splitmix64
+
+    doc = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+    uniq, inv = np.unique(doc, return_inverse=True)
+    dh = hash_strings(list(uniq)).astype(np.uint64)[inv]
+    si = batch["span_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    off = batch["offset"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mix = splitmix64(si * np.uint64(0x9E3779B97F4A7C15)
+                         + off * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(1))
+    node = splitmix64(dh ^ mix) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    return node.astype(np.int64)
+
+
 def link_mentions(scored: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Projection to the LINKS logical table."""
-    return scored.select_columns(
-        ["doc_id", "span_idx", "offset", "entity_id", "best_score"]
-    ).rename_columns(["doc_id", "span_idx", "offset", "entity_id", "score"])
+    """Projection to the LINKS logical table + the mention node hash
+    (computed ONCE here; edge build and cluster attach both reuse it)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"], "span_idx": batch["span_idx"],
+            "offset": batch["offset"], "entity_id": batch["entity_id"],
+            "score": batch["best_score"],
+            "node": pa.array(mention_node_hashes(batch), pa.int64()),
+        })
+
+    return scored.map_batches(project, batch_format="pyarrow")
 
 
 def explode_scored_pairs(scored: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Nested candidates → flat SCORED_PAIRS rows (reporting/eval table)."""
+    """Nested candidates → flat SCORED_PAIRS rows (reporting/eval table).
+    Vectorized: parent keys repeated by list length via Arrow take."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "span_idx": [], "offset": [], "entity_id": [],
-               "score": [], "rank": [], "source": []}
-        for doc_id, si, off, entries in zip(
-            batch["doc_id"].to_pylist(), batch["span_idx"].to_pylist(),
-            batch["offset"].to_pylist(), batch["cands"].to_pylist(),
-        ):
-            for c in entries:
-                out["doc_id"].append(doc_id)
-                out["span_idx"].append(si)
-                out["offset"].append(off)
-                out["entity_id"].append(c["entity_id"])
-                out["score"].append(c["score"])
-                out["rank"].append(c["rank"])
-                out["source"].append(c["source"])
+        lst = batch["cands"].combine_chunks()
+        raw_offsets = lst.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(raw_offsets - raw_offsets[0])
+        vals = lst.flatten()
+        parent = pa.array(
+            np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts), pa.int64()
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "span_idx": pa.array(out["span_idx"], pa.int32()),
-                "offset": pa.array(out["offset"], pa.int32()),
-                "entity_id": pa.array(out["entity_id"], pa.string()),
-                "score": pa.array(out["score"], pa.float32()),
-                "rank": pa.array(out["rank"], pa.int32()),
-                "source": pa.array(out["source"], pa.string()),
+                "doc_id": batch["doc_id"].take(parent),
+                "span_idx": batch["span_idx"].take(parent),
+                "offset": batch["offset"].take(parent),
+                "entity_id": vals.field("entity_id"),
+                "score": vals.field("score"),
+                "rank": vals.field("rank"),
+                "source": vals.field("source"),
             }
         )
 

@@ -35,8 +35,12 @@ _VOCAB = [
 _MEDIA_KINDS = ["image", "audio", "table"]
 
 
-def interleave_batch(batch: pa.Table) -> pa.Table:
-    """documents batch → interleaved DOCUMENTS schema batch."""
+def interleave_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
+    """documents batch → interleaved DOCUMENTS schema batch.
+
+    ``replicate`` emits R deterministic copies per source doc with distinct
+    doc_ids — used by the benchmark to scale the workload so compute (not
+    per-op fixed cost) dominates, without synthesizing new data."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     out_ids, out_spans = [], []
@@ -56,17 +60,30 @@ def interleave_batch(batch: pa.Table) -> pa.Table:
                 spans.append({"kind": kind, "text": "",
                               "media_ref": f"media://{did}/{nchunk}", "offset": offset})
                 offset += 1
-        out_ids.append(f"doc-{did:08d}")
-        out_spans.append(spans)
+        for r in range(replicate):
+            out_ids.append(f"doc-{did:08d}" if r == 0 else f"doc-{did:08d}-r{r}")
+            out_spans.append(spans)
     return pa.table(
         {"doc_id": pa.array(out_ids, pa.string()),
          "spans": pa.array(out_spans, pa.list_(schemas.SPAN_STRUCT))}
     )
 
 
-def derive_documents(sf_dir: str) -> ray.data.Dataset:
+def derive_documents(sf_dir: str, replicate: int = 1,
+                     num_blocks: int | None = None) -> ray.data.Dataset:
+    """``num_blocks``: the testdata parquet is a single file (often a single
+    row group → ONE Ray block), which caps every downstream map stage at one
+    task. Repartitioning restores task parallelism; real deployments read
+    many files and don't need this."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(interleave_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: interleave_batch(b, replicate=replicate), batch_format="pyarrow"
+    )
+    if num_blocks:
+        # repartition AFTER replication so downstream task width reflects
+        # the real (replicated) row count, not the source row count
+        ds = ds.repartition(num_blocks)
+    return ds
 
 
 def derive_entities() -> pa.Table:

@@ -11,13 +11,14 @@ import ray.data
 from entity_linking_ray.stages.clustering import connected_components, union_find_reference
 
 
-def _run_cc(pairs):
+def _run_cc(pairs, small_graph_edges=0):
+    # small_graph_edges=0 forces the DISTRIBUTED label-propagation path
     t = pa.table(
         {"src": pa.array([a for a, _ in pairs], pa.int64()),
          "dst": pa.array([b for _, b in pairs], pa.int64())}
     )
     ds = ray.data.from_arrow(t)
-    out = connected_components(ds, num_partitions=4)
+    out = connected_components(ds, num_partitions=4, small_graph_edges=small_graph_edges)
     return {r["node"]: r["label"] for r in out.take_all()}
 
 
@@ -46,6 +47,15 @@ def test_random_graph_matches_union_find():
     pairs = [tuple(map(int, rng.integers(0, 200, 2))) for _ in range(300)]
     pairs = [(a, b) for a, b in pairs if a != b]
     _partition_equal(_run_cc(pairs), union_find_reference(pairs))
+
+
+def test_small_graph_path_matches_distributed():
+    rng = np.random.default_rng(11)
+    pairs = [tuple(map(int, rng.integers(0, 150, 2))) for _ in range(200)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    dist = _run_cc(pairs, small_graph_edges=0)
+    small = _run_cc(pairs, small_graph_edges=10**9)
+    assert dist == small  # identical labels, not just same partition
 
 
 def test_empty_edges():
