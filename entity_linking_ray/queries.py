@@ -430,3 +430,228 @@ def _q_embed_dups(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_dup_pairs(ds, cosine_threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage: multi-hop joins, distinct, min/max,
+# filtered counts, top-k over events (SURVEY.md §2.4-2.6 parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_region",
+    """
+    SELECT r.r_name AS region, round(sum(o.o_totalprice), 3) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def _q_revenue_by_region(sf_dir: str):
+    """Multi-hop dimension join: the nation→region chain is tiny, so it
+    broadcasts as a dict (map-side join); only orders ⋈ customer shuffles —
+    and customer is pre-collapsed to custkey→region driver-side because
+    customer is a dimension table too. One groupby total."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat_to_reg = dict(zip(nation.n_nationkey, nation.n_regionkey))
+    reg_name = dict(zip(region.r_regionkey, region.r_name))
+    cust_to_region = {
+        ck: reg_name[nat_to_reg[nk]] for ck, nk in zip(cust.c_custkey, cust.c_nationkey)
+    }
+    lut_ref = ray.put(cust_to_region)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        reg = [lut[k] for k in b["o_custkey"].to_pylist()]
+        return pa.table({"region": pa.array(reg, pa.string()),
+                         "o_totalprice": b["o_totalprice"]})
+
+    agg = (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("region")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({"region": b["region"],
+                            "revenue": pc.round(b["revenue"], 3),
+                            "n_orders": b["n_orders"]}),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "distinct_mktsegments",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+)
+def _q_distinct_segments(sf_dir: str):
+    import pyarrow as pa
+
+    vals = _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+
+
+@register(
+    "urgent_orders_by_status",
+    """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def _q_urgent_orders(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return (
+        ds.map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow")
+        .groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+        .select_columns(["o_orderstatus", "n"])
+    )
+
+
+@register(
+    "supplier_balance_by_nation",
+    """
+    SELECT s_nationkey, round(min(s_acctbal), 3) AS min_bal,
+           round(max(s_acctbal), 3) AS max_bal, count(*) AS n
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def _q_supplier_balance(sf_dir: str):
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .groupby("s_nationkey")
+        .aggregate(Min("s_acctbal", alias_name="min_bal"),
+                   Max("s_acctbal", alias_name="max_bal"),
+                   Count(alias_name="n"))
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["min_bal"] = df["min_bal"].round(3)
+        df["max_bal"] = df["max_bal"].round(3)
+        return df
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+@register(
+    "top_users_by_event_value",
+    """
+    SELECT user_id, round(sum(value), 6) AS total_value, count(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id LIMIT 5
+    """,
+)
+def _q_top_users(sf_dir: str):
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_value"] = df["total_value"].round(6)
+        return df
+
+    return (
+        agg.map_batches(fin, batch_format="pandas")
+        .sort(["total_value", "user_id"], descending=[True, False])
+        .limit(5)
+    )
+
+
+@register(
+    "part_type_stats",
+    """
+    SELECT p_type, count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+    FROM part GROUP BY p_type
+    """,
+)
+def _q_part_type(sf_dir: str):
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Mean
+
+    agg = (
+        _read(sf_dir, "part", ["p_type", "p_retailprice"])
+        .groupby("p_type")
+        .aggregate(Count(alias_name="n"), Mean("p_retailprice", alias_name="avg_price"))
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_price"] = df["avg_price"].round(6)
+        return df
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+@register("entity_descriptions")
+def _q_entity_descriptions(sf_dir: str):
+    """Description synthesis M7 over the derived KB (rows-only: the KB is
+    engine-derived, not a registered view)."""
+    import ray.data
+
+    from .stages.alias_index import add_description
+    from .testdata import derive_entities
+
+    return ray.data.from_arrow(derive_entities()).map_batches(
+        add_description, batch_format="pyarrow"
+    ).select_columns(["entity_id", "subject", "description"])
+
+
+@register("doc_fingerprints")
+def _q_doc_fingerprints(sf_dir: str):
+    """Winnowing-style rolling-hash document fingerprints (rows-only)."""
+    import pyarrow as pa
+
+    from .functions.textstats import rolling_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        vals = [rolling_fingerprint(t) & 0x7FFFFFFFFFFFFFFF for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "fingerprint": pa.array(vals, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+@register("knn_ivf_top5")
+def _q_knn_ivf(sf_dir: str):
+    """IVF bucket-pruned ANN variant (rows-only: approximate by design;
+    exactness is covered by knn_top5's oracle)."""
+    import numpy as np
+
+    from .stages.knn import ivf_knn
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = ds.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    out = ivf_knn(ds, Q, head["vec_id"].tolist(), k=5, n_centroids=16, nprobe=4)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])

@@ -115,31 +115,43 @@ def minhash_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id
     from .clustering import connected_components
 
     band_rows = minhash_band_rows(ds, col, id_col, num_perm, num_bands, shingle_k)
-    pairs = lsh_candidate_pairs(band_rows, id_col, jaccard_threshold)
+    pairs = lsh_candidate_pairs(band_rows, id_col, jaccard_threshold).materialize()
 
-    def to_edges(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "src": pa.array(hash_strings([str(x) for x in batch["id_a"].to_pylist()]), pa.int64()),
-            "dst": pa.array(hash_strings([str(x) for x in batch["id_b"].to_pylist()]), pa.int64()),
-        })
+    # node-hash ↔ id map for the ids that appear in any dup pair (bounded by
+    # |pairs|, small relative to the corpus; scale path: keyed join instead)
+    hash_to_id: dict[int, object] = {}
+    edge_list: list[tuple[int, int]] = []
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        a_ids = b["id_a"].to_pylist()
+        b_ids = b["id_b"].to_pylist()
+        ha = hash_strings([str(x) for x in a_ids])
+        hb = hash_strings([str(x) for x in b_ids])
+        for x, h in zip(a_ids, ha):
+            hash_to_id[int(h)] = x
+        for x, h in zip(b_ids, hb):
+            hash_to_id[int(h)] = x
+        edge_list.extend(zip((int(x) for x in ha), (int(x) for x in hb)))
 
-    # id ↔ node-hash mapping rides along driver-side-free: recompute per batch
-    labels = connected_components(pairs.map_batches(to_edges, batch_format="pyarrow"))
+    edges_tbl = pa.table({
+        "src": pa.array([a for a, _ in edge_list], pa.int64()),
+        "dst": pa.array([b for _, b in edge_list], pa.int64()),
+    })
+    labels = connected_components(ray.data.from_arrow(edges_tbl))
 
-    # drop every node that is NOT its component's min — i.e. a duplicate.
-    # The dup set is |pairs|-bounded; collect the loser hash set and
-    # broadcast it (scale path: anti-join on node hash instead).
-    losers: set[int] = set()
+    # winner of each dup component = min ORIGINAL id (not min hash)
+    comps: dict[int, list] = {}
     for b in labels.iter_batches(batch_format="pyarrow"):
         for n, l in zip(b["node"].to_pylist(), b["label"].to_pylist()):
-            if n != l:
-                losers.add(n)
+            comps.setdefault(l, []).append(hash_to_id[n])
+    losers: set = set()
+    for members in comps.values():
+        members.sort()
+        losers.update(members[1:])
     losers_ref = ray.put(losers)
 
     def drop_losers(batch: pa.Table) -> pa.Table:
         lose = ray.get(losers_ref)
-        h = hash_strings([str(x) for x in batch[id_col].to_pylist()])
-        mask = pa.array([int(x) not in lose for x in h])
+        mask = pa.array([x not in lose for x in batch[id_col].to_pylist()])
         return batch.filter(mask)
 
     return ds.map_batches(drop_losers, batch_format="pyarrow")

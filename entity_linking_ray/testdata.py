@@ -76,14 +76,20 @@ def derive_documents(sf_dir: str, replicate: int = 1,
     task. Repartitioning restores task parallelism; real deployments read
     many files and don't need this."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(
+    if num_blocks:
+        # split the SLIM source first (cheap row move) so the interleave map
+        # parallelizes; batch_size=None → one task per block, so Ray doesn't
+        # re-coalesce the small source blocks into a few giant tasks. The
+        # interleave output inherits the block count → downstream stages run
+        # at full width too.
+        ds = ds.repartition(num_blocks)
+        return ds.map_batches(
+            lambda b: interleave_batch(b, replicate=replicate),
+            batch_format="pyarrow", batch_size=None,
+        )
+    return ds.map_batches(
         lambda b: interleave_batch(b, replicate=replicate), batch_format="pyarrow"
     )
-    if num_blocks:
-        # repartition AFTER replication so downstream task width reflects
-        # the real (replicated) row count, not the source row count
-        ds = ds.repartition(num_blocks)
-    return ds
 
 
 def derive_entities() -> pa.Table:

@@ -1,0 +1,74 @@
+"""Dedup suite: exact, MinHash-LSH, SimHash, embedding near-dup — on small
+synthetic inputs with planted duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from entity_linking_ray.stages.dedup import (
+    embedding_dup_pairs, exact_dedup, lsh_candidate_pairs, minhash_band_rows,
+    minhash_dedup, simhash_dup_pairs, simhash_fingerprints,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog while the rain falls on the plain"
+
+
+def _docs():
+    rows = [
+        {"doc_id": "d0", "text": BASE},
+        {"doc_id": "d1", "text": BASE},  # exact dup of d0
+        {"doc_id": "d2", "text": BASE.replace("jumps", "jumped")},  # near-dup
+        {"doc_id": "d3", "text": "completely different content about databases and queries"},
+        {"doc_id": "d4", "text": BASE.replace("rain", "snow")},  # near-dup chain
+        {"doc_id": "d5", "text": ""},
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_exact_dedup_keeps_min_id():
+    out = exact_dedup(_docs()).to_pandas().sort_values("doc_id")
+    assert "d1" not in set(out["doc_id"])  # dup of d0 dropped
+    assert {"d0", "d2", "d3", "d4", "d5"} == set(out["doc_id"])
+
+
+def test_lsh_pairs_find_near_dups_not_distinct():
+    pairs = lsh_candidate_pairs(minhash_band_rows(_docs()), jaccard_threshold=0.5).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert ("d0", "d1") in got
+    assert ("d0", "d2") in got
+    assert not any("d3" in p for p in got)
+
+
+def test_minhash_dedup_removes_cluster_losers():
+    out = minhash_dedup(_docs(), jaccard_threshold=0.5).to_pandas()
+    ids = set(out["doc_id"])
+    assert "d0" in ids and "d3" in ids and "d5" in ids
+    # d1/d2/d4 all cluster with d0 (transitively) and are dropped
+    assert ids.isdisjoint({"d1", "d2", "d4"})
+
+
+def test_simhash_pairs():
+    fps = simhash_fingerprints(_docs()).to_pandas()
+    assert len(fps) == 6 and fps["simhash"].dtype == np.int64
+    pairs = simhash_dup_pairs(_docs(), max_hamming=6).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert ("d0", "d1") in got
+    assert not any("d3" in p and ("d0" in p or "d1" in p) for p in got)
+
+
+def test_embedding_dup_pairs_finds_planted():
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=8)
+        rows.append({"vec_id": i, "embedding": list(map(float, v))})
+    rows.append({"vec_id": 100, "embedding": list(map(float, base))})
+    rows.append({"vec_id": 101, "embedding": list(map(float, base + rng.normal(size=8) * 0.01))})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = embedding_dup_pairs(ds, cosine_threshold=0.98).to_pandas()
+    got = {tuple(sorted(map(int, p))) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (100, 101) in got

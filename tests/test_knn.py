@@ -1,0 +1,54 @@
+"""Similarity search: brute-force top-k correctness vs a numpy oracle,
+IVF recall, determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from entity_linking_ray.stages.knn import brute_force_knn, ivf_knn
+
+
+@pytest.fixture(scope="module")
+def vec_ds():
+    rng = np.random.default_rng(9)
+    V = rng.normal(size=(300, 16))
+    rows = [{"vec_id": i, "embedding": list(map(float, V[i]))} for i in range(300)]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)), V
+
+
+def _oracle_topk(V, qids, k):
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn[qids] @ Vn.T
+    out = {}
+    for qi, q in enumerate(qids):
+        scores = C[qi].copy()
+        order = np.lexsort((np.arange(len(V)), -scores))
+        order = [j for j in order if j != q][:k]
+        out[q] = order
+    return out
+
+
+def test_brute_force_matches_oracle(vec_ds):
+    ds, V = vec_ds
+    qids = [0, 5, 17]
+    res = brute_force_knn(ds, V[qids], qids, k=5).to_pandas()
+    oracle = _oracle_topk(V, qids, 5)
+    for q in qids:
+        got = res[res["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == oracle[q], (q, got, oracle[q])
+
+
+def test_ivf_recall_reasonable(vec_ds):
+    ds, V = vec_ds
+    qids = list(range(10))
+    exact = _oracle_topk(V, qids, 5)
+    approx = ivf_knn(ds, V[qids], qids, k=5, n_centroids=8, nprobe=4).to_pandas()
+    hits = total = 0
+    for q in qids:
+        got = set(approx[approx["query_id"] == q]["neighbor_id"].tolist())
+        hits += len(got & set(exact[q]))
+        total += 5
+    assert hits / total >= 0.6  # nprobe=4 of 8 buckets → recall well above half
