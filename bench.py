@@ -56,7 +56,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.time()
     out = run_pipeline(
         derive_documents(sf_dir, replicate=REPLICATE, num_blocks=nb), derive_entities(),
-        concurrency=max(2, num_cpus // 2), hot_cap=50_000,
+        concurrency=num_cpus, hot_cap=50_000,
         num_partitions=max(8, num_cpus),
     )
     n_clusters_rows = out["clusters"].count()

@@ -71,8 +71,9 @@ def build_edges(links: ray.data.Dataset, hot_cap: int = 1000) -> ray.data.Datase
     def to_edges(batch: pa.Table) -> pa.Table:
         hot_map = ray.get(hot_ref)
         src = batch["node"].to_numpy(zero_copy_only=False)
-        eids = np.asarray(batch["entity_id"].to_pylist(), dtype=object)
-        uniq, inv = np.unique(eids, return_inverse=True)
+        dct = pc.dictionary_encode(batch["entity_id"].combine_chunks())
+        inv = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = dct.dictionary.to_pylist()
         anchor_u = hash_strings([f"e|{e}" for e in uniq])
         dst = anchor_u[inv]
         if hot_map:
@@ -231,9 +232,14 @@ def annotate_documents(docs: ray.data.Dataset, links: ray.data.Dataset,
 def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
                  k: int = 10, ann_k: int = 5, threshold: float | None = None,
                  concurrency: int | tuple = 4, hot_cap: int = 1000,
-                 num_partitions: int = 16) -> dict[str, ray.data.Dataset]:
+                 num_partitions: int = 16,
+                 use_general_cc: bool = False) -> dict[str, ray.data.Dataset]:
     """Returns the logical tables {mentions, scored, scored_pairs, links,
-    clusters, annotated_documents} as (mostly lazy) Datasets."""
+    clusters, annotated_documents} as (mostly lazy) Datasets.
+
+    ``use_general_cc=True`` forces the general edge-list → label-propagation
+    clustering; the default uses the degree-1 leaf-folding specialization
+    (identical labels for pure link graphs — see cluster_links)."""
     from ..stages.pairwise import THRESHOLD
 
     threshold = THRESHOLD if threshold is None else threshold
@@ -251,9 +257,12 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
     n_mentions = scored.count()
     num_partitions = max(2, min(num_partitions, n_mentions // 500_000 + 2))
     links = link_mentions(scored)
-    edges = build_edges(links, hot_cap=hot_cap)
-    labels = connected_components(edges, num_partitions=num_partitions)
-    clusters = attach_clusters(links, labels, num_partitions=num_partitions)
+    if use_general_cc:
+        edges = build_edges(links, hot_cap=hot_cap)
+        labels = connected_components(edges, num_partitions=num_partitions)
+        clusters = attach_clusters(links, labels, num_partitions=num_partitions)
+    else:
+        clusters = cluster_links(links, hot_cap=hot_cap, num_partitions=num_partitions)
     return {
         "mentions": scored.drop_columns(["cands", "entity_id", "best_score"]),
         "scored": scored,
@@ -262,3 +271,128 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
         "clusters": clusters,
         "annotated_documents": annotate_documents(docs, links, num_partitions=num_partitions),
     }
+
+
+def run_pipeline_resumable(docs: ray.data.Dataset, entities_tbl: pa.Table, run_dir: str, *,
+                           k: int = 10, ann_k: int = 5, threshold: float | None = None,
+                           concurrency: int | tuple = (1, 4), hot_cap: int = 1000,
+                           num_partitions: int = 16,
+                           checkpoint_partitions: int = 16) -> dict[str, ray.data.Dataset]:
+    """Flagship with per-partition checkpoints: the two expensive stages
+    (mentions, scored) are materialized to ``run_dir/<stage>/part-<pid>``
+    with lineage JSON; a rerun with the same inputs skips completed
+    partitions entirely and recomputes only missing ones (north_rule
+    resumability: no upstream recompute for finished partitions)."""
+    from ..stages.candidates import generate_candidates, make_kb_blob
+    from ..stages.mentions import extract_mentions
+    from ..stages.pairwise import THRESHOLD, explode_scored_pairs, link_mentions, score_and_link
+    from ..state.checkpoint import checkpoint_partitioned, stage_digest
+
+    import os
+
+    threshold = THRESHOLD if threshold is None else threshold
+    aliases = [a for al in entities_tbl["aliases"].to_pylist() for a in (al or [])]
+    aliases += entities_tbl["subject"].to_pylist()
+    digest = stage_digest(
+        f"k={k}|ann_k={ann_k}|thr={threshold}|ents={entities_tbl.num_rows}"
+    )
+
+    mentions = extract_mentions(docs, aliases, concurrency=concurrency)
+    mentions_ck = checkpoint_partitioned(
+        mentions, os.path.join(run_dir, "mentions"), "doc_id", digest,
+        num_partitions=checkpoint_partitions)
+
+    kb_ref = ray.put(make_kb_blob(entities_tbl))
+    cands = generate_candidates(mentions_ck, kb_ref, k=k, ann_k=ann_k, concurrency=concurrency)
+    scored_lazy = cands.map_batches(
+        lambda b: score_and_link(b, threshold=threshold), batch_format="pyarrow")
+    scored = checkpoint_partitioned(
+        scored_lazy, os.path.join(run_dir, "scored"), "doc_id", digest,
+        num_partitions=checkpoint_partitions)
+
+    n_mentions = scored.count()
+    num_partitions = max(2, min(num_partitions, n_mentions // 500_000 + 2))
+    links = link_mentions(scored)
+    clusters = cluster_links(links, hot_cap=hot_cap, num_partitions=num_partitions)
+    return {
+        "mentions": mentions_ck,
+        "scored": scored,
+        "scored_pairs": explode_scored_pairs(scored),
+        "links": links,
+        "clusters": clusters,
+        "annotated_documents": annotate_documents(docs, links, num_partitions=num_partitions),
+    }
+
+
+def cluster_links(links: ray.data.Dataset, hot_cap: int = 1000,
+                  num_partitions: int = 16) -> ray.data.Dataset:
+    """clusters for pure mention→entity link graphs via degree-1 vertex
+    elimination — the scalable specialization of build_edges →
+    connected_components → attach_clusters.
+
+    Every linked mention has exactly ONE edge (its per-mention argmax
+    link), so mention nodes are degree-1 leaves: fold them into per-entity
+    (min mention node, count) aggregates — one combiner pass + driver
+    merge over KB-cardinality partials — and run component labeling only
+    on the RESIDUAL anchor graph (entities + their salted sub-anchors),
+    which is KB-sized, not corpus-sized. Mention labels come from a
+    broadcast anchor→label map in one scalable map pass.
+
+    Produces IDENTICAL labels to the general path (component min node id,
+    including anchor/salted-anchor hashes in the min) — property-tested.
+    Use the general connected_components path when mention↔mention edges
+    exist (near-dup channel): those mentions are not degree-1.
+
+    At 10^12-doc scale this is standard leaf-folding: the residual graph
+    is KB-sized (millions of entities), so the iterative shuffle CC runs
+    over millions, not trillions, of nodes.
+    """
+    linked = links.filter(expr="entity_id != 'NIL'")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("entity_id")
+            .aggregate([("node", "min"), ("node", "count")])
+            .rename_columns(["entity_id", "m_min", "n"])
+        )
+
+    partials = linked.select_columns(["entity_id", "node"]).map_batches(
+        combine, batch_format="pyarrow")
+    m_min: dict[str, int] = {}
+    counts: dict[str, int] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for e, v, c in zip(b["entity_id"].to_pylist(), b["m_min"].to_pylist(),
+                           b["n"].to_pylist()):
+            if e not in m_min or v < m_min[e]:
+                m_min[e] = v
+            counts[e] = counts.get(e, 0) + c
+
+    # residual component label per entity = min over {m_min, anchor hash,
+    # salted anchor hashes (hot entities)} — matches the general path's
+    # component-min semantics exactly
+    anchor_label: dict[str, int] = {}
+    for e, mm in m_min.items():
+        anchor = int(hash_strings([f"e|{e}"])[0])
+        lab = min(mm, anchor)
+        if counts[e] > hot_cap:
+            ns = int(np.ceil(counts[e] / hot_cap))
+            salted = _salted_anchor(np.full(ns, anchor, dtype=np.int64),
+                                    np.arange(ns, dtype=np.int64))
+            lab = min(lab, int(salted.min()))
+        anchor_label[e] = lab
+
+    lut_ref = ray.put(anchor_label)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        eids = batch["entity_id"].to_pylist()
+        nodes = batch["node"].to_numpy(zero_copy_only=False)
+        labs = np.array([lut.get(e, -1) for e in eids], dtype=np.int64)
+        lab = np.where(labs >= 0, labs, nodes)  # NIL → singleton
+        cid = pc.cast(pa.array(lab, pa.int64()), pa.string())
+        return pa.table({
+            "doc_id": batch["doc_id"], "span_idx": batch["span_idx"],
+            "offset": batch["offset"], "cluster_id": cid,
+        })
+
+    return links.map_batches(assign, batch_format="pyarrow")

@@ -1,0 +1,80 @@
+"""Training-data preparation operators (reference el_preprocess analogues).
+
+- :func:`train_test_split` — seeded shuffle + proportional split
+  (``el_preprocess.py:302-314`` 70/30 split, M16/T7).
+- :func:`sample_hard_negatives` — per-mention positive + up to
+  ``n_negatives`` same-alias hard negatives, gold and 'NIL' excluded
+  (``el_preprocess.py:90-122``, T6/D3). Same-alias negatives are exactly
+  the shared-blocking-key confusables that make the pairwise scorer
+  learnable.
+
+Both are deterministic given ``seed`` (resume/repro requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.hashing import hash_strings, splitmix64
+
+
+def train_test_split(ds: ray.data.Dataset, test_fraction: float = 0.3,
+                     seed: int = 42) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    shuffled = ds.random_shuffle(seed=seed)
+    train, test = shuffled.split_proportionately([1.0 - test_fraction])
+    return train, test
+
+
+def sample_hard_negatives(mentions_gold: ray.data.Dataset, alias_to_ids: dict,
+                          n_negatives: int = 2, seed: int = 42) -> ray.data.Dataset:
+    """mentions_gold(doc_id, span_idx, mention, entity_id, offset) →
+    pair rows (doc_id, span_idx, offset, mention, entity_id, label) with
+    one positive (label=1) and ≤n same-alias negatives (label=0) per
+    non-NIL mention. Alias dict is broadcast once."""
+    from ..functions.normalize import normalize_str
+
+    alias_ref = ray.put(alias_to_ids)
+
+    def build(batch: pa.Table) -> pa.Table:
+        a2i = ray.get(alias_ref)
+        out = {"doc_id": [], "span_idx": [], "offset": [], "mention": [],
+               "entity_id": [], "label": []}
+        rows_h = hash_strings(
+            [f"{d}|{o}" for d, o in zip(batch["doc_id"].to_pylist(),
+                                        batch["offset"].to_pylist())],
+            seed=seed,
+        )
+        for i, (d, si, off, m, gold) in enumerate(zip(
+            batch["doc_id"].to_pylist(), batch["span_idx"].to_pylist(),
+            batch["offset"].to_pylist(), batch["mention"].to_pylist(),
+            batch["entity_id"].to_pylist(),
+        )):
+            if gold == "NIL":
+                continue
+            out["doc_id"].append(d); out["span_idx"].append(si)
+            out["offset"].append(off); out["mention"].append(m)
+            out["entity_id"].append(gold); out["label"].append(1)
+            # same-alias negatives, gold + NIL excluded (D3), deterministic
+            # rotation from the row hash (T6's random.sample made seeded)
+            cands = [e for e in a2i.get(normalize_str(m), []) if e != gold]
+            if cands:
+                start = int(rows_h[i]) % len(cands)
+                for t in range(min(n_negatives, len(cands))):
+                    neg = cands[(start + t) % len(cands)]
+                    out["doc_id"].append(d); out["span_idx"].append(si)
+                    out["offset"].append(off); out["mention"].append(m)
+                    out["entity_id"].append(neg); out["label"].append(0)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "span_idx": pa.array(out["span_idx"], pa.int32()),
+            "offset": pa.array(out["offset"], pa.int32()),
+            "mention": pa.array(out["mention"], pa.string()),
+            "entity_id": pa.array(out["entity_id"], pa.string()),
+            "label": pa.array(out["label"], pa.int8()),
+        })
+
+    return mentions_gold.map_batches(build, batch_format="pyarrow")

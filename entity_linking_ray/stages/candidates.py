@@ -261,15 +261,34 @@ class CandidateGenerator:
         return batch.append_column("cands", cands)
 
 
+_TASK_GENERATORS: dict = {}
+
+
 def generate_candidates(mentions: "ray.data.Dataset", kb_blob_ref,
                         k: int = 10, ann_k: int = 5,
-                        concurrency: int | tuple = 4, batch_size: int = 1024) -> "ray.data.Dataset":
-    if isinstance(concurrency, int):
-        concurrency = (1, max(1, concurrency))
-    return mentions.map_batches(
-        CandidateGenerator,
-        fn_constructor_kwargs={"kb_blob": kb_blob_ref, "k": k, "ann_k": ann_k},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+                        concurrency: int | tuple = 4, batch_size: int = 1024,
+                        pool: str = "actor") -> "ray.data.Dataset":
+    if pool == "actor":
+        if isinstance(concurrency, int):
+            concurrency = (1, max(1, concurrency))
+        return mentions.map_batches(
+            CandidateGenerator,
+            fn_constructor_kwargs={"kb_blob": kb_blob_ref, "k": k, "ann_k": ann_k},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    # task pool with worker-process-level generator cache (see
+    # mentions.extract_mentions for rationale)
+    key = (kb_blob_ref.hex() if hasattr(kb_blob_ref, "hex") else str(kb_blob_ref), k, ann_k)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        g = _TASK_GENERATORS.get(key)
+        if g is None:
+            g = CandidateGenerator(kb_blob_ref, k=k, ann_k=ann_k)
+            _TASK_GENERATORS.clear()
+            _TASK_GENERATORS[key] = g
+        return g(batch)
+
+    return mentions.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)

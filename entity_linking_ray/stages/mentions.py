@@ -157,20 +157,44 @@ class MentionExtractor:
         )
 
 
+# worker-process-level matcher cache for the task-pool path: Ray reuses
+# worker processes across tasks, so the matcher compiles once per worker —
+# actor-pool amortization without actor-pool scheduling (ramp-up/starvation)
+_TASK_MATCHERS: dict = {}
+
+
 def extract_mentions(docs: "ray.data.Dataset", aliases: list[str],
                      concurrency: int | tuple = 4, batch_size: int = 256,
-                     stopwords=DEFAULT_STOPWORDS) -> "ray.data.Dataset":
-    """The pipeline stage: broadcast the alias list once, actor-pool
-    map_batches so the matcher compiles once per actor."""
-    if isinstance(concurrency, int):
-        # a fixed-size pool can reserve every CPU and starve the task
-        # operators (observed deadlock at num_cpus=4) — autoscale from 1
-        concurrency = (1, max(1, concurrency))
+                     stopwords=DEFAULT_STOPWORDS,
+                     pool: str = "actor") -> "ray.data.Dataset":
+    """The pipeline stage: broadcast the alias list once; matcher state is
+    built once per actor (default — amortized like the reference's
+    load-once service process) or once per worker process with
+    ``pool="task"`` (elastic tasks + worker-level cache; measured slower
+    here because task-pool fusion serializes the stage chain)."""
     alias_ref = ray.put(list(aliases))
-    return docs.map_batches(
-        MentionExtractor,
-        fn_constructor_kwargs={"aliases": alias_ref, "stopwords": stopwords},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+
+    if pool == "actor":
+        if isinstance(concurrency, int):
+            # a fixed-size pool can reserve every CPU and starve the task
+            # operators (observed deadlock at num_cpus=4) — autoscale from 1
+            concurrency = (1, max(1, concurrency))
+        return docs.map_batches(
+            MentionExtractor,
+            fn_constructor_kwargs={"aliases": alias_ref, "stopwords": stopwords},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    key = alias_ref.hex() if hasattr(alias_ref, "hex") else str(alias_ref)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ext = _TASK_MATCHERS.get(key)
+        if ext is None:
+            ext = MentionExtractor(alias_ref, stopwords=stopwords)
+            _TASK_MATCHERS.clear()
+            _TASK_MATCHERS[key] = ext
+        return ext(batch)
+
+    return docs.map_batches(extract, batch_format="pyarrow", batch_size=batch_size)

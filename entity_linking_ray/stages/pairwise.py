@@ -101,9 +101,10 @@ def mention_node_hashes(batch: pa.Table) -> np.ndarray:
     DISTINCT doc_ids in the batch; span_idx/offset mixed in numerically."""
     from ..functions.hashing import hash_strings, splitmix64
 
-    doc = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
-    uniq, inv = np.unique(doc, return_inverse=True)
-    dh = hash_strings(list(uniq)).astype(np.uint64)[inv]
+    dct = pc.dictionary_encode(batch["doc_id"].combine_chunks())
+    inv = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = dct.dictionary.to_pylist()
+    dh = hash_strings(uniq).astype(np.uint64)[inv]
     si = batch["span_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
     off = batch["offset"].to_numpy(zero_copy_only=False).astype(np.uint64)
     with np.errstate(over="ignore"):

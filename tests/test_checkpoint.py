@@ -63,3 +63,34 @@ def test_digest_change_recomputes(tmp_stage):
     assert completed_partitions(tmp_stage, d2) == {0, 1}
     assert len(ray.data.read_parquet(tmp_stage + "/part-0").to_pandas()) + \
         len(ray.data.read_parquet(tmp_stage + "/part-1").to_pandas()) == 150
+
+
+def test_resumable_pipeline_skips_on_rerun(corpus, tmp_path):
+    """Flagship resume: second run with identical inputs recomputes nothing
+    (checkpoint partitions untouched) and yields the same clusters."""
+    import os
+
+    import ray.data
+
+    from entity_linking_ray.pipelines.link_and_cluster import run_pipeline_resumable
+
+    run_dir = str(tmp_path / "run")
+    docs = ray.data.from_arrow(corpus["documents"])
+    out1 = run_pipeline_resumable(docs, corpus["entities"], run_dir,
+                                  concurrency=2, num_partitions=4,
+                                  checkpoint_partitions=4)
+    c1 = out1["clusters"].to_pandas().sort_values(
+        ["doc_id", "span_idx", "offset"]).reset_index(drop=True)
+    mtimes = {
+        p: os.path.getmtime(os.path.join(run_dir, "scored", p))
+        for p in os.listdir(os.path.join(run_dir, "scored")) if p.startswith("part-")
+    }
+    out2 = run_pipeline_resumable(docs, corpus["entities"], run_dir,
+                                  concurrency=2, num_partitions=4,
+                                  checkpoint_partitions=4)
+    c2 = out2["clusters"].to_pandas().sort_values(
+        ["doc_id", "span_idx", "offset"]).reset_index(drop=True)
+    for p, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(run_dir, "scored", p)) == t
+    assert c1["cluster_id"].nunique() == c2["cluster_id"].nunique()
+    assert (c1[["doc_id", "span_idx", "offset"]] == c2[["doc_id", "span_idx", "offset"]]).all().all()

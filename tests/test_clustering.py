@@ -86,3 +86,21 @@ def test_hot_entity_salting_preserves_components(corpus):
     m = pd.DataFrame({"ca": a["cluster_id"], "cb": b["cluster_id"]})
     assert (m.groupby("ca")["cb"].nunique() == 1).all()
     assert (m.groupby("cb")["ca"].nunique() == 1).all()
+
+
+def test_leaf_folding_matches_general_cc(corpus):
+    """cluster_links (degree-1 elimination) must produce IDENTICAL cluster
+    labels to the general edge-list label-propagation path — including on
+    hot-salted anchors."""
+    from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
+
+    docs = ray.data.from_arrow(corpus["documents"])
+    fast = run_pipeline(docs, corpus["entities"], hot_cap=10, concurrency=2,
+                        num_partitions=4, use_general_cc=False)
+    gen = run_pipeline(docs, corpus["entities"], hot_cap=10, concurrency=2,
+                       num_partitions=4, use_general_cc=True)
+    key = ["doc_id", "span_idx", "offset"]
+    a = fast["clusters"].to_pandas().sort_values(key).reset_index(drop=True)
+    b = gen["clusters"].to_pandas().sort_values(key).reset_index(drop=True)
+    assert (a[key] == b[key]).all().all()
+    assert (a["cluster_id"] == b["cluster_id"]).all()
