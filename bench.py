@@ -84,13 +84,19 @@ def main():
     if "--scaling" in sys.argv:
         here = os.path.dirname(os.path.abspath(__file__))
 
-        def run(ncpu: int) -> dict:
+        def run_once(ncpu: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="headline")
             out = subprocess.run(
                 [sys.executable, os.path.join(here, "bench.py")], env=env,
                 capture_output=True, text=True, check=True,
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
+
+        def run(ncpu: int) -> dict:
+            # best of 2 fresh processes: single-run variance is ±20% on a
+            # shared box; min approximates steady-state capability
+            a, b = run_once(ncpu), run_once(ncpu)
+            return a if a["value"] <= b["value"] else b
 
         lo, hi = run(8), run(32)
         eff = (lo["value"] / hi["value"]) / (32 / 8)

@@ -89,3 +89,19 @@ def recall_at_k(scored_pairs_df: pd.DataFrame, gold_df: pd.DataFrame,
 def cluster_size_histogram(clusters_df: pd.DataFrame) -> dict[int, int]:
     sizes = clusters_df.groupby("cluster_id").size()
     return dict(collections.Counter(sizes.tolist()))
+
+
+def rank_histogram(scored_pairs_df: pd.DataFrame, gold_df: pd.DataFrame,
+                   buckets=(1, 4, 8, 10, 16, 32, 64, 100)) -> dict:
+    """G3 rank histogram (reference Stats, zeshel_utils.py:70-99): counts
+    of gold-entity rank < b for each bucket b, over non-NIL gold mentions."""
+    gold = gold_df[gold_df["entity_id"] != "NIL"]
+    cand = scored_pairs_df.merge(
+        gold, on=["doc_id", "span_idx", "offset"], how="inner", suffixes=("", "_gold")
+    )
+    hits = cand[cand["entity_id"] == cand["entity_id_gold"]]
+    best_rank = hits.groupby(["doc_id", "span_idx", "offset"])["rank"].min()
+    out = {"total": int(len(gold))}
+    for b in buckets:
+        out[f"rank<{b}"] = int((best_rank < b).sum())
+    return out

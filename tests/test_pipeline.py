@@ -72,3 +72,23 @@ def test_nil_mentions_are_singletons(corpus, pipeline_output):
     # each NIL mention is its own cluster (never merged with anything)
     all_counts = pipeline_output["clusters"]["cluster_id"].value_counts()
     assert all(all_counts[c] == 1 for c in nil_clusters)
+
+
+def test_fused_pipeline_matches_plain(corpus):
+    """Operator-fusion configuration must produce identical links/clusters."""
+    import ray
+    import ray.data
+
+    from entity_linking_ray.pipelines.link_and_cluster import (
+        run_pipeline, run_pipeline_fused,
+    )
+
+    docs = ray.data.from_arrow(corpus["documents"])
+    key = ["doc_id", "span_idx", "offset"]
+    a = run_pipeline_fused(docs, corpus["entities"], hot_cap=100, concurrency=2,
+                           num_partitions=4)["clusters"].to_pandas()
+    b = run_pipeline(docs, corpus["entities"], hot_cap=100, concurrency=2,
+                     num_partitions=4)["clusters"].to_pandas()
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
