@@ -233,7 +233,8 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
                  k: int = 10, ann_k: int = 5, threshold: float | None = None,
                  concurrency: int | tuple = 4, hot_cap: int = 1000,
                  num_partitions: int = 16,
-                 use_general_cc: bool = False) -> dict[str, ray.data.Dataset]:
+                 use_general_cc: bool = False,
+                 near_dup_edges: bool = False) -> dict[str, ray.data.Dataset]:
     """Returns the logical tables {mentions, scored, scored_pairs, links,
     clusters, annotated_documents} as (mostly lazy) Datasets.
 
@@ -257,8 +258,12 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
     n_mentions = scored.count()
     num_partitions = max(2, min(num_partitions, n_mentions // 500_000 + 2))
     links = link_mentions(scored)
-    if use_general_cc:
+    if use_general_cc or near_dup_edges:
         edges = build_edges(links, hot_cap=hot_cap)
+        if near_dup_edges:
+            # second blocking family: MinHash-LSH near-dup mention pairs
+            # become mention↔mention edges (degree>1 ⇒ general CC required)
+            edges = edges.union(near_dup_mention_edges(scored))
         labels = connected_components(edges, num_partitions=num_partitions)
         clusters = attach_clusters(links, labels, num_partitions=num_partitions)
     else:
@@ -460,3 +465,85 @@ def run_pipeline_fused(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
         "clusters": clusters,
         "annotated_documents": annotate_documents(docs, links, num_partitions=num_partitions),
     }
+
+
+def near_dup_mention_edges(scored: ray.data.Dataset,
+                           jaccard_threshold: float = 0.75,
+                           cosine_threshold: float = 0.8,
+                           num_perm: int = 32, num_bands: int = 8,
+                           max_pairs_per_bucket: int = 5_000) -> ray.data.Dataset:
+    """Second blocking family feeding clustering: MinHash-LSH over the
+    normalized mention surface, verified by signature Jaccard AND context
+    cosine. Accepted pairs become mention↔mention edges for the GENERAL
+    clustering path (these mentions are no longer degree-1 — FIXTURES.md
+    edge-case 9, the A–B/B–C transitive chain).
+
+    The LSH bands are the D5 near-dup family from SURVEY.md §2.7 (absent
+    in the reference, mandated by the north-star contract); the cosine
+    check keeps same-surface-different-entity mentions apart (hot-alias
+    precision guard — surface similarity alone would merge every "alpha
+    prime" mention)."""
+    import pandas as pd
+
+    from ..functions.embed import embed_texts
+    from ..functions.minhash import band_keys, signature_matrix
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        surf = batch["norm_mention"].to_pylist()
+        sigs = signature_matrix(surf, num_perm=num_perm, k=3)
+        bks = band_keys(sigs, num_bands=num_bands)
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        ctx = [f"{l} {r}" for l, r in zip(batch["context_left"].to_pylist(),
+                                          batch["context_right"].to_pylist())]
+        vecs = embed_texts(ctx)
+        n = batch.num_rows
+        return pa.table({
+            "band_key": pa.array(bks.reshape(-1), pa.int64()),
+            "node": pa.array(np.repeat(node, num_bands), pa.int64()),
+            "sig": pa.array(list(np.repeat(sigs.astype(np.int64), num_bands, axis=0))),
+            "vec": pa.array(list(np.repeat(vecs, num_bands, axis=0))),
+        })
+
+    from ..stages.pairwise import mention_node_hashes
+
+    def with_node(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "node", pa.array(mention_node_hashes(batch), pa.int64()))
+
+    rows = scored.select_columns(
+        ["doc_id", "span_idx", "offset", "norm_mention", "context_left", "context_right"]
+    ).map_batches(with_node, batch_format="pyarrow").map_batches(
+        band_rows, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["node"]).sort_values("node")
+        if len(g) < 2:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                 "dst": pd.Series([], dtype="int64")})
+        nodes = g["node"].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy())
+        vecs = np.stack(g["vec"].to_numpy())
+        out_a, out_b = [], []
+        budget = max_pairs_per_bucket
+        for i in range(len(g)):
+            if budget <= 0:
+                break
+            jac = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            cos = vecs[i + 1:] @ vecs[i]
+            keep = np.nonzero((jac >= jaccard_threshold) & (cos >= cosine_threshold))[0]
+            keep = keep[:budget]
+            out_a.extend([int(nodes[i])] * len(keep))
+            out_b.extend(int(nodes[i + 1 + j]) for j in keep)
+            budget -= len(keep)
+        return pd.DataFrame({"src": pd.Series(out_a, dtype="int64"),
+                             "dst": pd.Series(out_b, dtype="int64")})
+
+    cand = rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    distinct = cand.groupby(["src", "dst"]).count()
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["src"], "dst": batch["dst"]})
+
+    return distinct.map_batches(clean, batch_format="pyarrow")

@@ -1,0 +1,70 @@
+"""Near-dup mention-edge channel: LSH pairs become edges, general CC merges
+the transitive chain (FIXTURES.md edge-case 9: A–B via entity, B–C via
+near-dup)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from entity_linking_ray.pipelines.link_and_cluster import near_dup_mention_edges
+
+
+def _scored(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "span_idx": pa.array([0] * len(rows), pa.int32()),
+        "offset": pa.array([r[1] for r in rows], pa.int32()),
+        "norm_mention": pa.array([r[2] for r in rows], pa.string()),
+        "context_left": pa.array([r[3] for r in rows], pa.string()),
+        "context_right": pa.array([r[4] for r in rows], pa.string()),
+    }))
+
+
+def test_near_dup_pairs_same_surface_similar_context():
+    ctx = "solar panel quarterly report energy output"
+    rows = [
+        ("d1", 10, "acme corp", ctx, "installation megawatt"),
+        ("d2", 20, "acme corp", ctx, "installation megawatt today"),  # near-dup of d1
+        ("d3", 30, "acme corp", "totally different words about cooking", "pasta recipe"),
+        ("d4", 40, "zenith ltd", ctx, "installation megawatt"),  # diff surface
+    ]
+    edges = near_dup_mention_edges(_scored(rows), cosine_threshold=0.7).to_pandas()
+    from entity_linking_ray.stages.pairwise import mention_node_hashes
+
+    tbl = _scored(rows).to_pandas()
+    # recompute node hashes for identification
+    nodes = {}
+    batch = pa.table({
+        "doc_id": pa.array(tbl["doc_id"], pa.string()),
+        "span_idx": pa.array(tbl["span_idx"], pa.int32()),
+        "offset": pa.array(tbl["offset"], pa.int32()),
+    })
+    h = mention_node_hashes(batch)
+    for d, n in zip(tbl["doc_id"], h):
+        nodes[d] = int(n)
+
+    got = {tuple(sorted(p)) for p in zip(edges["src"], edges["dst"])}
+    assert tuple(sorted((nodes["d1"], nodes["d2"]))) in got
+    # different context (d3) and different surface (d4) never pair with d1
+    assert not any(nodes["d3"] in p for p in got)
+    assert not any(nodes["d4"] in p and nodes["d1"] in p for p in got)
+
+
+def test_chain_via_entity_and_near_dup(corpus):
+    """A links to entity E; B (same surface, near-identical context) scores
+    NIL; the near-dup edge must pull B into A's cluster under the general
+    CC path — and the synthetic gold corpus must stay at F1≥0.99 with the
+    channel ON (its NIL mentions have filler contexts that fail the cosine
+    verify)."""
+    from entity_linking_ray.pipelines import eval as ev
+    from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
+
+    docs = ray.data.from_arrow(corpus["documents"])
+    out = run_pipeline(docs, corpus["entities"], hot_cap=100, concurrency=2,
+                       num_partitions=4, near_dup_edges=True)
+    clusters = out["clusters"].to_pandas()
+    f1 = ev.pairwise_f1(clusters, corpus["mentions_gold"].to_pandas())
+    assert f1["f1"] >= 0.99, f1
