@@ -45,10 +45,11 @@ def _read(sf_dir: str, table: str, columns=None):
     "lineitem_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 3)                                  AS sum_qty,
-           round(sum(l_extendedprice), 3)                             AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 3)          AS sum_disc_price,
-           count(*)                                                   AS count_order
+           sum(cast(round(l_quantity * 100) as bigint)) / 100.0            AS sum_qty,
+           sum(cast(round(l_extendedprice * 100) as bigint)) / 100.0       AS sum_base_price,
+           (sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 5)
+             // 10 / 1000.0                                                AS sum_disc_price,
+           count(*)                                                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -57,7 +58,16 @@ def _read(sf_dir: str, table: str, columns=None):
 def _q_pricing(sf_dir: str):
     """TPC-H-Q1-style grouped aggregate: vectorized filter + derived column
     in Arrow map_batches, per-batch partial aggregation before the shuffle
-    (the combiner pattern), small final groupby."""
+    (the combiner pattern), small final groupby.
+
+    Money columns are aggregated in FIXED-POINT int64 (cents; disc_price in
+    1e-4 units since price and discount each carry 2 decimals) so the
+    distributed sum is order-independent — float64 accumulation order
+    differs across partitionings and flipped a round(,3) boundary cell vs
+    the oracle in round 1. TPC-H itself types these columns DECIMAL; the
+    oracle SQL uses the identical fixed-point formulation, so both sides
+    compute the same exact integer before the final decimal conversion
+    (half-up at the 1e-3 boundary, done in integer space)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -67,6 +77,14 @@ def _q_pricing(sf_dir: str):
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                 "l_discount", "l_shipdate"])
 
+    def _fx(arr, scale: float) -> pa.Array:
+        # per-row float ops are order-independent; ties-away-from-zero
+        # matches DuckDB round()
+        return pc.cast(
+            pc.round(pc.multiply(arr, scale), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+
     def prep(b: pa.Table) -> pa.Table:
         import datetime
 
@@ -75,27 +93,32 @@ def _q_pricing(sf_dir: str):
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
         return pa.table({
             "l_returnflag": b["l_returnflag"], "l_linestatus": b["l_linestatus"],
-            "l_quantity": b["l_quantity"], "l_extendedprice": b["l_extendedprice"],
-            "disc_price": disc,
+            "qty_fx": _fx(b["l_quantity"], 100.0),
+            "price_fx": _fx(b["l_extendedprice"], 100.0),
+            "disc_fx": _fx(disc, 10000.0),
         })
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("qty_fx", alias_name="sum_qty_fx"),
+            Sum("price_fx", alias_name="sum_price_fx"),
+            Sum("disc_fx", alias_name="sum_disc_fx"),
             Count(alias_name="count_order"),
         )
     )
 
     def fin(b: pa.Table) -> pa.Table:
+        as_f64 = lambda a: pc.cast(a, pa.float64())
+        # disc: 1e-4 units → half-up to 1e-3 units in integer space, then
+        # one exact int→float division (identical op in the oracle SQL)
+        disc3 = pc.divide(pc.add(b["sum_disc_fx"], 5), 10)
         return pa.table({
             "l_returnflag": b["l_returnflag"], "l_linestatus": b["l_linestatus"],
-            "sum_qty": pc.round(b["sum_qty"], 3),
-            "sum_base_price": pc.round(b["sum_base_price"], 3),
-            "sum_disc_price": pc.round(b["sum_disc_price"], 3),
+            "sum_qty": pc.divide(as_f64(b["sum_qty_fx"]), 100.0),
+            "sum_base_price": pc.divide(as_f64(b["sum_price_fx"]), 100.0),
+            "sum_disc_price": pc.divide(as_f64(disc3), 1000.0),
             "count_order": b["count_order"],
         })
 
@@ -105,7 +128,8 @@ def _q_pricing(sf_dir: str):
 @register(
     "top_customers_by_revenue",
     """
-    SELECT c_custkey, c_name, round(sum(o_totalprice), 3) AS revenue,
+    SELECT c_custkey, c_name,
+           sum(cast(round(o_totalprice * 100) as bigint)) / 100.0 AS revenue,
            count(*) AS n_orders
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
@@ -115,7 +139,8 @@ def _q_pricing(sf_dir: str):
 )
 def _q_top_customers(sf_dir: str):
     """Hash join (orders ⋈ customer) + groupby + global top-k. The small
-    side (customer) broadcasts implicitly through the hash join."""
+    side (customer) broadcasts implicitly through the hash join. Revenue
+    sums in fixed-point cents (order-independent, see pricing summary)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -123,8 +148,20 @@ def _q_top_customers(sf_dir: str):
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    per_cust = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "price_fx": pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
+        })
+
+    per_cust = orders.map_batches(prep, batch_format="pyarrow").groupby(
+        "o_custkey"
+    ).aggregate(
+        Sum("price_fx", alias_name="sum_fx"), Count(alias_name="n_orders")
     )
     joined = per_cust.join(customer, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
 
@@ -134,7 +171,8 @@ def _q_top_customers(sf_dir: str):
         key = b["c_custkey"] if "c_custkey" in b.schema.names else b["o_custkey"]
         return pa.table({
             "c_custkey": key, "c_name": b["c_name"],
-            "revenue": pc.round(b["revenue"], 3), "n_orders": b["n_orders"],
+            "revenue": pc.divide(pc.cast(b["sum_fx"], pa.float64()), 100.0),
+            "n_orders": b["n_orders"],
         })
 
     return joined.map_batches(fin, batch_format="pyarrow").sort(
@@ -175,56 +213,69 @@ def _q_part_boost(sf_dir: str):
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("l_partkey").aggregate(Sum("n", alias_name="n_lines"))
     )
-    part_keys = set(
-        _read(sf_dir, "part", ["p_partkey"]).to_pandas()["p_partkey"].tolist()
-    )
-    keys_ref = ray.put(part_keys)
+    # part SCALES with SF → semi-join as a distributed hash join (no
+    # driver-side key set); at 100 TB both sides shuffle by partkey only
+    part = _read(sf_dir, "part", ["p_partkey"])
+    joined = counts.join(part, "inner", 8, on=("l_partkey",), right_on=("p_partkey",))
 
     def fin(b: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pa.array([k in keys for k in b["l_partkey"].to_pylist()])
-        b = b.filter(mask)
-        boost = pc.round(pc.ln(pc.add(pc.cast(b["n_lines"], pa.float64()), 1.0)), 6)
+        boost = pc.round(pc.ln(pc.add(pc.cast(b["n_lines"], pa.float64()), 1.0)), 6,
+                         round_mode="half_towards_infinity")
         return pa.table({
             "p_partkey": b["l_partkey"], "n_lines": b["n_lines"], "boost": boost,
         })
 
-    return counts.map_batches(fin, batch_format="pyarrow")
+    return joined.map_batches(fin, batch_format="pyarrow")
 
 
 @register(
     "events_hourly",
     """
     SELECT event_type, date_trunc('hour', ts) AS hour,
-           count(*) AS n, round(sum(value), 6) AS sum_value
+           count(*) AS n,
+           sum(cast(round(value * 1000000) as bigint)) / 1000000.0 AS sum_value
     FROM events
     GROUP BY event_type, hour
     """,
 )
 def _q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate over the event stream (streaming-shaped
-    workload → groupby(key, window-bucket), ray_guide.md pattern)."""
-    import pandas as pd
+    workload → groupby(key, window-bucket), ray_guide.md pattern).
+
+    The bucket stage is pyarrow (zero-copy pre-shuffle — no pandas
+    conversion upstream of the exchange) and ``value`` is summed in
+    fixed-point micro-units so the distributed sum is order-independent
+    (same formulation in the oracle SQL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ray.data.aggregate import Count, Sum
 
     ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["hour"] = df["ts"].dt.floor("h")
-        return df[["event_type", "hour", "value"]]
+    def bucket(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "hour": pc.floor_temporal(b["ts"], unit="hour"),
+            "value_fx": pc.cast(
+                pc.round(pc.multiply(b["value"], 1_000_000.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
+        })
 
     agg = (
-        ev.map_batches(bucket, batch_format="pandas")
+        ev.map_batches(bucket, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n"), Sum("value_fx", alias_name="sum_fx"))
     )
 
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = df["sum_value"].round(6)
-        return df
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"], "hour": b["hour"], "n": b["n"],
+            "sum_value": pc.divide(pc.cast(b["sum_fx"], pa.float64()), 1_000_000.0),
+        })
 
-    return agg.map_batches(fin, batch_format="pandas")
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -300,20 +351,27 @@ def _q_word_freq(sf_dir: str):
     """,
 )
 def _q_lang_profile(sf_dir: str):
-    import pandas as pd
+    """Mean computed as exact int64 Sum / Count (order-independent), with
+    the final round in ties-away-from-zero mode to match DuckDB round()."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from ray.data.aggregate import Count, Mean
+    from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     agg = ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
     )
 
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_chars"] = df["avg_chars"].round(6)
-        return df
+    def fin(b: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(b["sum_chars"], pa.float64()),
+                        pc.cast(b["n_docs"], pa.float64()))
+        return pa.table({
+            "lang": b["lang"], "n_docs": b["n_docs"],
+            "avg_chars": pc.round(avg, 6, round_mode="half_towards_infinity"),
+        })
 
-    return agg.map_batches(fin, batch_format="pandas")
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 @register(
@@ -441,7 +499,8 @@ def _q_embed_dups(sf_dir: str):
 @register(
     "revenue_by_region",
     """
-    SELECT r.r_name AS region, round(sum(o.o_totalprice), 3) AS revenue,
+    SELECT r.r_name AS region,
+           sum(cast(round(o.o_totalprice * 100) as bigint)) / 100.0 AS revenue,
            count(*) AS n_orders
     FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -451,10 +510,12 @@ def _q_embed_dups(sf_dir: str):
     """,
 )
 def _q_revenue_by_region(sf_dir: str):
-    """Multi-hop dimension join: the nation→region chain is tiny, so it
-    broadcasts as a dict (map-side join); only orders ⋈ customer shuffles —
-    and customer is pre-collapsed to custkey→region driver-side because
-    customer is a dimension table too. One groupby total."""
+    """Multi-hop dimension join. Only nation→region (≤ a few hundred rows
+    at ANY scale factor) broadcasts as a dict; customer SCALES with SF, so
+    orders ⋈ customer runs as a real distributed hash join — no driver
+    materialization of an SF-scaled table. Orders are pre-aggregated per
+    custkey (combiner) before the join, so the shuffle moves one row per
+    customer, not one per order. Fixed-point cents for the sum."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -462,33 +523,53 @@ def _q_revenue_by_region(sf_dir: str):
 
     from ray.data.aggregate import Count, Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    nat_to_reg = dict(zip(nation.n_nationkey, nation.n_regionkey))
     reg_name = dict(zip(region.r_regionkey, region.r_name))
-    cust_to_region = {
-        ck: reg_name[nat_to_reg[nk]] for ck, nk in zip(cust.c_custkey, cust.c_nationkey)
-    }
-    lut_ref = ray.put(cust_to_region)
+    nat_to_name = {nk: reg_name[rk] for nk, rk in zip(nation.n_nationkey, nation.n_regionkey)}
+    lut_ref = ray.put(nat_to_name)
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def tag_customer(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        # vectorized map via dictionary-encode over the tiny nation key set
+        dct = pc.dictionary_encode(b["c_nationkey"].combine_chunks())
+        names = [lut[nk] for nk in dct.dictionary.to_pylist()]
+        reg = pc.take(pa.array(names, pa.string()), dct.indices)
+        return pa.table({"c_custkey": b["c_custkey"], "region": reg})
+
+    cust_region = customer.map_batches(tag_customer, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def tag(b: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        reg = [lut[k] for k in b["o_custkey"].to_pylist()]
-        return pa.table({"region": pa.array(reg, pa.string()),
-                         "o_totalprice": b["o_totalprice"]})
+    def prep(b: pa.Table) -> pa.Table:
+        fx = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64())
+        return (
+            pa.table({"o_custkey": b["o_custkey"], "fx": fx, "one": fx})
+            .group_by("o_custkey")
+            .aggregate([("fx", "sum"), ("one", "count")])
+            .rename_columns(["o_custkey", "fx_sum", "n"])
+        )
 
-    agg = (
-        orders.map_batches(tag, batch_format="pyarrow")
-        .groupby("region")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    per_cust = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("fx_sum", alias_name="fx_sum"), Sum("n", alias_name="n"))
+    )
+    joined = per_cust.join(cust_region, "inner", 8,
+                           on=("o_custkey",), right_on=("c_custkey",))
+    agg = joined.groupby("region").aggregate(
+        Sum("fx_sum", alias_name="sum_fx"), Sum("n", alias_name="n_orders")
     )
     return agg.map_batches(
-        lambda b: pa.table({"region": b["region"],
-                            "revenue": pc.round(b["revenue"], 3),
-                            "n_orders": b["n_orders"]}),
+        lambda b: pa.table({
+            "region": b["region"],
+            "revenue": pc.divide(pc.cast(b["sum_fx"], pa.float64()), 100.0),
+            "n_orders": b["n_orders"]}),
         batch_format="pyarrow",
     )
 
@@ -537,7 +618,10 @@ def _q_urgent_orders(sf_dir: str):
     """,
 )
 def _q_supplier_balance(sf_dir: str):
-    import pandas as pd
+    """Min/Max are order-independent; only the final round needs the
+    DuckDB-matching ties-away mode."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ray.data.aggregate import Count, Max, Min
 
@@ -549,39 +633,60 @@ def _q_supplier_balance(sf_dir: str):
                    Count(alias_name="n"))
     )
 
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        df["min_bal"] = df["min_bal"].round(3)
-        df["max_bal"] = df["max_bal"].round(3)
-        return df
+    def fin(b: pa.Table) -> pa.Table:
+        rnd = lambda a: pc.round(a, 3, round_mode="half_towards_infinity")
+        return pa.table({
+            "s_nationkey": b["s_nationkey"], "min_bal": rnd(b["min_bal"]),
+            "max_bal": rnd(b["max_bal"]), "n": b["n"],
+        })
 
-    return agg.map_batches(fin, batch_format="pandas")
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 @register(
     "top_users_by_event_value",
     """
-    SELECT user_id, round(sum(value), 6) AS total_value, count(*) AS n_events
+    SELECT user_id,
+           sum(cast(round(value * 1000000) as bigint)) / 1000000.0 AS total_value,
+           count(*) AS n_events
     FROM events GROUP BY user_id
     ORDER BY total_value DESC, user_id LIMIT 5
     """,
 )
 def _q_top_users(sf_dir: str):
-    import pandas as pd
+    """Top-k by grouped sum — fixed-point micro-units for an
+    order-independent distributed sum (see events_hourly)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ray.data.aggregate import Count, Sum
 
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "value_fx": pc.cast(
+                pc.round(pc.multiply(b["value"], 1_000_000.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
+        })
+
     agg = (
-        _read(sf_dir, "events", ["user_id", "value"])
+        ev.map_batches(prep, batch_format="pyarrow")
         .groupby("user_id")
-        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+        .aggregate(Sum("value_fx", alias_name="sum_fx"), Count(alias_name="n_events"))
     )
 
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        df["total_value"] = df["total_value"].round(6)
-        return df
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "total_value": pc.divide(pc.cast(b["sum_fx"], pa.float64()), 1_000_000.0),
+            "n_events": b["n_events"],
+        })
 
     return (
-        agg.map_batches(fin, batch_format="pandas")
+        agg.map_batches(fin, batch_format="pyarrow")
         .sort(["total_value", "user_id"], descending=[True, False])
         .limit(5)
     )
@@ -590,26 +695,49 @@ def _q_top_users(sf_dir: str):
 @register(
     "part_type_stats",
     """
-    SELECT p_type, count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+    SELECT p_type, count(*) AS n,
+           round(sum(cast(round(p_retailprice * 100) as bigint)) / 100.0 / count(*), 6)
+             AS avg_price
     FROM part GROUP BY p_type
     """,
 )
 def _q_part_type(sf_dir: str):
-    import pandas as pd
+    """avg over a money column via exact fixed-point Sum / Count (the float
+    Mean accumulates in nondeterministic order); ties-away round matches
+    DuckDB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from ray.data.aggregate import Count, Mean
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_type": b["p_type"],
+            "price_fx": pc.cast(
+                pc.round(pc.multiply(b["p_retailprice"], 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
+        })
 
     agg = (
-        _read(sf_dir, "part", ["p_type", "p_retailprice"])
+        ds.map_batches(prep, batch_format="pyarrow")
         .groupby("p_type")
-        .aggregate(Count(alias_name="n"), Mean("p_retailprice", alias_name="avg_price"))
+        .aggregate(Count(alias_name="n"), Sum("price_fx", alias_name="sum_fx"))
     )
 
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_price"] = df["avg_price"].round(6)
-        return df
+    def fin(b: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.divide(pc.cast(b["sum_fx"], pa.float64()), 100.0),
+            pc.cast(b["n"], pa.float64()),
+        )
+        return pa.table({
+            "p_type": b["p_type"], "n": b["n"],
+            "avg_price": pc.round(avg, 6, round_mode="half_towards_infinity"),
+        })
 
-    return agg.map_batches(fin, batch_format="pandas")
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 @register("entity_descriptions")

@@ -54,7 +54,12 @@ def test_query_matches_oracle(name, duck):
     for c in ray_df.columns:
         a, b = ray_df[c], sql_df[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            assert ((a - b).abs() < 1e-6).all(), f"{name}.{c} float mismatch"
+            # the driver HASHES values — require bit-exact float equality
+            # (queries are written order-independent / fixed-point for this)
+            eq = a.values == b.values
+            assert eq.all(), (
+                f"{name}.{c} float not bit-exact: "
+                f"{a[~eq].head().tolist()} vs {b[~eq].head().tolist()}")
         else:
             eq = (a.astype(str).values == b.astype(str).values)
             assert eq.all(), f"{name}.{c} mismatch: {a[~eq].head()} vs {b[~eq].head()}"
