@@ -282,24 +282,37 @@ def run_pipeline_resumable(docs: ray.data.Dataset, entities_tbl: pa.Table, run_d
                            k: int = 10, ann_k: int = 5, threshold: float | None = None,
                            concurrency: int | tuple = (1, 4), hot_cap: int = 1000,
                            num_partitions: int = 16,
-                           checkpoint_partitions: int = 16) -> dict[str, ray.data.Dataset]:
+                           checkpoint_partitions: int = 16,
+                           input_token: str = "") -> dict[str, ray.data.Dataset]:
     """Flagship with per-partition checkpoints: the two expensive stages
     (mentions, scored) are materialized to ``run_dir/<stage>/part-<pid>``
     with lineage JSON; a rerun with the same inputs skips completed
     partitions entirely and recomputes only missing ones (north_rule
-    resumability: no upstream recompute for finished partitions)."""
+    resumability: no upstream recompute for finished partitions).
+
+    The stage digest covers the params, the partitioning modulus, the KB
+    CONTENT hash, and the docs source identity (its input-file list, or
+    ``input_token`` for in-memory/derived datasets) — changing any input
+    in the same run_dir invalidates the lineage instead of silently
+    serving stale partitions."""
     from ..stages.candidates import generate_candidates, make_kb_blob
     from ..stages.mentions import extract_mentions
     from ..stages.pairwise import THRESHOLD, explode_scored_pairs, link_mentions, score_and_link
-    from ..state.checkpoint import checkpoint_partitioned, stage_digest
+    from ..state.checkpoint import (
+        checkpoint_partitioned, dataset_input_token, stage_digest, table_fingerprint,
+    )
 
     import os
 
     threshold = THRESHOLD if threshold is None else threshold
     aliases = [a for al in entities_tbl["aliases"].to_pylist() for a in (al or [])]
     aliases += entities_tbl["subject"].to_pylist()
+    docs_token = input_token or dataset_input_token(docs)
     digest = stage_digest(
-        f"k={k}|ann_k={ann_k}|thr={threshold}|ents={entities_tbl.num_rows}"
+        f"k={k}|ann_k={ann_k}|thr={threshold}"
+        f"|parts={checkpoint_partitions}"
+        f"|ents={table_fingerprint(entities_tbl)}"
+        f"|docs={docs_token}"
     )
 
     mentions = extract_mentions(docs, aliases, concurrency=concurrency)

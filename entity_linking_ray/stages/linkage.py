@@ -60,47 +60,82 @@ def two_pass_join(left: ray.data.Dataset, primary_map: dict, fallback_map: dict,
     return left.map_batches(join, batch_format="pyarrow"), {}
 
 
+def _parse_doc_lines(lines: list[str]) -> pa.Table:
+    """Sequential ``<doc …>…</doc>`` parser over a COMPLETE line sequence.
+    Raises if the sequence ends inside a doc block — the caller is
+    responsible for never splitting a file across parser instances."""
+    out = {"doc_id": [], "title": [], "intro": [], "num_tokens": [], "links": []}
+    cur_id = cur_title = None
+    cur_lines: list[str] = []
+    for line in lines:
+        m = _DOC_OPEN.match(line.strip())
+        if m:
+            cur_id = m.group("id")
+            cur_title = m.group("title") or ""
+            cur_lines = []
+            continue
+        if line.strip() == "</doc>":
+            body = "\n".join(cur_lines)
+            intro = next((l for l in cur_lines if l.strip()), "")
+            links = [mm.group("href") for mm in _LINK.finditer(body)]
+            clean = _LINK.sub(lambda mm: mm.group("anchor"), body)
+            out["doc_id"].append(cur_id)
+            out["title"].append(cur_title)
+            out["intro"].append(intro)
+            out["num_tokens"].append(len(clean.split()))
+            out["links"].append(links)
+            cur_id = None
+            continue
+        if cur_id is not None:
+            cur_lines.append(line)
+    if cur_id is not None:
+        # a block boundary split a <doc> — silent drop would lose documents
+        raise ValueError(
+            f"truncated <doc id={cur_id!r}> block: the input was split "
+            "mid-document. Read file-per-task (use read_doc_stream) instead "
+            "of a line reader that may split large files across blocks."
+        )
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.string()),
+        "title": pa.array(out["title"], pa.string()),
+        "intro": pa.array(out["intro"], pa.string()),
+        "num_tokens": pa.array(out["num_tokens"], pa.int64()),
+        "links": pa.array(out["links"], pa.list_(pa.string())),
+    })
+
+
 def parse_doc_stream(lines: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    """Line dataset (one file per block) → rows (doc_id, title, intro,
-    num_tokens, links: list<string>). S6 intro extraction + S7 token count
-    + S8 link extraction in one pass."""
+    """Line dataset → rows (doc_id, title, intro, num_tokens, links:
+    list<string>). S6 intro extraction + S7 token count + S8 link
+    extraction in one pass.
 
-    def parse(batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "title": [], "intro": [], "num_tokens": [], "links": []}
-        cur_id = cur_title = None
-        cur_lines: list[str] = []
-        for line in batch[text_col].to_pylist():
-            m = _DOC_OPEN.match(line.strip())
-            if m:
-                cur_id = m.group("id")
-                cur_title = m.group("title") or ""
-                cur_lines = []
-                continue
-            if line.strip() == "</doc>":
-                body = "\n".join(cur_lines)
-                intro = next((l for l in cur_lines if l.strip()), "")
-                links = [mm.group("href") for mm in _LINK.finditer(body)]
-                clean = _LINK.sub(lambda mm: mm.group("anchor"), body)
-                out["doc_id"].append(cur_id)
-                out["title"].append(cur_title)
-                out["intro"].append(intro)
-                out["num_tokens"].append(len(clean.split()))
-                out["links"].append(links)
-                cur_id = None
-                continue
-            if cur_id is not None:
-                cur_lines.append(line)
-        return pa.table({
-            "doc_id": pa.array(out["doc_id"], pa.string()),
-            "title": pa.array(out["title"], pa.string()),
-            "intro": pa.array(out["intro"], pa.string()),
-            "num_tokens": pa.array(out["num_tokens"], pa.int64()),
-            "links": pa.array(out["links"], pa.list_(pa.string())),
-        })
+    batch_size=None gives one task per BLOCK, but ``read_text`` may split a
+    large file into several blocks; a doc straddling a block boundary now
+    FAILS LOUDLY instead of being silently dropped. For large files use
+    :func:`read_doc_stream`, which reads whole-file-per-row and can never
+    split a document."""
+    return lines.map_batches(
+        lambda b: _parse_doc_lines(b[text_col].to_pylist()),
+        batch_format="pyarrow", batch_size=None,
+    )
 
-    # batch_size=None → one task per block (= one file), so documents never
-    # straddle a parser instance
-    return lines.map_batches(parse, batch_format="pyarrow", batch_size=None)
+
+def read_doc_stream(paths: list[str] | str) -> ray.data.Dataset:
+    """Whole-file-per-task doc-stream reader: ``read_binary_files`` yields
+    one row per FILE (never split, unlike read_text's size-based blocks),
+    so ``<doc>`` blocks cannot straddle parser instances by construction.
+    Parallelism comes from the file count — the natural sharding for
+    WikiExtractor-style output directories."""
+
+    def parse_files(batch: pa.Table) -> pa.Table:
+        tables = [
+            _parse_doc_lines(data.as_py().decode("utf-8", "replace").splitlines())
+            for data in batch["bytes"]
+        ]
+        return pa.concat_tables(tables) if tables else _parse_doc_lines([])
+
+    files = ray.data.read_binary_files(paths)
+    return files.map_batches(parse_files, batch_format="pyarrow")
 
 
 def incoming_link_counts(parsed: ray.data.Dataset) -> ray.data.Dataset:

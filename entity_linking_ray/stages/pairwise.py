@@ -82,12 +82,19 @@ def score_and_link(batch: pa.Table, w_str: float = W_STR, w_cos: float = W_COS,
 
     # best per mention = first element of each non-empty sorted segment
     has_cands = counts > 0
-    starts = offsets[:-1]
-    best_idx = np.where(has_cands, starts, 0)
-    best_score = np.where(has_cands, score[order][best_idx], -1.0).astype(np.float32)
-    best_eids = eids.take(perm).take(pa.array(best_idx, pa.int64()))
-    accept = pa.array(has_cands & (best_score >= threshold))
-    entity_id = pc.if_else(accept, best_eids, pa.scalar("NIL"))
+    if m == 0:
+        # whole batch is candidate-less (ann_k=0 / empty KB / no alias or
+        # ANN hits): every mention is NIL — the gathers below would index
+        # into empty arrays
+        best_score = np.full(n, -1.0, dtype=np.float32)
+        entity_id = pa.array(["NIL"] * n, pa.string())
+    else:
+        starts = offsets[:-1]
+        best_idx = np.where(has_cands, starts, 0)
+        best_score = np.where(has_cands, score[order][best_idx], -1.0).astype(np.float32)
+        best_eids = eids.take(perm).take(pa.array(best_idx, pa.int64()))
+        accept = pa.array(has_cands & (best_score >= threshold))
+        entity_id = pc.if_else(accept, best_eids, pa.scalar("NIL"))
 
     out = batch.drop_columns(["cands"])
     out = out.append_column("cands", scored_list)

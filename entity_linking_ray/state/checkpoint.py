@@ -124,6 +124,42 @@ def checkpoint_partitioned(ds: ray.data.Dataset, stage_dir: str, key_col: str,
             .materialize()
         )
 
+        # zero-row partitions produce no group → no lineage file, which
+        # would force a full upstream recompute on EVERY resume just to
+        # rediscover they are empty. Write an empty parquet + lineage for
+        # each still-missing pid so resume sees them as complete.
+        still_missing = sorted(
+            set(missing) - completed_partitions(stage_dir, input_digest)
+        )
+        if still_missing:
+            schema = None
+            for p in range(num_partitions):
+                pdir = os.path.join(stage_dir, f"part-{p}")
+                if os.path.isdir(pdir):
+                    pf = [f for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")]
+                    if pf:
+                        schema = pq.read_schema(os.path.join(pdir, pf[0]))
+                        break
+            if schema is None:  # the whole dataset was empty
+                s = ds.schema()
+                schema = pa.schema(list(zip(s.names, s.types)))
+            empty = schema.empty_table()
+            for pid in still_missing:
+                pdir = os.path.join(stage_dir, f"part-{pid}")
+                tmp = pdir + ".tmp"
+                if os.path.isdir(tmp):
+                    shutil.rmtree(tmp)
+                os.makedirs(tmp, exist_ok=True)
+                pq.write_table(empty, os.path.join(tmp, "data.parquet"))
+                if os.path.isdir(pdir):
+                    shutil.rmtree(pdir)
+                os.rename(tmp, pdir)
+                with open(os.path.join(_lineage_dir(stage_dir), f"part-{pid}.json"), "w") as fh:
+                    json.dump({
+                        "pid": pid, "input_digest": input_digest,
+                        "written_at": time.time(), "metrics": _metrics(empty),
+                    }, fh)
+
     files = []
     for p in range(num_partitions):
         pdir = os.path.join(stage_dir, f"part-{p}")
@@ -132,9 +168,33 @@ def checkpoint_partitioned(ds: ray.data.Dataset, stage_dir: str, key_col: str,
                 os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
                 if f.endswith(".parquet")
             )
+    if not files:  # read_parquet([]) raises; nothing was ever written
+        return ray.data.from_arrow(pa.table({}))
     return ray.data.read_parquet(files)
 
 
 def stage_digest(*parts: str) -> str:
     """Stable digest string for resume keys (input path + params)."""
     return f"{int(hash_strings(['|'.join(parts)])[0]):016x}"
+
+
+def table_fingerprint(tbl: pa.Table) -> str:
+    """Content hash of a driver-resident Arrow table (IPC stream bytes) —
+    folds actual KB CONTENT into resume digests, not just its row count."""
+    from ..functions.hashing import fnv1a_64
+
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return f"{fnv1a_64(bytes(sink.getvalue())):016x}"
+
+
+def dataset_input_token(ds: ray.data.Dataset) -> str:
+    """Best-effort identity for a Dataset's source: its input file list
+    (stable for read_* datasets). Empty for in-memory/derived datasets —
+    callers should then pass an explicit input token."""
+    try:
+        files = ds.input_files() or []
+    except Exception:
+        files = []
+    return f"{int(hash_strings(['|'.join(sorted(files))])[0]):016x}" if files else ""

@@ -94,3 +94,32 @@ def test_resumable_pipeline_skips_on_rerun(corpus, tmp_path):
         assert os.path.getmtime(os.path.join(run_dir, "scored", p)) == t
     assert c1["cluster_id"].nunique() == c2["cluster_id"].nunique()
     assert (c1[["doc_id", "span_idx", "offset"]] == c2[["doc_id", "span_idx", "offset"]]).all().all()
+
+
+def test_zero_row_partitions_get_lineage(tmp_stage):
+    """Partitions with no rows must still be marked complete — otherwise
+    every resume recomputes the whole upstream just to rediscover them."""
+    digest = stage_digest("input-v1")
+    # 2 rows into 8 partitions → most pids are empty
+    ds = ray.data.from_arrow(pa.table({"doc_id": ["a", "b"], "v": [1, 2]}))
+    out = checkpoint_partitioned(ds, tmp_stage, "doc_id", digest, num_partitions=8)
+    assert len(out.to_pandas()) == 2
+    assert completed_partitions(tmp_stage, digest) == set(range(8))
+    # rerun: nothing recomputed, nothing rewritten
+    mtimes = {p: os.path.getmtime(os.path.join(tmp_stage, f"part-{p}"))
+              for p in range(8)}
+    out2 = checkpoint_partitioned(ds, tmp_stage, "doc_id", digest, num_partitions=8)
+    assert len(out2.to_pandas()) == 2
+    for p, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(tmp_stage, f"part-{p}")) == mt
+
+
+def test_resumable_digest_tracks_inputs():
+    """The resume digest must change when KB content or the partition
+    modulus changes — same row COUNT is not identity."""
+    from entity_linking_ray.state.checkpoint import table_fingerprint
+
+    t1 = pa.table({"entity_id": ["E1"], "subject": ["Acme"]})
+    t2 = pa.table({"entity_id": ["E1"], "subject": ["Acme Corp"]})  # same rows
+    assert table_fingerprint(t1) != table_fingerprint(t2)
+    assert stage_digest("a", table_fingerprint(t1)) != stage_digest("a", table_fingerprint(t2))

@@ -71,3 +71,27 @@ def test_rank_histogram(corpus, pipeline_output):
     h = ev.rank_histogram(pipeline_output["scored_pairs"], corpus["mentions_gold"].to_pandas())
     assert h["rank<1"] == h["total"]  # recall@1 == 1.0 on the gold corpus
     assert h["rank<100"] >= h["rank<10"] >= h["rank<1"]
+
+
+def test_parse_doc_stream_truncated_block_fails_loudly():
+    """A <doc> split across block boundaries must raise, not silently drop
+    the document (read_text may split large files)."""
+    rows = [{"text": ln} for ln in STREAM.splitlines()[:3]]  # no closing </doc>
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    with pytest.raises(Exception, match="truncated"):
+        parse_doc_stream(ds).to_pandas()
+
+
+def test_read_doc_stream_whole_file(tmp_path):
+    """read_doc_stream reads file-per-row — doc blocks can never straddle
+    parser instances regardless of file size."""
+    from entity_linking_ray.stages.linkage import read_doc_stream
+
+    p1 = tmp_path / "wiki_00"
+    p2 = tmp_path / "wiki_01"
+    p1.write_text(STREAM)
+    p2.write_text('<doc id="99" title="Gamma">\nGamma intro.\n</doc>\n')
+    out = read_doc_stream([str(p1), str(p2)]).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == ["12", "13", "14", "99"]
+    assert out.loc[3, "title"] == "Gamma"

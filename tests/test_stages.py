@@ -187,3 +187,30 @@ def test_mention_extractor_media_and_empty():
     assert out.num_rows == 1
     assert out["offset"].to_pylist() == [1]
     assert out["span_idx"].to_pylist() == [1]
+
+
+def test_score_and_link_all_nil_batch():
+    """A batch where EVERY mention has zero candidates (empty KB hit set /
+    ann_k=0) must early-return an all-NIL batch, not IndexError on the
+    empty best-candidate gather."""
+    from entity_linking_ray.stages.pairwise import score_and_link
+
+    ents = _ents([
+        {"entity_id": "E1", "subject": "Acme", "aliases": ["acme"], "types": [],
+         "infobox": [{"predicate": "p", "object": "rockets"}]},
+    ])
+    gen = CandidateGenerator(make_kb_blob(ents), k=3, ann_k=0)
+    mention = pa.table({
+        "doc_id": ["d", "d"], "span_idx": pa.array([0, 1], pa.int32()),
+        "mention": ["nohit", "misszz"], "norm_mention": ["nohit", "misszz"],
+        "context_left": ["", ""], "context_right": ["", ""],
+        "offset": pa.array([0, 9], pa.int32()),
+    })
+    cands = gen(mention)
+    assert all(len(c) == 0 for c in cands["cands"].to_pylist())
+    out = score_and_link(cands)
+    assert out["entity_id"].to_pylist() == ["NIL", "NIL"]
+    assert all(s < 0 for s in out["best_score"].to_pylist())
+    # schema parity with the non-empty path: scored/ranked candidate struct
+    names = [f.name for f in out.schema.field("cands").type.value_type]
+    assert "score" in names and "rank" in names
