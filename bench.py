@@ -58,6 +58,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         derive_documents(sf_dir, replicate=REPLICATE, num_blocks=nb), derive_entities(),
         concurrency=num_cpus, hot_cap=50_000,
         num_partitions=max(8, num_cpus),
+        annotate=None,  # headline measures link+cluster; annotation is a
+        # separate consumer (its broadcast LUT would build eagerly here)
     )
     n_clusters_rows = out["clusters"].count()
     elapsed = time.time() - t0
@@ -80,7 +82,56 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_alias_scale() -> list[dict]:
+    """Alias-count sensitivity of the mention-extraction engines (no Ray:
+    matcher state is actor-local by design). Evidence for the scale path:
+    hash-engine throughput must be ~flat in alias count."""
+    import random
+
+    from entity_linking_ray.stages.mentions import AliasMatcher, HashAliasMatcher
+
+    random.seed(42)
+
+    def mk_aliases(n):
+        out = set()
+        while len(out) < n:
+            length = random.randint(4, 14)
+            out.add("".join(random.choice("abcdefghijklmnopqrstuvwxyz")
+                            for _ in range(length)))
+        return sorted(out)
+
+    words = ["the", "data", "of", "lake", "spark", "query", "merge", "hash",
+             "vector", "alpha", "beta"]
+    texts = [" ".join(random.choice(words) for _ in range(300)) for _ in range(64)]
+    total_chars = sum(len(t) for t in texts)
+    rows = []
+    for n in (1_000, 10_000, 100_000, 1_000_000):
+        al = mk_aliases(n) + ["spark", "data lake", "vector"]
+        t0 = time.time()
+        hm = HashAliasMatcher(al)
+        build = time.time() - t0
+        t0 = time.time()
+        for _ in range(3):
+            res_h = hm.find_batch(texts)
+        match = (time.time() - t0) / 3
+        row = {"aliases": n, "hash_build_sec": round(build, 3),
+               "hash_mchars_per_sec": round(total_chars / match / 1e6, 3)}
+        if n <= 10_000:  # regex alternation is impractical beyond this
+            t0 = time.time()
+            rm = AliasMatcher(al)
+            row["regex_build_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            res_r = rm.find_batch(texts)
+            row["regex_mchars_per_sec"] = round(total_chars / (time.time() - t0) / 1e6, 3)
+            assert res_r == res_h, "engine mismatch"
+        rows.append(row)
+    return rows
+
+
 def main():
+    if "--alias-scale" in sys.argv:
+        print(json.dumps({"metric": "alias_scale", "results": run_alias_scale()}))
+        return
     if "--scaling" in sys.argv:
         here = os.path.dirname(os.path.abspath(__file__))
 

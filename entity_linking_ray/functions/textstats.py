@@ -61,9 +61,14 @@ def token_count_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedA
     )
 
 
+STOPWORD_PATTERN = r"(?i)\b(?:" + "|".join(
+    sorted(set().union(*STOPWORDS.values()))) + r")\b"
+
+
 def quality_features(table: pa.Table, text_col: str = "text") -> pa.Table:
-    """Appends n_chars_calc, n_tokens, mean_token_len, stopword_ratio,
-    alpha_ratio — the length/punct/stopword quality heuristics."""
+    """Appends n_chars_calc, n_tokens, n_alpha, n_stop (exact integer
+    counts — the DuckDB-oracle surface) plus mean_token_len, alpha_ratio,
+    stopword_ratio — the length/punct/stopword quality heuristics."""
     txt = table[text_col]
     n_chars = pc.utf8_length(txt)
     toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
@@ -79,9 +84,7 @@ def quality_features(table: pa.Table, text_col: str = "text") -> pa.Table:
     )
     # stopword ratio: vectorized via per-row python over the token lists is
     # avoided — count matches of a stopword alternation instead (re2).
-    all_stops = sorted(set().union(*STOPWORDS.values()))
-    pat = r"(?i)\b(?:" + "|".join(all_stops) + r")\b"
-    n_stop = pc.count_substring_regex(txt, pat)
+    n_stop = pc.count_substring_regex(txt, STOPWORD_PATTERN)
     stop_ratio = pc.divide(
         pc.cast(n_stop, pa.float64()),
         pc.max_element_wise(pc.cast(n_tokens, pa.float64()), 1),
@@ -89,6 +92,8 @@ def quality_features(table: pa.Table, text_col: str = "text") -> pa.Table:
     return (
         table.append_column("n_chars_calc", pc.cast(n_chars, pa.int64()))
         .append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+        .append_column("n_alpha", pc.cast(n_alpha, pa.int64()))
+        .append_column("n_stop", pc.cast(n_stop, pa.int64()))
         .append_column("mean_token_len", mean_tok)
         .append_column("alpha_ratio", alpha_ratio)
         .append_column("stopword_ratio", stop_ratio)

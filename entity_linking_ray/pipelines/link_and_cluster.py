@@ -171,15 +171,21 @@ def attach_clusters(links: ray.data.Dataset, labels: ray.data.Dataset,
 
 
 def annotate_documents(docs: ray.data.Dataset, links: ray.data.Dataset,
-                       num_partitions: int = 16) -> ray.data.Dataset:
+                       num_partitions: int = 16,
+                       mode: str = "broadcast") -> ray.data.Dataset:
     """Per-doc mention/link counts with the ``spans`` column passed through
     untouched — the span-sequence-equality invariant surface.
 
-    Arrow's hash join rejects list<struct> non-key columns, so the spans
-    list rides through the join as an opaque per-row IPC-serialized binary
-    column and is decoded after — vectorized at the batch level, no
-    per-group Python (a tag-union groupby co-group works too but costs one
-    Python call per doc group)."""
+    ``mode="broadcast"`` (default): the per-doc aggregate is (doc_id, two
+    ints) — tiny per row — so it broadcasts as sorted hash arrays and
+    attaches via searchsorted in one map pass; the spans column never
+    moves (zero-copy pass-through, no shuffle). ~24 bytes/doc of driver
+    memory: right up to ~10^8 docs.
+
+    ``mode="join"``: the streaming fallback for corpora beyond broadcast
+    size. Arrow's hash join rejects list<struct> non-key columns, so the
+    spans list rides through the join as an opaque per-row pickled binary
+    column and is decoded after."""
     from .. import schemas
 
     spans_type = pa.list_(schemas.SPAN_STRUCT)
@@ -199,6 +205,40 @@ def annotate_documents(docs: ray.data.Dataset, links: ray.data.Dataset,
         .groupby("doc_id")
         .aggregate(Sum("n_mentions", alias_name="n_mentions"), Sum("n_linked", alias_name="n_linked"))
     )
+
+    if mode == "broadcast":
+        hs, ms, ls = [], [], []
+        for b in per_doc.iter_batches(batch_format="pyarrow"):
+            hs.append(hash_strings(b["doc_id"].to_pylist()))
+            ms.append(b["n_mentions"].to_numpy(zero_copy_only=False))
+            ls.append(b["n_linked"].to_numpy(zero_copy_only=False))
+        if hs:
+            h = np.concatenate(hs)
+            order = np.argsort(h)
+            blob = (h[order], np.concatenate(ms)[order], np.concatenate(ls)[order])
+        else:
+            z = np.empty(0, dtype=np.int64)
+            blob = (z, z, z)
+        lut_ref = ray.put(blob)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            hh, mm, ll = ray.get(lut_ref)
+            bh = hash_strings(batch["doc_id"].to_pylist())
+            if len(hh):
+                pos = np.clip(np.searchsorted(hh, bh), 0, len(hh) - 1)
+                found = hh[pos] == bh
+                n_m = np.where(found, mm[pos], 0)
+                n_l = np.where(found, ll[pos], 0)
+            else:
+                n_m = n_l = np.zeros(len(bh), dtype=np.int64)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "spans": batch["spans"],  # untouched, zero-copy
+                "n_mentions": pa.array(n_m, pa.int64()),
+                "n_linked": pa.array(n_l, pa.int64()),
+            })
+
+        return docs.map_batches(attach, batch_format="pyarrow")
 
     def encode(batch: pa.Table) -> pa.Table:
         import pickle
@@ -234,13 +274,29 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
                  concurrency: int | tuple = 4, hot_cap: int = 1000,
                  num_partitions: int = 16,
                  use_general_cc: bool = False,
-                 near_dup_edges: bool = False) -> dict[str, ray.data.Dataset]:
+                 near_dup_edges: bool = False,
+                 pin: str | None = "links",
+                 annotate: str | None = "auto") -> dict[str, ray.data.Dataset]:
     """Returns the logical tables {mentions, scored, scored_pairs, links,
     clusters, annotated_documents} as (mostly lazy) Datasets.
 
     ``use_general_cc=True`` forces the general edge-list → label-propagation
     clustering; the default uses the degree-1 leaf-folding specialization
-    (identical labels for pure link graphs — see cluster_links)."""
+    (identical labels for pure link graphs — see cluster_links).
+
+    ``pin`` controls the one materialization barrier:
+
+    - ``"links"`` (default): the front (extract → candidates → score)
+      streams end-to-end with no barrier; only the SLIM links projection
+      (6 flat columns, no nested candidates) is pinned, because clustering
+      and annotation both consume it twice. Consuming the mentions /
+      scored / scored_pairs outputs re-executes the front — intended for
+      the produce-clusters path (the bench / 100-TB shape).
+    - ``"scored"``: pins the full scored table (nested candidates
+      included) — use when several output tables are consumed.
+      Auto-selected when near_dup_edges needs scored twice.
+    - ``None``: fully lazy; caller manages re-execution.
+    """
     from ..stages.pairwise import THRESHOLD
 
     threshold = THRESHOLD if threshold is None else threshold
@@ -252,12 +308,20 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
     cands = generate_candidates(mentions, kb_ref, k=k, ann_k=ann_k, concurrency=concurrency)
     scored = cands.map_batches(
         lambda b: score_and_link(b, threshold=threshold), batch_format="pyarrow"
-    ).materialize()  # consumed by three downstream branches — pin once
-    # adapt join parallelism to row count: hash-join partitions cost actor
-    # spin-up, which dominates below ~500k rows/partition
-    n_mentions = scored.count()
-    num_partitions = max(2, min(num_partitions, n_mentions // 500_000 + 2))
+    )
+    if near_dup_edges and pin == "links":
+        pin = "scored"  # the near-dup channel reads scored a second time
+    if pin == "scored":
+        scored = scored.materialize()
     links = link_mentions(scored)
+    if pin in ("links", "scored"):
+        if pin == "links":
+            links = links.materialize()
+        # adapt join parallelism to row count: hash-join partitions cost
+        # actor spin-up, which dominates below ~500k rows/partition (count
+        # on a materialized dataset is metadata, not a new execution)
+        n_mentions = (links if pin == "links" else scored).count()
+        num_partitions = max(2, min(num_partitions, n_mentions // 500_000 + 2))
     if use_general_cc or near_dup_edges:
         edges = build_edges(links, hot_cap=hot_cap)
         if near_dup_edges:
@@ -268,14 +332,22 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
         clusters = attach_clusters(links, labels, num_partitions=num_partitions)
     else:
         clusters = cluster_links(links, hot_cap=hot_cap, num_partitions=num_partitions)
-    return {
+    out = {
         "mentions": scored.drop_columns(["cands", "entity_id", "best_score"]),
         "scored": scored,
         "scored_pairs": explode_scored_pairs(scored),
         "links": links,
         "clusters": clusters,
-        "annotated_documents": annotate_documents(docs, links, num_partitions=num_partitions),
     }
+    if annotate == "auto":
+        # pinned links → the vectorized broadcast attach (spans never
+        # move, no per-row pickle); fully-lazy pin=None keeps the deferred
+        # join mode so constructing the dict costs nothing
+        annotate = "broadcast" if pin in ("links", "scored") else "join"
+    if annotate:
+        out["annotated_documents"] = annotate_documents(
+            docs, links, num_partitions=num_partitions, mode=annotate)
+    return out
 
 
 def run_pipeline_resumable(docs: ray.data.Dataset, entities_tbl: pa.Table, run_dir: str, *,
@@ -338,7 +410,10 @@ def run_pipeline_resumable(docs: ray.data.Dataset, entities_tbl: pa.Table, run_d
         "scored_pairs": explode_scored_pairs(scored),
         "links": links,
         "clusters": clusters,
-        "annotated_documents": annotate_documents(docs, links, num_partitions=num_partitions),
+        # scored is checkpoint-backed (parquet), so links re-reads are
+        # cheap and the broadcast attach is safe to build here
+        "annotated_documents": annotate_documents(
+            docs, links, num_partitions=num_partitions, mode="broadcast"),
     }
 
 
@@ -366,54 +441,98 @@ def cluster_links(links: ray.data.Dataset, hot_cap: int = 1000,
     over millions, not trillions, of nodes.
     """
     linked = links.filter(expr="entity_id != 'NIL'")
+    _N_BUCKETS = 64
 
     def combine(batch: pa.Table) -> pa.Table:
-        return (
+        part = (
             batch.group_by("entity_id")
             .aggregate([("node", "min"), ("node", "count")])
             .rename_columns(["entity_id", "m_min", "n"])
         )
+        bk = hash_strings(part["entity_id"].to_pylist()) % _N_BUCKETS
+        return part.append_column("__bucket", pa.array(bk, pa.int64()))
 
-    partials = linked.select_columns(["entity_id", "node"]).map_batches(
-        combine, batch_format="pyarrow")
-    m_min: dict[str, int] = {}
-    counts: dict[str, int] = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for e, v, c in zip(b["entity_id"].to_pylist(), b["m_min"].to_pylist(),
-                           b["n"].to_pylist()):
-            if e not in m_min or v < m_min[e]:
-                m_min[e] = v
-            counts[e] = counts.get(e, 0) + c
+    def bucket_merge(group: pa.Table) -> pa.Table:
+        # Arrow's C group_by inside each of 64 buckets — the same bucketed
+        # aggregate pattern as clustering._groupby_min (Ray's native
+        # groupby().aggregate is ~80x slower at scale); KB-cardinality
+        # partials are merged DISTRIBUTED, not in driver Python loops
+        return (
+            group.group_by("entity_id")
+            .aggregate([("m_min", "min"), ("n", "sum")])
+            .rename_columns(["entity_id", "m_min", "n"])
+        )
+
+    merged = (
+        linked.select_columns(["entity_id", "node"])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_merge, batch_format="pyarrow")
+    )
 
     # residual component label per entity = min over {m_min, anchor hash,
     # salted anchor hashes (hot entities)} — matches the general path's
-    # component-min semantics exactly
-    anchor_label: dict[str, int] = {}
-    for e, mm in m_min.items():
-        anchor = int(hash_strings([f"e|{e}"])[0])
-        lab = min(mm, anchor)
-        if counts[e] > hot_cap:
-            ns = int(np.ceil(counts[e] / hot_cap))
-            salted = _salted_anchor(np.full(ns, anchor, dtype=np.int64),
-                                    np.arange(ns, dtype=np.int64))
-            lab = min(lab, int(salted.min()))
-        anchor_label[e] = lab
-
-    lut_ref = ray.put(anchor_label)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
+    # component-min semantics exactly; vectorized per batch, the salted
+    # loop touches only the hot set (tiny by construction)
+    def to_labels(batch: pa.Table) -> pa.Table:
         eids = batch["entity_id"].to_pylist()
+        anchors = hash_strings([f"e|{e}" for e in eids])
+        mm = batch["m_min"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        lab = np.minimum(mm, anchors)
+        for i in np.nonzero(n > hot_cap)[0]:
+            ns = int(np.ceil(n[i] / hot_cap))
+            salted = _salted_anchor(np.full(ns, anchors[i], dtype=np.int64),
+                                    np.arange(ns, dtype=np.int64))
+            lab[i] = min(lab[i], int(salted.min()))
+        return pa.table({"entity_id": pa.array(eids, pa.string()),
+                         "label": pa.array(lab, pa.int64())})
+
+    ent_labels = merged.map_batches(to_labels, batch_format="pyarrow").materialize()
+
+    if ent_labels.count() <= SMALL_LABELS:
+        # KB-sized label map broadcasts once; lookup per DISTINCT entity
+        # per batch (dictionary-encode), no shuffle of the links table
+        lut: dict[str, int] = {}
+        for b in ent_labels.iter_batches(batch_format="pyarrow"):
+            lut.update(zip(b["entity_id"].to_pylist(), b["label"].to_pylist()))
+        lut_ref = ray.put(lut)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            m = ray.get(lut_ref)
+            dct = pc.dictionary_encode(batch["entity_id"].combine_chunks())
+            inv = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq_lab = np.array([m.get(e, -1) for e in dct.dictionary.to_pylist()],
+                                dtype=np.int64)
+            labs = uniq_lab[inv]
+            nodes = batch["node"].to_numpy(zero_copy_only=False)
+            lab = np.where(labs >= 0, labs, nodes)  # NIL → singleton
+            cid = pc.cast(pa.array(lab, pa.int64()), pa.string())
+            return pa.table({
+                "doc_id": batch["doc_id"], "span_idx": batch["span_idx"],
+                "offset": batch["offset"], "cluster_id": cid,
+            })
+
+        return links.map_batches(assign, batch_format="pyarrow")
+
+    # huge-KB fallback: keyed join instead of a broadcast label map
+    joined = links.join(ent_labels, "left_outer", num_partitions,
+                        on=("entity_id",), right_on=("entity_id",))
+
+    def fmt(batch: pa.Table) -> pa.Table:
         nodes = batch["node"].to_numpy(zero_copy_only=False)
-        labs = np.array([lut.get(e, -1) for e in eids], dtype=np.int64)
-        lab = np.where(labs >= 0, labs, nodes)  # NIL → singleton
-        cid = pc.cast(pa.array(lab, pa.int64()), pa.string())
+        # fill nulls BEFORE to_numpy: a null int64 column converts via
+        # float64, which corrupts 63-bit node hashes above 2^53
+        isnull = pc.is_null(batch["label"]).to_numpy(zero_copy_only=False)
+        labs = pc.fill_null(batch["label"], 0).to_numpy(zero_copy_only=False)
+        lab = np.where(isnull, nodes, labs)
         return pa.table({
             "doc_id": batch["doc_id"], "span_idx": batch["span_idx"],
-            "offset": batch["offset"], "cluster_id": cid,
+            "offset": batch["offset"],
+            "cluster_id": pc.cast(pa.array(lab, pa.int64()), pa.string()),
         })
 
-    return links.map_batches(assign, batch_format="pyarrow")
+    return joined.map_batches(fmt, batch_format="pyarrow")
 
 
 class FusedLinkStage:
@@ -464,11 +583,12 @@ def run_pipeline_fused(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-    ).materialize()
+    )
 
-    n_mentions = scored.count()
+    # pin only the slim links projection (see run_pipeline pin="links")
+    links = link_mentions(scored).materialize()
+    n_mentions = links.count()
     num_partitions = max(2, min(num_partitions, n_mentions // 500_000 + 2))
-    links = link_mentions(scored)
     clusters = cluster_links(links, hot_cap=hot_cap, num_partitions=num_partitions)
     return {
         "mentions": scored.drop_columns(["cands", "entity_id", "best_score"]),
@@ -476,7 +596,8 @@ def run_pipeline_fused(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
         "scored_pairs": explode_scored_pairs(scored),
         "links": links,
         "clusters": clusters,
-        "annotated_documents": annotate_documents(docs, links, num_partitions=num_partitions),
+        "annotated_documents": annotate_documents(
+            docs, links, num_partitions=num_partitions, mode="broadcast"),
     }
 
 

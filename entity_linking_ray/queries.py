@@ -431,12 +431,37 @@ def _q_knn(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("minhash_dup_pairs")
+@register(
+    "minhash_dup_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([(hash(substring(text, i, 5)) & 9223372036854775807)::BIGINT
+                            FOR i IN range(1, length(text) - 3)]) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) >= 0.6 * len(list_distinct(a.s || b.s))
+    """,
+)
 def _q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pair mining, oracled against the EXACT 5-gram
+    Jaccard self-join (the LSH estimate must recover exactly the true
+    pair set — the testdata's planted near-dups sit at J >= 0.92 vs a
+    background max of 0.31, far from the 0.6 threshold, and the banding
+    recall at J ~ 0.95 is 1 - 1e-9). The signature-estimated jaccard
+    column is available from lsh_candidate_pairs for non-oracled use."""
+    import pyarrow as pa
+
     from .stages.dedup import lsh_candidate_pairs, minhash_band_rows
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return lsh_candidate_pairs(minhash_band_rows(ds), jaccard_threshold=0.6)
+    pairs = lsh_candidate_pairs(minhash_band_rows(ds), jaccard_threshold=0.6)
+    return pairs.map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),
+        batch_format="pyarrow",
+    )
 
 
 @register("simhash_fingerprints")
@@ -446,18 +471,76 @@ def _q_simhash(sf_dir: str):
     return simhash_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
-@register("doc_quality_features")
+def _quality_sql() -> str:
+    from .functions.textstats import STOPWORD_PATTERN
+
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
+           len(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS n_stop
+    FROM documents
+    """
+
+
+@register("doc_quality_features", _quality_sql())
 def _q_quality(sf_dir: str):
+    """Quality heuristics as exact integer COUNTS (char/token/alpha/
+    stopword) — SQL-checkable with no float-rounding surface; the derived
+    ratios remain on quality_features for pipeline use."""
     from .functions.textstats import quality_features
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        lambda b: quality_features(b).drop_columns(["text"]), batch_format="pyarrow"
+        lambda b: quality_features(b).select(
+            ["doc_id", "n_chars_calc", "n_tokens", "n_alpha", "n_stop"]),
+        batch_format="pyarrow",
     )
 
 
-@register("doc_language_id")
+def _langid_sql() -> str:
+    from .functions.textstats import STOPWORDS
+
+    def in_list(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+
+    # replicates detect_language exactly: CJK char ratio > 0.2 → zh
+    # (integer cross-multiply — same classification as the float ratio);
+    # else strict-argmax stopword hits in profile order en,fr,es,de
+    # (earlier language wins ties); no tokens or no hits → und
+    return f"""
+    SELECT doc_id, lang,
+      CASE
+        WHEN 5 * length(regexp_replace(text,
+             '[^\\x{{4E00}}-\\x{{9FFF}}\\x{{3400}}-\\x{{4DBF}}\\x{{3040}}-\\x{{30FF}}]',
+             '', 'g')) > length(text) THEN 'zh'
+        WHEN en > 0 AND en >= fr AND en >= es AND en >= de THEN 'en'
+        WHEN fr > 0 AND fr >  en AND fr >= es AND fr >= de THEN 'fr'
+        WHEN es > 0 AND es >  en AND es >  fr AND es >= de THEN 'es'
+        WHEN de > 0 AND de >  en AND de >  fr AND de >  es THEN 'de'
+        ELSE 'und'
+      END AS lang_pred
+    FROM (
+      SELECT doc_id, lang, text,
+        len(list_filter(toks, x -> x IN ({in_list('en')}))) AS en,
+        len(list_filter(toks, x -> x IN ({in_list('fr')}))) AS fr,
+        len(list_filter(toks, x -> x IN ({in_list('es')}))) AS es,
+        len(list_filter(toks, x -> x IN ({in_list('de')}))) AS de
+      FROM (
+        SELECT doc_id, lang, text,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+      )
+    )
+    """
+
+
+@register("doc_language_id", _langid_sql())
 def _q_langid(sf_dir: str):
+    """Rule-based language ID (CJK ratio + stopword-profile argmax) —
+    deterministic enough to replicate as a SQL CASE oracle."""
     import pyarrow as pa
 
     from .functions.textstats import detect_language_batch
@@ -484,10 +567,61 @@ def _q_media(sf_dir: str):
 
 @register("embedding_dup_pairs")
 def _q_embed_dups(sf_dir: str):
+    """SRP-LSH near-dup pairs (rows-only: banding recall < 1 at the low
+    cosine levels present in this testdata — the exact-join oracle lives
+    on embedding_sim_pairs; the LSH path is proven by a planted-duplicate
+    fixture in tests/test_dedup.py)."""
     from .stages.dedup import embedding_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_dup_pairs(ds, cosine_threshold=0.9)
+
+
+@register(
+    "embedding_sim_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    """,
+)
+def _q_embed_sim_pairs(sf_dir: str):
+    """EXACT cosine similarity self-join above a threshold: the broadcast
+    block-matmul pattern (normalized matrix broadcast once via ray.put;
+    each task emits its batch-vs-all pairs). The brute-force baseline the
+    LSH variants approximate — oracled against DuckDB's
+    list_cosine_similarity cross join. Threshold 0.45 sits in a wide
+    margin of the testdata's cosine distribution (nearest values ~0.449 /
+    0.452), so float32-vs-float64 kernel differences cannot flip a pair.
+
+    The one-side-resident collect is inherent to brute-force all-pairs
+    (valid while one side fits the object store); beyond that the scale
+    path is the bucketed LSH variant (embedding_dup_pairs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from .stages.knn import _normalize, _to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    all_pd = ds.to_pandas().sort_values("vec_id")
+    V = _normalize(_to_matrix(all_pd["embedding"]))
+    ids = all_pd["vec_id"].to_numpy()
+    blob = ray.put((V, ids))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        Vb = _normalize(_to_matrix(b["embedding"].to_pylist()))
+        bid = np.asarray(b["vec_id"].to_pylist())
+        Vn, all_ids = ray.get(blob)
+        C = Vb @ Vn.T
+        ii, jj = np.nonzero((C >= 0.45) & (bid[:, None] < all_ids[None, :]))
+        return pa.table({
+            "id_a": pa.array(bid[ii], pa.int64()),
+            "id_b": pa.array(all_ids[jj], pa.int64()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

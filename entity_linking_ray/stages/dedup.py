@@ -222,26 +222,37 @@ def simhash_dup_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "do
 
 def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
                         id_col: str = "vec_id", cosine_threshold: float = 0.95,
-                        num_planes: int = 16, dim: int | None = None,
+                        num_planes: int = 8, num_bands: int = 16,
                         max_pairs_per_bucket: int = 10_000) -> ray.data.Dataset:
-    """Embedding-cosine near-dup: random-hyperplane sign buckets (16-bit
-    SRP-LSH key) → within-bucket cosine verify. Vectors ride through the
+    """Embedding-cosine near-dup: MULTI-BAND random-hyperplane SRP-LSH →
+    within-bucket cosine verify. Each row explodes into ``num_bands``
+    independent 8-plane sign buckets (like MinHash banding): a true pair
+    at cosine c collides in a band with p = (1 - acos(c)/pi)^num_planes,
+    so miss probability is (1-p)^num_bands — ~1e-6 at c=0.98, ~1% at
+    c=0.95, vs 82% MISS for the old single 16-plane key (which is why the
+    operator had never produced output). Vectors ride through the
     shuffle; at 100-TB scale the bucket stage reads only (id, key) and the
     verify stage re-reads vectors by bucket-partitioned files."""
 
     def bucket(batch: pa.Table) -> pa.Table:
         V = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
-        d = V.shape[1]
+        n, d = V.shape
         rng = np.random.default_rng(12345)  # fixed planes — deterministic
-        planes = rng.normal(size=(d, num_planes))
-        signs = (V @ planes) > 0
-        key = np.zeros(len(V), dtype=np.int64)
-        for p in range(num_planes):
-            key |= signs[:, p].astype(np.int64) << p
+        planes = rng.normal(size=(d, num_bands * num_planes))
+        signs = (V @ planes) > 0  # [n, bands*planes]
+        weights = (np.uint64(1) << np.arange(num_planes, dtype=np.uint64))
+        keys = np.empty((n, num_bands), dtype=np.int64)
+        for band in range(num_bands):
+            bits = signs[:, band * num_planes:(band + 1) * num_planes]
+            code = (bits.astype(np.uint64) * weights).sum(axis=1)
+            # mix the band index in so bands never share buckets
+            keys[:, band] = ((code << np.uint64(8)) | np.uint64(band)).astype(np.int64)
+        ids = batch[id_col]
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands), pa.int64())
         return pa.table({
-            "bucket": pa.array(key, pa.int64()),
-            id_col: batch[id_col],
-            vec_col: batch[vec_col],
+            "bucket": pa.array(keys.reshape(-1), pa.int64()),
+            id_col: ids.take(rep),
+            vec_col: batch[vec_col].take(rep),
         })
 
     buckets = ds.map_batches(bucket, batch_format="pyarrow")

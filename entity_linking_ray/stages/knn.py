@@ -85,17 +85,27 @@ def ivf_assignments(ds: ray.data.Dataset, centroids: np.ndarray,
 def sample_centroids(ds: ray.data.Dataset, n_centroids: int,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
     """Deterministic coarse centroids: the vectors whose id hash is
-    smallest (one streaming pass, no global sort)."""
+    globally smallest. DISTRIBUTED: each task emits its batch's partial
+    min-n rows (argpartition, vectorized), the driver merges only
+    num_blocks x n_centroids candidate rows — never the full table."""
     from ..functions.hashing import hash_strings
 
-    best: list[tuple[int, np.ndarray]] = []
-    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+    def partial(b: pa.Table) -> pa.Table:
         h = hash_strings([str(x) for x in b[id_col].to_pylist()])
-        for hv, vec in zip(h, b[vec_col].to_pylist()):
-            best.append((int(hv), np.asarray(vec, dtype=np.float64)))
-        best.sort(key=lambda t: t[0])
-        best = best[:n_centroids]
-    return np.stack([v for _, v in best])
+        if len(h) > n_centroids:
+            idx = np.argpartition(h, n_centroids - 1)[:n_centroids]
+        else:
+            idx = np.arange(len(h))
+        take = pa.array(np.sort(idx), pa.int64())
+        return pa.table({"h": pa.array(h[np.sort(idx)], pa.int64()),
+                         vec_col: b[vec_col].take(take)})
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow")
+    rows = parts.take_all()  # bounded: num_blocks x n_centroids
+    rows.sort(key=lambda r: r["h"])
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in rows[:n_centroids]])
 
 
 def ivf_knn(ds: ray.data.Dataset, queries: np.ndarray, query_ids, k: int = 5,

@@ -72,3 +72,37 @@ def test_embedding_dup_pairs_finds_planted():
     pairs = embedding_dup_pairs(ds, cosine_threshold=0.98).to_pandas()
     got = {tuple(sorted(map(int, p))) for p in zip(pairs["id_a"], pairs["id_b"])}
     assert (100, 101) in got
+
+
+def test_embedding_dup_pairs_planted_duplicates():
+    """Planted near-duplicate vectors MUST surface: multi-band SRP-LSH
+    output equals the exact all-pairs answer on this fixture (miss
+    probability ~1e-6 per pair at cos≈0.99 with 16 bands x 8 planes,
+    deterministic given the fixed planes)."""
+    import numpy as np
+
+    from entity_linking_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(99)
+    base = rng.normal(size=(120, 32))
+    planted = []
+    vecs = list(base)
+    for i in range(10):  # ten near-dup pairs: tiny perturbation of a base row
+        v = base[i] + rng.normal(scale=0.02, size=32)
+        planted.append((i, len(vecs)))
+        vecs.append(v)
+    V = np.stack(vecs)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    iu, ju = np.triu_indices(len(V), k=1)
+    exact = {(int(i), int(j)) for i, j in zip(iu[C[iu, ju] >= 0.95], ju[C[iu, ju] >= 0.95])}
+    assert len(exact) >= 10  # all planted pairs qualify
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(V)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32())),
+    }))
+    got = embedding_dup_pairs(ds, cosine_threshold=0.95).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert got_pairs == exact

@@ -214,3 +214,68 @@ def test_score_and_link_all_nil_batch():
     # schema parity with the non-empty path: scored/ranked candidate struct
     names = [f.name for f in out.schema.field("cands").type.value_type]
     assert "score" in names and "rank" in names
+
+
+class TestHashAliasMatcher:
+    """Scale alias engine (multi-length Rabin-Karp) ≡ regex engine."""
+
+    ALIASES = ["acme", "acme corp", "zed", "北京", "北京大学", "café",
+               "a-1", "x9", "spark", "data lake"]
+    TEXTS = [
+        "Acme Corp bought ACME and zed; visit 北京大学 near 北京. café!",
+        "sparky is not spark but spark is. data lake x9 a-1 b a-12 9x9",
+        "",
+        "北京北京大学acme",
+        "the café caféx café.",
+    ]
+
+    def test_equivalence_on_edge_cases(self):
+        from entity_linking_ray.stages.mentions import HashAliasMatcher
+
+        rm = AliasMatcher(self.ALIASES)
+        hm = HashAliasMatcher(self.ALIASES)
+        for t in self.TEXTS:
+            assert list(rm.find(t)) == list(hm.find(t)), t
+
+    def test_equivalence_randomized(self):
+        import random
+
+        from entity_linking_ray.stages.mentions import HashAliasMatcher
+
+        random.seed(11)
+        vocab = ["ab", "abc", "abcd", "xy", "北", "北海", "q1w", "zz top", "é", "ér"]
+        rm, hm = AliasMatcher(vocab), HashAliasMatcher(vocab)
+        pieces = ["ab", "c", "d", " ", "abc", "xy", "北", "海", "q1w", "zz top", "é", "r", "1"]
+        for _ in range(300):
+            t = "".join(random.choice(pieces) for _ in range(random.randint(0, 40)))
+            assert list(rm.find(t)) == list(hm.find(t)), repr(t)
+
+    def test_gold_corpus_engine_equivalence(self):
+        """The flagship extraction is engine-independent: identical mention
+        tables from regex and hash engines on the gold corpus."""
+        from entity_linking_ray.corpus import make_corpus
+
+        c = make_corpus()
+        ents = c["entities"]
+        aliases = [a for al in ents["aliases"].to_pylist() for a in (al or [])]
+        aliases += ents["subject"].to_pylist()
+        batch = c["documents"]
+        out_r = MentionExtractor(aliases, engine="regex")(batch)
+        out_h = MentionExtractor(aliases, engine="hash")(batch)
+        assert out_r.equals(out_h)
+
+    def test_boundary_guard_and_big_dict(self):
+        from entity_linking_ray.stages.mentions import HashAliasMatcher
+
+        m = HashAliasMatcher([f"w{i:05d}" for i in range(20000)])
+        got = m.find_batch(["xx w00123 yy w19999z w00000"])[0]
+        # w19999z fails the trailing alnum guard
+        assert got == [(3, 9, "w00123"), (21, 27, "w00000")]
+
+    def test_auto_engine_selection(self):
+        from entity_linking_ray.stages.mentions import HashAliasMatcher
+
+        small = MentionExtractor(["acme"], engine="auto")
+        big = MentionExtractor([f"w{i:05d}" for i in range(1000)], engine="auto")
+        assert isinstance(small.matcher, AliasMatcher)
+        assert isinstance(big.matcher, HashAliasMatcher)
