@@ -107,18 +107,45 @@ def lsh_candidate_pairs(band_rows: ray.data.Dataset, id_col: str = "doc_id",
     return cand.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
 
 
+# pairs above this broadcast-able size switch minhash_dedup to the keyed-join
+# winner path automatically (≈ a few hundred MB of driver state at the cap)
+_BROADCAST_PAIRS_CAP = 10_000_000
+
+
 def minhash_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 64, num_bands: int = 16, shingle_k: int = 5,
-                  jaccard_threshold: float = 0.7) -> ray.data.Dataset:
+                  jaccard_threshold: float = 0.7,
+                  winner_mode: str = "auto",
+                  num_partitions: int = 16) -> ray.data.Dataset:
     """Full near-dup removal: LSH pairs → connected components → keep the
-    min-id representative of each dup cluster."""
+    min-id representative of each dup cluster.
+
+    ``winner_mode`` picks how component winners are resolved and losers
+    removed (equivalence-tested against each other):
+
+    - ``"broadcast"``: components + loser set collected on the driver and
+      broadcast — O(|dup pairs|) driver memory; right up to
+      ``_BROADCAST_PAIRS_CAP`` pairs.
+    - ``"join"``: fully distributed — member (node, id) rows join component
+      labels, winners come from a bucketed groupby-min, and losers are
+      removed with a left-anti hash join. No corpus- or pair-scaled driver
+      state; the 100-TB path.
+    - ``"auto"`` (default): broadcast below the cap, join above.
+    """
     from .clustering import connected_components
 
     band_rows = minhash_band_rows(ds, col, id_col, num_perm, num_bands, shingle_k)
     pairs = lsh_candidate_pairs(band_rows, id_col, jaccard_threshold).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ds
+    if winner_mode == "auto":
+        winner_mode = "broadcast" if n_pairs <= _BROADCAST_PAIRS_CAP else "join"
+    if winner_mode == "join":
+        return _drop_losers_keyed(ds, pairs, id_col, num_partitions=num_partitions)
 
     # node-hash ↔ id map for the ids that appear in any dup pair (bounded by
-    # |pairs|, small relative to the corpus; scale path: keyed join instead)
+    # |pairs|, small relative to the corpus; scale path: winner_mode="join")
     hash_to_id: dict[int, object] = {}
     edge_list: list[tuple[int, int]] = []
     for b in pairs.iter_batches(batch_format="pyarrow"):
@@ -155,6 +182,92 @@ def minhash_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id
         return batch.filter(mask)
 
     return ds.map_batches(drop_losers, batch_format="pyarrow")
+
+
+def _drop_losers_keyed(ds: ray.data.Dataset, pairs: ray.data.Dataset,
+                       id_col: str, num_partitions: int = 16) -> ray.data.Dataset:
+    """Distributed winner selection + loser removal for minhash_dedup:
+    no driver-side component map or loser set (the keyed-join scale path
+    the broadcast branch documents).
+
+    pairs(id_a, id_b) → CC labels over id-hash nodes → distinct member
+    (node, id) rows join their label → per-label min-id winner (bucketed
+    Arrow groupby — Ray's native aggregate is slow at scale) → losers =
+    members whose id != winner → left-ANTI hash join removes them from
+    ``ds``. Everything shuffles 63-bit hashes + ids, never document text.
+    """
+    from .clustering import connected_components
+
+    _NB = 64
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        ha = hash_strings([str(x) for x in batch["id_a"].to_pylist()])
+        hb = hash_strings([str(x) for x in batch["id_b"].to_pylist()])
+        return pa.table({"src": pa.array(ha, pa.int64()), "dst": pa.array(hb, pa.int64())})
+
+    labels = connected_components(
+        pairs.map_batches(edge_rows, batch_format="pyarrow"),
+        num_partitions=num_partitions)
+
+    def member_partial(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].combine_chunks()
+        b = batch["id_b"].combine_chunks().cast(a.type)
+        ids = a.to_pylist() + b.to_pylist()
+        h = hash_strings([str(x) for x in ids])
+        t = pa.table({"node": pa.array(h, pa.int64()),
+                      "member_id": pa.concat_arrays([a, b])})
+        part = (t.group_by("node").aggregate([("member_id", "min")])
+                .rename_columns(["node", "member_id"]))
+        bk = part["node"].to_numpy(zero_copy_only=False) % _NB
+        return part.append_column("__bucket", pa.array(bk, pa.int64()))
+
+    def member_merge(group: pa.Table) -> pa.Table:
+        return (group.group_by("node").aggregate([("member_id", "min")])
+                .rename_columns(["node", "member_id"]))
+
+    # .repartition after each groupby: Ray's sort-based groupby emits
+    # UNTYPED empty blocks for empty partitions, and a hash-join partition
+    # fed only those fails ("no match for FieldRef" — reproduced on Ray
+    # 2.49); repartition rebuilds blocks from real rows, scrubbing them.
+    members = (pairs.map_batches(member_partial, batch_format="pyarrow")
+               .groupby("__bucket").map_groups(member_merge, batch_format="pyarrow")
+               .repartition(num_partitions))
+
+    with_label = members.join(labels, "inner", num_partitions,
+                              on=("node",), right_on=("node",))
+
+    def winner_partial(batch: pa.Table) -> pa.Table:
+        part = (batch.select(["label", "member_id"]).group_by("label")
+                .aggregate([("member_id", "min")])
+                .rename_columns(["label", "winner_id"]))
+        bk = part["label"].to_numpy(zero_copy_only=False) % _NB
+        return part.append_column("__bucket", pa.array(bk, pa.int64()))
+
+    def winner_merge(group: pa.Table) -> pa.Table:
+        return (group.group_by("label").aggregate([("winner_id", "min")])
+                .rename_columns(["label", "winner_id"]))
+
+    winners = (with_label.map_batches(winner_partial, batch_format="pyarrow")
+               .groupby("__bucket").map_groups(winner_merge, batch_format="pyarrow")
+               .repartition(num_partitions))  # scrub untyped empties (see above)
+
+    labeled_members = with_label.join(winners, "inner", num_partitions,
+                                      on=("label",), right_on=("label",))
+
+    def to_losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["member_id"], batch["winner_id"])
+        sel = batch.filter(keep)
+        return pa.table({id_col: sel["member_id"],
+                         "__lose": pa.array(np.ones(sel.num_rows, np.int8))})
+
+    losers = labeled_members.map_batches(to_losers, batch_format="pyarrow")
+    joined = ds.join(losers, "left_outer", num_partitions,
+                     on=(id_col,), right_on=(id_col,))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["__lose"])).drop_columns(["__lose"])
+
+    return joined.map_batches(drop, batch_format="pyarrow")
 
 
 def simhash_fingerprints(ds: ray.data.Dataset, col: str = "text",

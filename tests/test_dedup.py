@@ -50,6 +50,21 @@ def test_minhash_dedup_removes_cluster_losers():
     assert ids.isdisjoint({"d1", "d2", "d4"})
 
 
+def test_minhash_dedup_keyed_join_equivalent():
+    """winner_mode="join" (the 100-TB path: no driver component map / loser
+    set) keeps exactly the same survivors as the broadcast path."""
+    broadcast = minhash_dedup(_docs(), jaccard_threshold=0.5,
+                              winner_mode="broadcast").to_pandas()
+    joined = minhash_dedup(_docs(), jaccard_threshold=0.5,
+                           winner_mode="join", num_partitions=2).to_pandas()
+    assert set(joined["doc_id"]) == set(broadcast["doc_id"])
+    assert sorted(joined.columns) == sorted(broadcast.columns)
+    # and the rows themselves survive untouched
+    b = broadcast.sort_values("doc_id").reset_index(drop=True)
+    j = joined.sort_values("doc_id").reset_index(drop=True)[b.columns]
+    assert b.equals(j)
+
+
 def test_simhash_pairs():
     fps = simhash_fingerprints(_docs()).to_pandas()
     assert len(fps) == 6 and fps["simhash"].dtype == np.int64

@@ -1,0 +1,88 @@
+"""Model-protocol integration test: the load-once-per-actor contract.
+
+Reference behavior being proven: models are constructed once per resident
+service process and reused across requests (``entity_sort/el_service.py:
+25-43``). Here a dummy "expensive" model counts its constructions through a
+named Ray actor; the assertion is constructions == pool size, NOT batch
+count — the property that makes a trained model affordable to drop into
+the A1/A4/A5 stages (swap recipe in ``stages/model.py``).
+
+Factories/applies are defined INSIDE the tests: nested functions pickle by
+value, so Ray workers never need to import this test module.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from entity_linking_ray.stages.model import model_map_batches
+
+_NS = "model-stage-test"
+
+
+@ray.remote
+class _CtorCounter:
+    def __init__(self):
+        self.n = 0
+
+    def incr(self) -> int:
+        self.n += 1
+        return self.n
+
+    def get(self) -> int:
+        return self.n
+
+
+def _mk_apply():
+    def apply(model, batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": batch["x"],
+                         "y": pa.array(x * model.sum(), pa.float64())})
+    return apply
+
+
+def test_model_constructed_once_per_actor(ray_session):
+    counter = _CtorCounter.options(name="ctor-counter", namespace=_NS).remote()
+    ray.get(counter.get.remote())  # ensure registered before the pool starts
+
+    def factory():
+        # runs inside pool actors: report construction, then "load" weights
+        c = ray.get_actor("ctor-counter", namespace=_NS)
+        ray.get(c.incr.remote())
+        return np.arange(1, 9, dtype=np.float64)  # stand-in weights, sum=36
+
+    n_rows, pool_size, batch_size = 1000, 2, 50
+    ds = ray.data.from_items([{"x": float(i)} for i in range(n_rows)]).repartition(20)
+    out = model_map_batches(ds, factory, _mk_apply(),
+                            concurrency=pool_size, batch_size=batch_size)
+    rows = out.take_all()
+
+    # correctness: every row scored by the resident model
+    assert len(rows) == n_rows
+    assert all(r["y"] == r["x"] * 36.0 for r in rows)
+
+    n_batches = -(-n_rows // batch_size)  # >= 20
+    n_ctor = ray.get(counter.get.remote())
+    # the load-once contract: one construction per pool actor, never per batch
+    assert n_ctor == pool_size, f"expected {pool_size} constructions, got {n_ctor}"
+    assert n_ctor < n_batches
+    ray.kill(counter)
+
+
+def test_broadcast_factory_objectref(ray_session):
+    """Weights broadcast via ray.put: factory itself shipped as an ObjectRef,
+    read zero-copy by each actor instead of re-pickled per task."""
+    weights = np.full(4, 2.5)
+
+    def factory():
+        return weights
+
+    factory_ref = ray.put(factory)
+    ds = ray.data.from_items([{"x": float(i)} for i in range(100)])
+    out = model_map_batches(ds, factory_ref, _mk_apply(),
+                            concurrency=(1, 2), batch_size=64)
+    rows = out.take_all()
+    assert len(rows) == 100
+    assert all(r["y"] == r["x"] * 10.0 for r in rows)
