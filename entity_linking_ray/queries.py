@@ -904,10 +904,30 @@ def _q_doc_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
-@register("knn_ivf_top5")
+@register(
+    "knn_ivf_top5",
+    """
+    SELECT qid AS query_id, nid AS neighbor_id, rnk - 1 AS rank
+    FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                        b.vec_id
+             ) AS rnk
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    )
+    WHERE rnk <= 5
+    """,
+)
 def _q_knn_ivf(sf_dir: str):
-    """IVF bucket-pruned ANN variant (rows-only: approximate by design;
-    exactness is covered by knn_top5's oracle)."""
+    """IVF k-NN with nprobe == n_centroids: probing EVERY coarse bucket
+    must reproduce the exact brute-force answer, so the whole IVF dataflow
+    (distributed centroid sampling → bucket assignment → bucket-masked
+    partial top-k → per-query merge) is hash-checked against the same
+    DuckDB oracle as knn_top5. Pruned-nprobe recall (the approximate
+    operating point) is covered by pytest."""
     import numpy as np
 
     from .stages.knn import ivf_knn
@@ -915,5 +935,5 @@ def _q_knn_ivf(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     head = ds.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
-    out = ivf_knn(ds, Q, head["vec_id"].tolist(), k=5, n_centroids=16, nprobe=4)
+    out = ivf_knn(ds, Q, head["vec_id"].tolist(), k=5, n_centroids=16, nprobe=16)
     return out.select_columns(["query_id", "neighbor_id", "rank"])

@@ -1,0 +1,263 @@
+"""HNSW approximate nearest-neighbor index — the actor-local graph variant.
+
+Reference ships FAISS ``IndexHNSWFlat`` with tuned parameters store_n=128,
+efSearch=256, efConstruction=200 (``indexer/faiss_indexer.py:76-141``); no
+FAISS exists in this sandbox, so this is an independent implementation of
+the public HNSW algorithm (Malkov & Yashunin, "Efficient and robust
+approximate nearest neighbor search using Hierarchical Navigable Small
+World graphs", TPAMI 2018 — see PAPERS.md) in numpy + heapq, exposing the
+same ``search(queries, k)`` contract as :class:`..stages.ann.BroadcastIndex`
+so it drops into the dense-retrieval path unchanged.
+
+Ray-side shape (the part that matters at 100 TB): the graph is actor-LOCAL
+state — built once per actor in ``__init__`` from the broadcast (ids,
+matrix) blob, queried per batch. Graph construction is O(n log n) per
+shard and never leaves the actor; only top-k rows move.
+
+Similarity is inner product over row-normalized vectors (cosine), matching
+the exact path's scoring so recall is measured against the same ordering.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+import ray
+
+from ..functions.hashing import splitmix64
+
+
+class HNSWIndex:
+    """Hierarchical navigable small-world graph over a fixed matrix.
+
+    Parameters mirror the reference configuration (faiss_indexer.py:76-91):
+    ``m`` neighbors per node per layer (store_n analogue), ``ef_construction``
+    candidate-list width at build, ``ef_search`` at query. Level assignment
+    is DETERMINISTIC (splitmix64 of the row index) so builds reproduce
+    across actors and test runs.
+    """
+
+    def __init__(self, matrix: np.ndarray, *, m: int = 16,
+                 ef_construction: int = 200, ef_search: int = 256):
+        self.matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+        self.m = m
+        self.m0 = 2 * m  # ground layer is denser (standard HNSW)
+        self.ef_construction = ef_construction
+        self.ef_search = ef_search
+        n = len(self.matrix)
+        # deterministic geometric levels: P(level >= l) = (1/2)^l
+        h = splitmix64(np.arange(n, dtype=np.uint64) ^ np.uint64(0x9E3779B97F4A7C15))
+        self.levels = np.zeros(n, dtype=np.int64)
+        if n:
+            u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            with np.errstate(divide="ignore"):
+                self.levels = np.minimum(
+                    (-np.log(np.maximum(u, 1e-300)) / np.log(2.0)).astype(np.int64), 32)
+        # neighbors[layer][node] -> list[int]
+        self.max_level = -1
+        self.neighbors: list[dict[int, list[int]]] = []
+        self.entry = -1
+        for i in range(n):
+            self._insert(i)
+
+    # -- construction -----------------------------------------------------
+    def _sim(self, q: np.ndarray, idx) -> np.ndarray:
+        return self.matrix[idx] @ q
+
+    def _search_layer(self, q: np.ndarray, entries: list[int], ef: int,
+                      layer: int) -> list[tuple[float, int]]:
+        """Best-first beam search in one layer → up to ef (sim, node) pairs,
+        max-sim first."""
+        nbrs = self.neighbors[layer]
+        visited = set(entries)
+        sims = self._sim(q, entries)
+        # cand: max-heap by sim (store -sim); result: min-heap by sim
+        cand = [(-s, e) for s, e in zip(sims.tolist(), entries)]
+        heapq.heapify(cand)
+        result = [(s, e) for s, e in zip(sims.tolist(), entries)]
+        heapq.heapify(result)
+        while len(result) > ef:
+            heapq.heappop(result)
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if result and -negs < result[0][0] and len(result) >= ef:
+                break
+            for nb in nbrs.get(c, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(self.matrix[nb] @ q)
+                if len(result) < ef or s > result[0][0]:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(result, (s, nb))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+        return sorted(result, reverse=True)
+
+    def _select_neighbors(self, q: np.ndarray,
+                          cands: list[tuple[float, int]], m: int) -> list[int]:
+        """Heuristic neighbor selection (keeps diverse edges — alg. 4)."""
+        out: list[int] = []
+        for s, c in cands:  # cands sorted max-sim first
+            if len(out) >= m:
+                break
+            ok = True
+            for o in out:
+                if float(self.matrix[c] @ self.matrix[o]) > s:
+                    ok = False
+                    break
+            if ok:
+                out.append(c)
+        if len(out) < m:  # pad with remaining nearest
+            chosen = set(out)
+            for s, c in cands:
+                if len(out) >= m:
+                    break
+                if c not in chosen:
+                    out.append(c)
+        return out
+
+    def _insert(self, i: int):
+        """Classic incremental insert (alg. 1): descend from the current
+        entry, connect at every layer ≤ level(i) with heuristic-selected
+        bidirectional links, promote i to entry if it tops the hierarchy.
+
+        Links are never EVICTED: selection caps a node's initial out-degree
+        at m/m0, but backlinks accumulate unbounded. Eviction is the classic
+        source of graph disconnection (a node whose every backlink gets
+        pruned becomes unreachable — observed empirically before this
+        design); for shard-local indexes the memory cost of keeping them is
+        a small constant factor and recall stays ~1.0 at reference ef."""
+        level = int(self.levels[i])
+        while len(self.neighbors) <= level:
+            self.neighbors.append({})
+        for l in range(level + 1):
+            self.neighbors[l].setdefault(i, [])
+        if self.entry < 0:
+            self.entry, self.max_level = i, level
+            return
+        q = self.matrix[i]
+        ep = [self.entry]
+        for l in range(self.max_level, level, -1):
+            ep = [self._search_layer(q, ep, 1, l)[0][1]]
+        for l in range(min(level, self.max_level), -1, -1):
+            cands = self._search_layer(q, ep, self.ef_construction, l)
+            m = self.m0 if l == 0 else self.m
+            sel = self._select_neighbors(q, cands, m)
+            self.neighbors[l][i] = list(sel)
+            for nb in sel:
+                self.neighbors[l][nb].append(i)
+            ep = [c for _, c in cands]
+        if level > self.max_level:
+            self.max_level, self.entry = level, i
+
+    # -- query ------------------------------------------------------------
+    def search_one(self, q: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        if self.entry < 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        q = np.asarray(q, dtype=np.float32)
+        ep = [self.entry]
+        for l in range(self.max_level, 0, -1):
+            ep = [self._search_layer(q, ep, 1, l)[0][1]]
+        res = self._search_layer(q, ep, max(self.ef_search, k), 0)[:k]
+        idx = np.array([c for _, c in res], dtype=np.int64)
+        sims = np.array([s for s, _ in res], dtype=np.float32)
+        return idx, sims
+
+
+class HNSWBroadcastIndex:
+    """Drop-in for :class:`..stages.ann.BroadcastIndex`: same blob format
+    (ids, matrix) — possibly a ``ray.ObjectRef`` — same ``search(queries,
+    k)`` → ([n,k] ids, [n,k] scores) contract, approximate results. Built
+    ONCE per actor in ``__init__`` (the expensive part); queries walk the
+    graph instead of scanning the matrix."""
+
+    def __init__(self, blob, *, m: int = 16, ef_construction: int = 200,
+                 ef_search: int = 256):
+        if isinstance(blob, ray.ObjectRef):
+            blob = ray.get(blob)
+        self.ids, self.matrix = blob
+        self.index = HNSWIndex(self.matrix, m=m,
+                               ef_construction=ef_construction,
+                               ef_search=ef_search)
+
+    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        n = len(queries)
+        k = min(k, len(self.ids))
+        out_ids = np.empty((n, k), dtype=self.ids.dtype)
+        out_scores = np.zeros((n, k), dtype=np.float32)
+        for i in range(n):
+            idx, sims = self.index.search_one(queries[i], k)
+            # deterministic tie-break to match the exact path: score desc,
+            # id asc (ann.topk_ids contract)
+            order = np.lexsort((self.ids[idx], -sims))
+            idx, sims = idx[order], sims[order]
+            take = min(k, len(idx))
+            out_ids[i, :take] = self.ids[idx[:take]]
+            out_scores[i, :take] = sims[:take]
+        return out_ids, out_scores
+
+
+def hnsw_knn(ds: "ray.data.Dataset", queries: np.ndarray, query_ids,
+             k: int = 5, vec_col: str = "embedding", id_col: str = "vec_id",
+             exclude_self: bool = True, concurrency: int | tuple = 2,
+             **hnsw_kwargs) -> "ray.data.Dataset":
+    """Dataset-level approximate k-NN: each actor builds an HNSW graph over
+    ITS blocks' vectors once (actor-local index over a data shard), answers
+    all queries against it, and per-query partial results merge exactly
+    like :func:`..stages.knn.brute_force_knn` — the union of per-shard
+    approximate top-k is merged to a global top-k.
+
+    The queries ride in one broadcast blob; only (query_id, neighbor_id,
+    cosine) rows move. Same output schema as brute_force_knn."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data  # noqa: F401
+
+    from .knn import _normalize, _to_matrix
+
+    Qn = _normalize(np.asarray(queries, dtype=np.float64)).astype(np.float32)
+    blob_ref = ray.put((Qn, list(query_ids)))
+
+    class ShardSearcher:
+        """One HNSW graph per actor, built lazily per input shard batch —
+        batch_size=None gives one call per block, so each block is one
+        self-contained shard index (build once per block, not per row)."""
+
+        def __init__(self):
+            self.Q, self.qids = ray.get(blob_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = _normalize(_to_matrix(batch[vec_col].to_pylist())).astype(np.float32)
+            ids = np.asarray(batch[id_col].to_pylist())
+            index = HNSWIndex(V, **hnsw_kwargs)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(self.Q)):
+                idx, sims = index.search_one(self.Q[qi], k + (1 if exclude_self else 0))
+                for j, s in zip(idx.tolist(), sims.tolist()):
+                    if exclude_self and ids[j] == self.qids[qi]:
+                        continue
+                    out_q.append(self.qids[qi])
+                    out_n.append(ids[j])
+                    out_c.append(float(s))
+            return pa.table({
+                "query_id": pa.array(out_q), "neighbor_id": pa.array(out_n),
+                "cosine": pa.array(out_c, pa.float64()),
+            })
+
+    if isinstance(concurrency, int):
+        concurrency = (1, max(1, concurrency))
+    partials = ds.map_batches(ShardSearcher, batch_format="pyarrow",
+                              batch_size=None, concurrency=concurrency)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -109,3 +109,24 @@ class TestDescribe:
         many = [{"predicate": "p", "object": "y" * 30} for _ in range(20)]
         out = synthesize_description("X", many, budget=100)
         assert len(out) <= 100 and out.endswith("。")
+
+
+def test_fingerprint_golden_values():
+    """Golden determinism lock for the rows-only fingerprint operators
+    (simhash_fingerprints / doc_fingerprints have no SQL oracle — DuckDB
+    cannot express the 64-bit token hashing — so their scalar kernels are
+    pinned to literal values instead; any change to hashing/tokenization
+    shows up here before it silently changes query output)."""
+    from entity_linking_ray.functions.simhash import simhash64
+    from entity_linking_ray.functions.textstats import rolling_fingerprint
+
+    golden = {
+        "the quick brown fox": (4907584390286344473, 4202809647848709941),
+        "entity linking at scale": (9801134690521003202, 2802245929444405660),
+        "": (0, 0),
+        "数据 处理 引擎": (13546528605080362044, 7954969928958178474),
+        "a": (6857225946766476583, 3414815163700866188),
+    }
+    for text, (sh, fp) in golden.items():
+        assert simhash64(text) == sh, text
+        assert rolling_fingerprint(text) & 0x7FFFFFFFFFFFFFFF == fp, text
