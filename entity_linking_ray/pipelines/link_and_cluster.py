@@ -250,7 +250,10 @@ def annotate_documents(docs: ray.data.Dataset, links: ray.data.Dataset,
         })
 
     encoded = docs.map_batches(encode, batch_format="pyarrow")
-    joined = encoded.join(per_doc, "left_outer", num_partitions,
+    # repartition scrubs Ray-groupby untyped empty blocks before the join
+    # (see cluster_links huge-KB fallback)
+    joined = encoded.join(per_doc.repartition(num_partitions), "left_outer",
+                          num_partitions,
                           on=("doc_id",), right_on=("doc_id",))
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -515,8 +518,12 @@ def cluster_links(links: ray.data.Dataset, hot_cap: int = 1000,
 
         return links.map_batches(assign, batch_format="pyarrow")
 
-    # huge-KB fallback: keyed join instead of a broadcast label map
-    joined = links.join(ent_labels, "left_outer", num_partitions,
+    # huge-KB fallback: keyed join instead of a broadcast label map.
+    # repartition scrubs the untyped empty blocks Ray's groupby leaves in
+    # ent_labels (they crash a hash-join partition that receives only
+    # empties — see stages/dedup.py:_drop_losers_keyed)
+    joined = links.join(ent_labels.repartition(num_partitions), "left_outer",
+                        num_partitions,
                         on=("entity_id",), right_on=("entity_id",))
 
     def fmt(batch: pa.Table) -> pa.Table:

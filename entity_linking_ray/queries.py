@@ -163,7 +163,10 @@ def _q_top_customers(sf_dir: str):
     ).aggregate(
         Sum("price_fx", alias_name="sum_fx"), Count(alias_name="n_orders")
     )
-    joined = per_cust.join(customer, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
+    # repartition scrubs Ray-groupby untyped empty blocks before the join
+    # (a join partition fed only those fails; see stages/dedup.py)
+    joined = per_cust.repartition(8).join(
+        customer, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
 
     def fin(b: pa.Table) -> pa.Table:
         # the join emits the left key column (o_custkey); the right key is
@@ -216,7 +219,8 @@ def _q_part_boost(sf_dir: str):
     # part SCALES with SF → semi-join as a distributed hash join (no
     # driver-side key set); at 100 TB both sides shuffle by partkey only
     part = _read(sf_dir, "part", ["p_partkey"])
-    joined = counts.join(part, "inner", 8, on=("l_partkey",), right_on=("p_partkey",))
+    joined = counts.repartition(8).join(
+        part, "inner", 8, on=("l_partkey",), right_on=("p_partkey",))
 
     def fin(b: pa.Table) -> pa.Table:
         boost = pc.round(pc.ln(pc.add(pc.cast(b["n_lines"], pa.float64()), 1.0)), 6,
@@ -694,8 +698,8 @@ def _q_revenue_by_region(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Sum("fx_sum", alias_name="fx_sum"), Sum("n", alias_name="n"))
     )
-    joined = per_cust.join(cust_region, "inner", 8,
-                           on=("o_custkey",), right_on=("c_custkey",))
+    joined = per_cust.repartition(8).join(cust_region, "inner", 8,
+                                          on=("o_custkey",), right_on=("c_custkey",))
     agg = joined.groupby("region").aggregate(
         Sum("fx_sum", alias_name="sum_fx"), Sum("n", alias_name="n_orders")
     )

@@ -179,7 +179,12 @@ def connected_components(edges: ray.data.Dataset, max_iters: int = 20,
     self0 = doubled.map_batches(
         lambda b: pa.table({"node": b["src"], "label": b["src"]}), batch_format="pyarrow"
     )
-    labels = _groupby_min(msgs0.union(self0)).materialize()
+    # .repartition before each join: Ray 2.49's sort-based groupby (inside
+    # _groupby_min's map_groups) emits UNTYPED empty blocks for empty
+    # partitions; a hash-join partition fed only those fails ("no match
+    # for FieldRef"). Repartition rebuilds blocks from real rows. Labels
+    # are node-scale rows that the join shuffles anyway — one extra pass.
+    labels = _groupby_min(msgs0.union(self0)).repartition(num_partitions).materialize()
     prev_sum = _checksum(labels)
 
     for _ in range(max_iters):
@@ -189,7 +194,7 @@ def connected_components(edges: ray.data.Dataset, max_iters: int = 20,
             lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
             batch_format="pyarrow",
         )
-        new_labels = _groupby_min(msgs.union(labels)).materialize()
+        new_labels = _groupby_min(msgs.union(labels)).repartition(num_partitions).materialize()
 
         # pointer jumping (shortcutting): label ← min(label, label(label))
         lj = new_labels.join(new_labels, "left_outer", num_partitions,
