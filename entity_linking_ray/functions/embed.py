@@ -88,12 +88,16 @@ def embed_texts(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
         return out
     seg: list[int] = []
     hashes: list[int] = []
+    # C-level map over the cache hit path; misses fall through to the FNV
+    # loop inside _token_hash_cached (token vocabularies repeat heavily, so
+    # the steady state is one dict hit per token)
+    hcached = _token_hash_cached
     for i, text in enumerate(texts):
         toks = set(_tokenize(text))
         if not toks:
             continue
         seg.extend([i] * len(toks))
-        hashes.extend(_token_hash_cached(t) for t in toks)
+        hashes.extend(map(hcached, toks))
     if not hashes:
         return out
     th = np.array(hashes, dtype=U64)

@@ -5,7 +5,7 @@ efSearch=256, efConstruction=200 (``indexer/faiss_indexer.py:76-141``); no
 FAISS exists in this sandbox, so this is an independent implementation of
 the public HNSW algorithm (Malkov & Yashunin, "Efficient and robust
 approximate nearest neighbor search using Hierarchical Navigable Small
-World graphs", TPAMI 2018 — see PAPERS.md) in numpy + heapq, exposing the
+World graphs", TPAMI 2018) in numpy + heapq, exposing the
 same ``search(queries, k)`` contract as :class:`..stages.ann.BroadcastIndex`
 so it drops into the dense-retrieval path unchanged.
 
