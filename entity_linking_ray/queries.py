@@ -569,16 +569,48 @@ def _q_media(sf_dir: str):
     return extract_media_features(derive_documents(sf_dir), concurrency=2)
 
 
-@register("embedding_dup_pairs")
+@register(
+    "embedding_dup_pairs",
+    """
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+)
 def _q_embed_dups(sf_dir: str):
-    """SRP-LSH near-dup pairs (rows-only: banding recall < 1 at the low
-    cosine levels present in this testdata — the exact-join oracle lives
-    on embedding_sim_pairs; the LSH path is proven by a planted-duplicate
-    fixture in tests/test_dedup.py)."""
+    """SRP-LSH near-dup pairs, fully oracle-checked: the testdata contains
+    NO natural pairs above cosine 0.95 (measured max off-diagonal 0.51),
+    so the input is augmented with ten EXACT duplicate vectors (vec_id <
+    10 re-emitted as vec_id + 1e6 — the same augmentation expressed in the
+    oracle SQL). Identical vectors share every SRP band by construction,
+    so the banding recall on them is exactly 1.0 and the result is
+    deterministic: the ten planted (i, i+1e6) pairs and nothing else.
+    General-position near-dup recall is covered by the planted-perturbation
+    fixture in tests/test_dedup.py. Only the id pair is emitted (the
+    cosine column would hash float-fragile)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from .stages.dedup import embedding_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, cosine_threshold=0.9)
+
+    def augment(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["vec_id"], 10)
+        dup = b.filter(keep)
+        dup = dup.set_column(0, "vec_id", pc.add(dup["vec_id"], 1_000_000))
+        return pa.concat_tables([b, dup])
+
+    aug = ds.map_batches(augment, batch_format="pyarrow")
+    pairs = embedding_dup_pairs(aug, cosine_threshold=0.95)
+    return pairs.map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),
+        batch_format="pyarrow")
 
 
 @register(
