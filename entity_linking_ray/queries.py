@@ -282,6 +282,64 @@ def _q_events_hourly(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+@register(
+    "events_sliding_1h",
+    """
+    SELECT ws AS window_start, count(*) AS n_events,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+    FROM (
+      SELECT ((epoch_us(ts) // 900000000) - i.range) * 900000000 AS ws, value
+      FROM events, range(4) i
+    )
+    GROUP BY ws
+    """,
+)
+def _q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (1 h windows every 15 min): each event
+    explodes into its 4 covering windows WITH a per-batch combiner, so the
+    shuffle moves (window, partial) rows, not events; integer-only output
+    (epoch-us starts, counts, fixed-point cents) for hash stability."""
+    from .stages.windows import sliding_window_agg
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    return sliding_window_agg(ev, width_us=3_600_000_000, slide_us=900_000_000)
+
+
+@register(
+    "user_sessions",
+    """
+    SELECT user_id, min(t) AS session_start, count(*) AS n_events,
+           max(t) - min(t) AS duration_us
+    FROM (
+      SELECT user_id, t,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM (
+        SELECT user_id, t,
+               CASE WHEN prev IS NULL OR t - prev > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM (
+          SELECT user_id, epoch_us(ts) AS t,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts)) AS prev
+          FROM events
+        )
+      )
+    )
+    GROUP BY user_id, sess
+    """,
+)
+def _q_user_sessions(sf_dir: str):
+    """Session windows (30 min gap) per user: one groupby(user) with a
+    vectorized sort+diff+cumsum segmenter per group. Equal timestamps land
+    in one session regardless of tie order → deterministic vs the oracle's
+    window-function formulation."""
+    from .stages.windows import session_windows
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return session_windows(ev, gap_us=1_800_000_000)
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis suite over documents (token counting / quality / word freq)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,121 @@
+"""Windowed aggregates over an event stream — sliding and session windows.
+
+The reference is strictly batch (SURVEY.md §2.9: no windows), but a
+large-scale data-processing engine needs the streaming-shaped aggregate
+family; tumbling windows already exist (`queries.py::events_hourly` via
+``pc.floor_temporal``). This module adds the other two standard forms:
+
+- :func:`sliding_window_agg` — overlapping fixed windows aligned to the
+  epoch: an event at time t belongs to exactly ``width // slide`` windows
+  (starts ``(floor(t/slide) - i) * slide`` for i in 0..width/slide-1).
+  Expressed Ray-Data-first as a vectorized per-batch window EXPLODE with a
+  per-batch combiner (Arrow ``group_by`` inside the map) feeding one small
+  ``groupby(window_start)`` — the shuffle moves pre-aggregated
+  (window, count, sum) partials, never the events. Value sums are
+  fixed-point int64 (order-independent, hash-stable vs the SQL oracle).
+- :func:`session_windows` — gap-based sessions per key: one
+  ``groupby(key).map_groups`` with a vectorized sort + diff + cumsum
+  segmenter inside each group. The shuffle key is the session key (user);
+  skew is bounded by the per-user event count. Equal timestamps land in
+  the same session regardless of tie order, so output is deterministic.
+
+Both emit integer-only columns (epoch-us starts, counts, fixed-point
+sums), so the driver's value-hash comparison has no float surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+US = 1  # timestamps handled in integer microseconds throughout
+
+
+def sliding_window_agg(events: ray.data.Dataset, *, width_us: int,
+                       slide_us: int, ts_col: str = "ts",
+                       value_col: str = "value") -> ray.data.Dataset:
+    """→ (window_start: int64 epoch-us, n_events: int64, sum_cents: int64).
+
+    ``width_us`` must be a multiple of ``slide_us`` (epoch-aligned window
+    family; every event is in exactly width/slide windows — no filter)."""
+    if width_us % slide_us:
+        raise ValueError("width_us must be a multiple of slide_us")
+    k = width_us // slide_us
+
+    def explode_and_combine(b: pa.Table) -> pa.Table:
+        t = pc.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(b[value_col], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        base = (t // slide_us) * slide_us
+        # [n, k] window starts, flattened; combiner groupby inside the batch
+        ws = (base[:, None] - np.arange(k, dtype=np.int64)[None, :] * slide_us)
+        part = pa.table({
+            "window_start": pa.array(ws.reshape(-1), pa.int64()),
+            "n": pa.array(np.ones(len(t) * k, np.int64)),
+            "cents": pa.array(np.repeat(cents, k), pa.int64()),
+        })
+        return (part.group_by("window_start")
+                .aggregate([("n", "sum"), ("cents", "sum")])
+                .rename_columns(["window_start", "n", "cents"]))
+
+    from ray.data.aggregate import Sum
+
+    agg = (events.map_batches(explode_and_combine, batch_format="pyarrow")
+           .groupby("window_start")
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("cents", alias_name="sum_cents")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": b["window_start"],
+            "n_events": b["n_events"],
+            "sum_cents": b["sum_cents"],
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def session_windows(events: ray.data.Dataset, *, gap_us: int,
+                    key_col: str = "user_id",
+                    ts_col: str = "ts") -> ray.data.Dataset:
+    """→ (key, session_start: int64 epoch-us, n_events: int64,
+    duration_us: int64) — one row per (key, session), sessions split where
+    the sorted inter-event gap exceeds ``gap_us``."""
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(group[ts_col].astype("int64").to_numpy())
+        brk = np.empty(len(t), dtype=np.int64)
+        brk[0] = 1
+        if len(t) > 1:
+            brk[1:] = (np.diff(t) > gap_us).astype(np.int64)
+        sess = np.cumsum(brk) - 1
+        counts = np.bincount(sess)
+        # t is sorted and sessions are contiguous runs: first/last per run
+        run_start = np.nonzero(brk)[0]
+        run_end = np.append(run_start[1:], len(t)) - 1
+        starts = t[run_start]
+        ends = t[run_end]
+        return pd.DataFrame({
+            key_col: np.full(len(starts), group[key_col].iloc[0]),
+            "session_start": starts,
+            "n_events": counts,
+            "duration_us": ends - starts,
+        })
+
+    cols = events.select_columns([key_col, ts_col])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b[key_col],
+            ts_col: pc.cast(b[ts_col], pa.int64()),
+        })
+
+    return (cols.map_batches(to_us, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(sessions, batch_format="pandas"))

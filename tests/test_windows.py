@@ -1,0 +1,57 @@
+"""Sliding and session window aggregates."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from entity_linking_ray.stages.windows import session_windows, sliding_window_agg
+
+_US_MIN = 60_000_000
+
+
+def _events(rows):
+    return ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * _US_MIN for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }))
+
+
+def test_sliding_window_counts(ray_session):
+    # events at minute 0, 10, 70; windows width 60 min, slide 15 min
+    ev = _events([(1, 0, 1.0), (1, 10, 2.5), (1, 70, 4.0)])
+    out = sliding_window_agg(ev, width_us=60 * _US_MIN,
+                             slide_us=15 * _US_MIN).to_pandas()
+    got = {int(r.window_start) // _US_MIN: (int(r.n_events), int(r.sum_cents))
+           for r in out.itertuples()}
+    # brute force: event t is in windows [t-45, t] stepped by 15 (aligned)
+    expect = {}
+    for t, cents in ((0, 100), (10, 250), (70, 400)):
+        base = (t // 15) * 15
+        for i in range(4):
+            w = base - 15 * i
+            n, s = expect.get(w, (0, 0))
+            expect[w] = (n + 1, s + cents)
+    assert got == expect
+    # an event in multiple overlapping windows: minute 10 covers -45..10
+    assert got[0] == (2, 350)  # window [0,60): events at 0 and 10
+
+
+def test_session_windows_gap_split(ray_session):
+    # user 1: events at minutes 0, 10, 100 (gap 90 > 30 → split);
+    # user 2: single event; ties at the same timestamp stay together
+    ev = _events([(1, 0, 0.0), (1, 10, 0.0), (1, 100, 0.0),
+                  (2, 5, 0.0), (1, 10, 0.0)])
+    out = session_windows(ev, gap_us=30 * _US_MIN).to_pandas()
+    rows = sorted(
+        (int(r.user_id), int(r.session_start) // _US_MIN,
+         int(r.n_events), int(r.duration_us) // _US_MIN)
+        for r in out.itertuples())
+    assert rows == [
+        (1, 0, 3, 10),    # minutes 0, 10, 10 — one session, 10 min long
+        (1, 100, 1, 0),   # split by the 90-minute gap
+        (2, 5, 1, 0),
+    ]
