@@ -340,6 +340,59 @@ def _q_user_sessions(sf_dir: str):
     return session_windows(ev, gap_us=1_800_000_000)
 
 
+@register(
+    "error_prev_click_asof",
+    """
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t,
+           cast(coalesce(epoch_us(r.ts), -1) as bigint) AS asof_t
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def _q_asof(sf_dir: str):
+    """Backward as-of join: every error event gets the latest prior click
+    timestamp of the same user (one co-group shuffle + per-key
+    searchsorted — stages/joins.py), checked against DuckDB's native
+    ASOF JOIN. Emitting the matched timestamp keeps boundary ties
+    deterministic on both sides."""
+    from .stages.joins import asof_join_latest
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(expr="event_type == 'error'")
+    right = ev.filter(expr="event_type == 'click'")
+    return asof_join_latest(left, right, key="user_id", ts="ts",
+                            left_id="event_id")
+
+
+@register(
+    "error_click_range_count",
+    """
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t,
+           cast(count(r.event_id) as bigint) AS n_in_range
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 600000000
+                            AND epoch_us(l.ts) + 600000000
+    GROUP BY l.event_id, l.user_id, t
+    """,
+)
+def _q_range_count(sf_dir: str):
+    """Range join (count form): clicks within ±10 min of each error by the
+    same user — two searchsorted probes per key group, no pair
+    materialization (the scale-safe formulation; exploding pairs is what
+    makes naive range joins quadratic)."""
+    from .stages.joins import range_join_count
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(expr="event_type == 'error'")
+    right = ev.filter(expr="event_type == 'click'")
+    return range_join_count(left, right, key="user_id", ts="ts",
+                            left_id="event_id",
+                            before_us=600_000_000, after_us=600_000_000)
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis suite over documents (token counting / quality / word freq)
 # ---------------------------------------------------------------------------

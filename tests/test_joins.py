@@ -1,0 +1,45 @@
+"""As-of and range temporal joins (stages/joins.py)."""
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from entity_linking_ray.stages.joins import asof_join_latest, range_join_count
+
+_M = 60_000_000  # one minute in us
+
+
+def _ds(rows):
+    return ray.data.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] * _M for r in rows], pa.timestamp("us")),
+    }))
+
+
+def test_asof_latest_prior(ray_session):
+    left = _ds([(100, 1, 10), (101, 1, 3), (102, 2, 5), (103, 3, 1)])
+    right = _ds([(200, 1, 4), (201, 1, 9), (202, 1, 9),  # tie at t=9
+                 (203, 2, 5)])                            # boundary: equal ts
+    out = asof_join_latest(left, right, key="user_id", ts="ts",
+                           left_id="event_id").to_pandas()
+    got = {int(r.event_id): int(r.asof_t) // _M for r in out.itertuples()}
+    assert got == {
+        100: 9,    # latest prior click (tie at 9 → same timestamp either way)
+        101: -1,   # no click at or before minute 3... wait, 4 > 3 → none
+        102: 5,    # equal timestamp counts (ts >= ts)
+        103: -1,   # user 3 has no clicks at all
+    }
+
+
+def test_range_count_window_edges(ray_session):
+    left = _ds([(100, 1, 10), (101, 2, 10)])
+    right = _ds([(200, 1, 5), (201, 1, 15), (202, 1, 16),  # 16 > 10+5
+                 (203, 1, 4)])                             # 4 < 10-5
+    out = range_join_count(left, right, key="user_id", ts="ts",
+                           left_id="event_id",
+                           before_us=5 * _M, after_us=5 * _M).to_pandas()
+    got = {int(r.event_id): int(r.n_in_range) for r in out.itertuples()}
+    # inclusive window [5, 15]: rows at 5 and 15 count, 4 and 16 do not
+    assert got == {100: 2, 101: 0}
