@@ -1,0 +1,81 @@
+"""Benchmark-dataset evaluation glue: S15 readers → candidate-retrieval
+recall, the ``run_benchmark.py`` analogue.
+
+Reference semantics (``candidate_retrieval/evaluator.py:16-91`` +
+``run_benchmark.py:57-94``): per mention, the gold entity's 1-based
+position among its (pregenerated or engine-generated) candidates;
+``recall@gen`` = share of mentions whose gold appears at all (optionally
+within ``max_rank``); reported per dataset and overall.
+
+Ray-Data-first: gold positions are a vectorized per-batch map; recall is
+one tiny groupby over per-batch partial (dataset, hits, total) counts —
+events-scale data never collects on the driver."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def add_gold_pos(mentions: ray.data.Dataset,
+                 dataset_name: str = "dataset") -> ray.data.Dataset:
+    """Benchmark-mention rows (sources/benchmarks.py MENTIONS_SCHEMA) →
+    + ``gold_pos`` (1-based position of gold among candidates, -1 when
+    absent — evaluator.py:28-56 semantics) + ``dataset`` tag."""
+
+    def pos(batch: pa.Table) -> pa.Table:
+        golds = batch["gold_entity"].to_pylist()
+        cands = batch["candidates"].to_pylist()
+        gp = []
+        for g, cl in zip(golds, cands):
+            p = -1
+            for idx, c in enumerate(cl or []):
+                if c["entity"] == g:
+                    p = idx + 1
+                    break
+            gp.append(p)
+        return batch.append_column(
+            "gold_pos", pa.array(gp, pa.int32())).append_column(
+            "dataset", pa.array([dataset_name] * batch.num_rows, pa.string()))
+
+    return mentions.map_batches(pos, batch_format="pyarrow")
+
+
+def recall_at_gen(mentions_by_dataset: dict[str, ray.data.Dataset],
+                  max_rank: int | None = None) -> dict[str, float]:
+    """{dataset: recall@gen} + "overall" (evaluator.py:62-84). Each input
+    dataset is tagged and unioned; one small groupby computes the table."""
+    tagged = [add_gold_pos(ds, name) for name, ds in mentions_by_dataset.items()]
+    allm = tagged[0]
+    for t in tagged[1:]:
+        allm = allm.union(t)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hit = pc.and_(
+            pc.greater(batch["gold_pos"], 0),
+            pc.less_equal(batch["gold_pos"], max_rank)
+            if max_rank is not None else pa.array([True] * batch.num_rows))
+        t = pa.table({
+            "dataset": batch["dataset"],
+            "hit": pc.cast(hit, pa.int64()),
+            "one": pa.array([1] * batch.num_rows, pa.int64()),
+        })
+        return (t.group_by("dataset").aggregate([("hit", "sum"), ("one", "sum")])
+                .rename_columns(["dataset", "hits", "total"]))
+
+    from ray.data.aggregate import Sum
+
+    agg = (allm.map_batches(partial, batch_format="pyarrow")
+           .groupby("dataset")
+           .aggregate(Sum("hits", alias_name="hits"),
+                      Sum("total", alias_name="total")))
+    out: dict[str, float] = {}
+    hits = total = 0
+    for row in agg.take_all():
+        out[row["dataset"]] = row["hits"] / row["total"]
+        hits += row["hits"]
+        total += row["total"]
+    out["overall"] = hits / total if total else 0.0
+    return out
