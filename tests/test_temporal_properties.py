@@ -1,0 +1,109 @@
+"""Property tests: windowed/temporal operators vs brute-force references.
+
+Random event sets (hypothesis) → the distributed operators must agree
+exactly with O(n²)/O(n log n) driver-side reference implementations."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray
+import ray.data
+
+from entity_linking_ray.stages.joins import asof_join_latest, range_join_count
+from entity_linking_ray.stages.windows import session_windows, sliding_window_agg
+
+_EVENTS = st.lists(
+    st.tuples(st.integers(0, 3),            # user/key
+              st.integers(0, 500),          # ts (us — small ints exercise ties)
+              st.integers(0, 2)),           # side selector / value
+    min_size=1, max_size=40)
+
+_SETTINGS = settings(max_examples=15, deadline=None,
+                     suppress_health_check=[HealthCheck.too_slow])
+
+
+def _ds(rows, with_value=False):
+    cols = {
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }
+    if with_value:
+        cols["value"] = pa.array([float(r[2]) for r in rows], pa.float64())
+    return ray.data.from_arrow(pa.table(cols))
+
+
+@given(_EVENTS)
+@_SETTINGS
+def test_sliding_window_matches_bruteforce(rows):
+    width, slide = 100, 25
+    out = sliding_window_agg(_ds(rows, with_value=True),
+                             width_us=width, slide_us=slide).to_pandas()
+    got = {int(r.window_start): (int(r.n_events), int(r.sum_cents))
+           for r in out.itertuples()}
+    expect: dict[int, list[int]] = {}
+    for _, t, v in rows:
+        for w in range((t // slide) * slide - width + slide,
+                       (t // slide) * slide + 1, slide):
+            e = expect.setdefault(w, [0, 0])
+            e[0] += 1
+            e[1] += round(v * 100)
+    assert got == {w: (n, s) for w, (n, s) in expect.items()}
+
+
+@given(_EVENTS)
+@_SETTINGS
+def test_session_windows_match_bruteforce(rows):
+    gap = 50
+    out = session_windows(_ds(rows), gap_us=gap).to_pandas()
+    got = sorted((int(r.user_id), int(r.session_start), int(r.n_events),
+                  int(r.duration_us)) for r in out.itertuples())
+    expect = []
+    by_user: dict[int, list[int]] = {}
+    for u, t, _ in rows:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev > gap:
+                expect.append((u, start, n, prev - start))
+                start, n = t, 0
+            n += 1
+            prev = t
+        expect.append((u, start, n, prev - start))
+    assert got == sorted(expect)
+
+
+@given(_EVENTS)
+@_SETTINGS
+def test_asof_and_range_match_bruteforce(rows):
+    left_rows = [r for r in rows if r[2] == 0] or rows[:1]
+    right_rows = [r for r in rows if r[2] != 0]
+    left, right = _ds(left_rows), _ds(right_rows)
+    rt_by_user: dict[int, list[int]] = {}
+    for u, t, _ in right_rows:
+        rt_by_user.setdefault(u, []).append(t)
+    for v in rt_by_user.values():
+        v.sort()
+
+    asof = asof_join_latest(left, right, key="user_id", ts="ts",
+                            left_id="event_id").to_pandas()
+    got = {(int(r.user_id), int(r.t), int(r.event_id)): int(r.asof_t)
+           for r in asof.itertuples()}
+    for i, (u, t, _) in enumerate(left_rows):
+        prior = [x for x in rt_by_user.get(u, []) if x <= t]
+        assert got[(u, t, i)] == (max(prior) if prior else -1)
+
+    before = after = 30
+    rng = range_join_count(left, right, key="user_id", ts="ts",
+                           left_id="event_id", before_us=before,
+                           after_us=after).to_pandas()
+    got_n = {(int(r.user_id), int(r.t), int(r.event_id)): int(r.n_in_range)
+             for r in rng.itertuples()}
+    for i, (u, t, _) in enumerate(left_rows):
+        n = sum(1 for x in rt_by_user.get(u, []) if t - before <= x <= t + after)
+        assert got_n[(u, t, i)] == n
