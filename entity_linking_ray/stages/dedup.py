@@ -336,23 +336,51 @@ def simhash_dup_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "do
 def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
                         id_col: str = "vec_id", cosine_threshold: float = 0.95,
                         num_planes: int = 8, num_bands: int = 16,
-                        max_pairs_per_bucket: int = 10_000) -> ray.data.Dataset:
+                        max_pairs_per_bucket: int = 10_000,
+                        num_partitions: int = 16,
+                        pair_mode: str = "auto") -> ray.data.Dataset:
     """Embedding-cosine near-dup: MULTI-BAND random-hyperplane SRP-LSH →
-    within-bucket cosine verify. Each row explodes into ``num_bands``
-    independent 8-plane sign buckets (like MinHash banding): a true pair
-    at cosine c collides in a band with p = (1 - acos(c)/pi)^num_planes,
-    so miss probability is (1-p)^num_bands — ~1e-6 at c=0.98, ~1% at
-    c=0.95, vs 82% MISS for the old single 16-plane key (which is why the
-    operator had never produced output). Vectors ride through the
-    shuffle; at 100-TB scale the bucket stage reads only (id, key) and the
-    verify stage re-reads vectors by bucket-partitioned files."""
+    candidate pairs → join-back cosine verify. Each row explodes into
+    ``num_bands`` independent 8-plane sign buckets (like MinHash banding):
+    a true pair at cosine c collides in a band with
+    p = (1 - acos(c)/pi)^num_planes, so miss probability is (1-p)^num_bands
+    — ~1e-6 at c=0.98, ~1% at c=0.95.
+
+    TWO-PHASE SHUFFLE (the 100-TB shape): the bucket stage ships only
+    (bucket:int64, id, sketch:int64) rows — the vector payload (×num_bands
+    it would otherwise replicate, ~100 KB/row at 768-d float64) never
+    rides the band shuffle. The 8-byte sketch is a 64-plane SRP sign code:
+    within a bucket, candidate pairs are PREFILTERED by sketch Hamming
+    distance (E[hamming] = 64·acos(cos)/π, so a cutoff at +4σ above the
+    threshold's expectation passes true pairs w.p. ≈ 1-3e-5 — far below
+    the banding miss floor — while killing ~99.97% of the random co-bucket
+    pairs that would otherwise explode the candidate set). Survivors get
+    their two vectors back for one vectorized cosine verify; ``pair_mode``
+    (same auto protocol as :func:`minhash_dedup`) picks how:
+
+    - ``"broadcast"``: the surviving candidate pairs (bounded by the
+      per-bucket caps) are collected, the needed vectors come from ONE
+      filtered scan of ``ds``, and the verify is a single driver einsum —
+      right up to ``_BROADCAST_PAIRS_CAP`` candidates.
+    - ``"join"``: fully distributed — candidates are distinct-ed on a
+      bucketed hash and the two vectors join back per pair (two hash
+      joins against the slim (id, vec) projection). No pair-scaled
+      driver state; the 100-TB path.
+    - ``"auto"`` (default): broadcast below the cap, join above."""
+    import math
+
+    _SKETCH_BITS = 64
+    p_thresh = math.acos(min(max(cosine_threshold, -1.0), 1.0)) / math.pi
+    sketch_cut = int(np.ceil(
+        _SKETCH_BITS * p_thresh
+        + 4.0 * math.sqrt(_SKETCH_BITS * p_thresh * (1.0 - p_thresh)))) + 2
 
     def bucket(batch: pa.Table) -> pa.Table:
         V = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
         n, d = V.shape
         rng = np.random.default_rng(12345)  # fixed planes — deterministic
-        planes = rng.normal(size=(d, num_bands * num_planes))
-        signs = (V @ planes) > 0  # [n, bands*planes]
+        planes = rng.normal(size=(d, num_bands * num_planes + _SKETCH_BITS))
+        signs = (V @ planes) > 0  # [n, bands*planes + 64]
         weights = (np.uint64(1) << np.arange(num_planes, dtype=np.uint64))
         keys = np.empty((n, num_bands), dtype=np.int64)
         for band in range(num_bands):
@@ -360,39 +388,139 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
             code = (bits.astype(np.uint64) * weights).sum(axis=1)
             # mix the band index in so bands never share buckets
             keys[:, band] = ((code << np.uint64(8)) | np.uint64(band)).astype(np.int64)
+        sk_bits = signs[:, num_bands * num_planes:]
+        sk_w = (np.uint64(1) << np.arange(_SKETCH_BITS, dtype=np.uint64))
+        sketch = (sk_bits.astype(np.uint64) * sk_w).sum(axis=1).view(np.int64)
         ids = batch[id_col]
         rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands), pa.int64())
         return pa.table({
             "bucket": pa.array(keys.reshape(-1), pa.int64()),
             id_col: ids.take(rep),
-            vec_col: batch[vec_col].take(rep),
+            "__sketch": pa.array(np.repeat(sketch, num_bands), pa.int64()),
         })
 
     buckets = ds.map_batches(bucket, batch_format="pyarrow")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.simhash import hamming64
+
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame({"id_a": g[id_col].iloc[:0],
+                                 "id_b": g[id_col].iloc[:0]})
         ids = g[id_col].to_numpy()
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        C = V @ V.T
-        out_a, out_b, out_c = [], [], []
-        budget = max_pairs_per_bucket
+        sk = g["__sketch"].to_numpy().astype(np.int64).view(np.uint64)
         iu, ju = np.triu_indices(len(g), k=1)
-        keep = np.nonzero(C[iu, ju] >= cosine_threshold)[0][:budget]
-        for idx in keep:
-            out_a.append(ids[iu[idx]])
-            out_b.append(ids[ju[idx]])
-            out_c.append(float(C[iu[idx], ju[idx]]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+        close = np.nonzero(hamming64(sk[iu], sk[ju]) <= sketch_cut)[0]
+        close = close[:max_pairs_per_bucket]
+        return pd.DataFrame({"id_a": ids[iu[close]], "id_b": ids[ju[close]]})
 
-    cand = buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
-    from ray.data.aggregate import Max
+    cand = buckets.groupby("bucket").map_groups(
+        cand_pairs, batch_format="pandas").materialize()
+    if pair_mode == "auto":
+        pair_mode = ("broadcast" if cand.count() <= _BROADCAST_PAIRS_CAP
+                     else "join")
+    if pair_mode == "broadcast":
+        return _verify_pairs_broadcast(ds, cand, vec_col, id_col,
+                                       cosine_threshold)
 
-    out = cand.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    # global distinct over (id_a, id_b) — bucketed Arrow groupby (Ray's
+    # native aggregate is slow at scale); still only id-pair rows shuffle
+    _NB = 64
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        part = b.group_by(["id_a", "id_b"]).aggregate([]) if b.num_rows else b
+        if part.num_rows == 0:
+            return part.append_column("__pb", pa.array([], pa.int64()))
+        bk = hash_strings([f"{a}|{x}" for a, x in
+                           zip(part["id_a"].to_pylist(), part["id_b"].to_pylist())])
+        return part.append_column("__pb", pa.array(bk % _NB, pa.int64()))
+
+    def distinct_merge(g: pa.Table) -> pa.Table:
+        return g.select(["id_a", "id_b"]).group_by(["id_a", "id_b"]).aggregate([])
+
+    # .repartition scrubs Ray-groupby untyped empty blocks before joins
+    # (a hash-join partition fed only those fails; see _drop_losers_keyed)
+    pairs_d = (cand.map_batches(distinct_partial, batch_format="pyarrow")
+               .groupby("__pb").map_groups(distinct_merge, batch_format="pyarrow")
+               .repartition(num_partitions))
+
+    # join the two vectors back per candidate pair (slim (id, vec) sides);
+    # vectors ride as packed float64 bytes — Acero's hash join rejects
+    # list-typed payload columns
+    def as_side(side: str):
+        def prep(b: pa.Table) -> pa.Table:
+            packed = [np.asarray(v, np.float64).tobytes()
+                      for v in b[vec_col].to_pylist()]
+            return pa.table({f"id_{side}": b[id_col],
+                             f"__vec_{side}": pa.array(packed, pa.binary())})
+        return prep
+
+    vecs_a = ds.map_batches(as_side("a"), batch_format="pyarrow")
+    vecs_b = ds.map_batches(as_side("b"), batch_format="pyarrow")
+    withv = (pairs_d.join(vecs_a, "inner", num_partitions,
+                          on=("id_a",), right_on=("id_a",))
+             .join(vecs_b, "inner", num_partitions,
+                   on=("id_b",), right_on=("id_b",)))
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                             "cosine": pa.array([], pa.float64())})
+        Va = np.stack([np.frombuffer(v, np.float64) for v in b["__vec_a"].to_pylist()])
+        Vb = np.stack([np.frombuffer(v, np.float64) for v in b["__vec_b"].to_pylist()])
+        Va /= np.maximum(np.linalg.norm(Va, axis=1, keepdims=True), 1e-12)
+        Vb /= np.maximum(np.linalg.norm(Vb, axis=1, keepdims=True), 1e-12)
+        cos = np.einsum("ij,ij->i", Va, Vb)
+        keep = np.nonzero(cos >= cosine_threshold)[0]
+        return pa.table({
+            "id_a": b["id_a"].take(pa.array(keep, pa.int64())),
+            "id_b": b["id_b"].take(pa.array(keep, pa.int64())),
+            "cosine": pa.array(cos[keep], pa.float64()),
+        })
+
+    out = withv.map_batches(verify, batch_format="pyarrow")
     return _ensure_pair_schema(out, "cosine")
+
+
+def _verify_pairs_broadcast(ds: ray.data.Dataset, cand: ray.data.Dataset,
+                            vec_col: str, id_col: str,
+                            cosine_threshold: float) -> ray.data.Dataset:
+    """Small-candidate-set verify for :func:`embedding_dup_pairs`: dedupe
+    the pair list on the driver (bounded by the per-bucket caps), pull
+    ONLY the referenced vectors with one filtered scan of ``ds`` (the
+    corpus itself never collects), then one vectorized cosine pass."""
+    pairs_pd = cand.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+    if not len(pairs_pd):
+        return _ensure_pair_schema(cand, "cosine")
+    need = np.unique(np.concatenate([pairs_pd["id_a"].to_numpy(),
+                                     pairs_pd["id_b"].to_numpy()]))
+    need_ref = ray.put(need)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_pylist())
+        mask = np.isin(ids, ray.get(need_ref))
+        sel = b.filter(pa.array(mask))
+        packed = [np.asarray(v, np.float64).tobytes()
+                  for v in sel[vec_col].to_pylist()]
+        return pa.table({id_col: sel[id_col],
+                         "__vec": pa.array(packed, pa.binary())})
+
+    got = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    vec = {i: np.frombuffer(v, np.float64)
+           for i, v in zip(got[id_col], got["__vec"])}
+    Va = np.stack([vec[i] for i in pairs_pd["id_a"]])
+    Vb = np.stack([vec[i] for i in pairs_pd["id_b"]])
+    Va /= np.maximum(np.linalg.norm(Va, axis=1, keepdims=True), 1e-12)
+    Vb /= np.maximum(np.linalg.norm(Vb, axis=1, keepdims=True), 1e-12)
+    cos = np.einsum("ij,ij->i", Va, Vb)
+    keep = cos >= cosine_threshold
+    out = pa.table({
+        "id_a": pa.array(pairs_pd["id_a"].to_numpy()[keep]),
+        "id_b": pa.array(pairs_pd["id_b"].to_numpy()[keep]),
+        "cosine": pa.array(cos[keep], pa.float64()),
+    })
+    return _ensure_pair_schema(ray.data.from_arrow(out), "cosine")
 
 
 def _ensure_pair_schema(ds: ray.data.Dataset, value_col: str) -> ray.data.Dataset:

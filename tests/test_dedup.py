@@ -121,3 +121,31 @@ def test_embedding_dup_pairs_planted_duplicates():
     got = embedding_dup_pairs(ds, cosine_threshold=0.95).to_pandas()
     got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
     assert got_pairs == exact
+
+
+def test_embedding_dup_pairs_join_mode_equivalent():
+    """The fully distributed join-back path (pair_mode='join', the 100-TB
+    shape: band shuffle carries only (bucket, id, sketch) and vectors come
+    back via two hash joins) must produce exactly the broadcast answer."""
+    import numpy as np
+
+    from entity_linking_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 16))
+    vecs = list(base)
+    for i in range(5):
+        vecs.append(base[i] + rng.normal(scale=0.02, size=16))
+    V = np.stack(vecs)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(V)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32())),
+    }))
+    bc = embedding_dup_pairs(ds, cosine_threshold=0.95,
+                             pair_mode="broadcast").to_pandas()
+    jn = embedding_dup_pairs(ds, cosine_threshold=0.95,
+                             pair_mode="join").to_pandas()
+    pb = {(int(a), int(b)) for a, b in zip(bc["id_a"], bc["id_b"])}
+    pj = {(int(a), int(b)) for a, b in zip(jn["id_a"], jn["id_b"])}
+    assert pb == pj and len(pb) >= 5
