@@ -35,6 +35,28 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _table_partitions(sf_dir: str, *tables: str,
+                      bytes_per_partition: int = 64 << 20,
+                      lo: int = 2, hi: int = 1024) -> int:
+    """Join/repartition width derived from the on-disk bytes of the
+    driving tables — scales with SF instead of a fixed literal (which is
+    a width bottleneck at 100×), and costs nothing (no count() execution;
+    the run_pipeline row-count derivation needs a materialized dataset)."""
+    import glob
+    import os
+
+    total = 0
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            total += sum(os.path.getsize(f)
+                         for f in glob.glob(f"{p}/**", recursive=True)
+                         if os.path.isfile(f))
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return int(max(lo, min(hi, total // bytes_per_partition + lo)))
+
+
 # ---------------------------------------------------------------------------
 # Relational operator coverage (filters / groupby-agg / join / sort / limit —
 # SURVEY.md §2.5-2.6 analogues, exercised on the TPC-H-ish tables)
@@ -165,8 +187,9 @@ def _q_top_customers(sf_dir: str):
     )
     # repartition scrubs Ray-groupby untyped empty blocks before the join
     # (a join partition fed only those fails; see stages/dedup.py)
-    joined = per_cust.repartition(8).join(
-        customer, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
+    np_ = _table_partitions(sf_dir, "orders", "customer")
+    joined = per_cust.repartition(np_).join(
+        customer, "inner", np_, on=("o_custkey",), right_on=("c_custkey",))
 
     def fin(b: pa.Table) -> pa.Table:
         # the join emits the left key column (o_custkey); the right key is
@@ -219,8 +242,9 @@ def _q_part_boost(sf_dir: str):
     # part SCALES with SF → semi-join as a distributed hash join (no
     # driver-side key set); at 100 TB both sides shuffle by partkey only
     part = _read(sf_dir, "part", ["p_partkey"])
-    joined = counts.repartition(8).join(
-        part, "inner", 8, on=("l_partkey",), right_on=("p_partkey",))
+    np_ = _table_partitions(sf_dir, "lineitem", "part")
+    joined = counts.repartition(np_).join(
+        part, "inner", np_, on=("l_partkey",), right_on=("p_partkey",))
 
     def fin(b: pa.Table) -> pa.Table:
         boost = pc.round(pc.ln(pc.add(pc.cast(b["n_lines"], pa.float64()), 1.0)), 6,
@@ -436,19 +460,21 @@ def _q_token_stats(sf_dir: str):
 )
 def _q_word_freq(sf_dir: str):
     """Token explode + count: per-batch partial counts (combiner) before
-    the shuffle — the canonical pre-aggregation pattern."""
-    import pandas as pd
+    the shuffle — the canonical pre-aggregation pattern. The combiner is
+    pure Arrow kernels (split_pattern → list_flatten → group_by count),
+    no Python token loop."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        s = pd.Series([t for txt in b["text"].to_pylist() for t in txt.split(" ")])
-        vc = s.value_counts()
-        return pa.table({"word": pa.array(vc.index.tolist(), pa.string()),
-                         "n": pa.array(vc.to_numpy(), pa.int64())})
+        toks = pc.list_flatten(pc.split_pattern(b["text"], " "))
+        return (pa.table({"word": toks}).group_by("word")
+                .aggregate([("word", "count")])
+                .rename_columns(["word", "n"]))
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -841,8 +867,9 @@ def _q_revenue_by_region(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Sum("fx_sum", alias_name="fx_sum"), Sum("n", alias_name="n"))
     )
-    joined = per_cust.repartition(8).join(cust_region, "inner", 8,
-                                          on=("o_custkey",), right_on=("c_custkey",))
+    np_ = _table_partitions(sf_dir, "orders", "customer")
+    joined = per_cust.repartition(np_).join(cust_region, "inner", np_,
+                                            on=("o_custkey",), right_on=("c_custkey",))
     agg = joined.groupby("region").aggregate(
         Sum("fx_sum", alias_name="sum_fx"), Sum("n", alias_name="n_orders")
     )

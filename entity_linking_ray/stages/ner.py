@@ -96,22 +96,32 @@ class NERMentionStage:
         out = {"doc_id": [], "span_idx": [], "mention": [], "norm_mention": [],
                "context_left": [], "context_right": [], "offset": []}
         cw = self.context_chars
+        # ONE predict() per Arrow batch (the reference contract is
+        # list-in/list-out, entity_candidate/ner.py:29-42): gather every
+        # text span, tag them all in one call — a GPU tagger batches —
+        # then re-associate mentions to their source span by sent_idx.
+        texts: list[str] = []
+        meta: list[tuple] = []  # (doc_id, span_idx, span_offset)
         for doc_id, spans in zip(batch["doc_id"].to_pylist(),
                                  batch["spans"].to_pylist()):
             for si, sp in enumerate(spans or []):
                 if sp["kind"] != "text" or not sp["text"]:
                     continue
-                text = sp["text"]
-                res = self.model.predict([text])
-                for m in res["mentions"]:
-                    s, e = m["start_pos"], m["end_pos"]
-                    out["doc_id"].append(doc_id)
-                    out["span_idx"].append(si)
-                    out["mention"].append(m["text"])
-                    out["norm_mention"].append(normalize_str(m["text"]))
-                    out["context_left"].append(text[max(0, s - cw):s])
-                    out["context_right"].append(text[e:e + cw])
-                    out["offset"].append(sp["offset"] + s)
+                texts.append(sp["text"])
+                meta.append((doc_id, si, sp["offset"]))
+        if texts:
+            res = self.model.predict(texts)
+            for m in res["mentions"]:
+                doc_id, si, span_off = meta[m["sent_idx"]]
+                text = texts[m["sent_idx"]]
+                s, e = m["start_pos"], m["end_pos"]
+                out["doc_id"].append(doc_id)
+                out["span_idx"].append(si)
+                out["mention"].append(m["text"])
+                out["norm_mention"].append(normalize_str(m["text"]))
+                out["context_left"].append(text[max(0, s - cw):s])
+                out["context_right"].append(text[e:e + cw])
+                out["offset"].append(span_off + s)
         return pa.table({
             "doc_id": pa.array(out["doc_id"], pa.string()),
             "span_idx": pa.array(out["span_idx"], pa.int32()),
