@@ -354,14 +354,17 @@ def _q_events_sliding(sf_dir: str):
     """,
 )
 def _q_user_sessions(sf_dir: str):
-    """Session windows (30 min gap) per user: one groupby(user) with a
-    vectorized sort+diff+cumsum segmenter per group. Equal timestamps land
-    in one session regardless of tie order → deterministic vs the oracle's
+    """Session windows (30 min gap) per user, via the SALTED two-phase
+    plan (pre-segment in (user, 6h-bucket) groups, merge boundary
+    sessions per user over summaries — stages/windows.py), so the oracle
+    validates the hot-key path end-to-end. Equal timestamps land in one
+    session regardless of tie order → deterministic vs the oracle's
     window-function formulation."""
     from .stages.windows import session_windows
 
     ev = _read(sf_dir, "events", ["user_id", "ts"])
-    return session_windows(ev, gap_us=1_800_000_000)
+    return session_windows(ev, gap_us=1_800_000_000,
+                           salt_bucket_us=21_600_000_000)
 
 
 @register(
@@ -376,17 +379,19 @@ def _q_user_sessions(sf_dir: str):
 )
 def _q_asof(sf_dir: str):
     """Backward as-of join: every error event gets the latest prior click
-    timestamp of the same user (one co-group shuffle + per-key
-    searchsorted — stages/joins.py), checked against DuckDB's native
-    ASOF JOIN. Emitting the matched timestamp keeps boundary ties
-    deterministic on both sides."""
+    timestamp of the same user, checked against DuckDB's native ASOF
+    JOIN. Runs the SALTED two-phase plan (stages/joins.py — (user,
+    1h-bucket) co-groups + summary fallback), so the oracle validates the
+    hot-key path end-to-end. Emitting the matched timestamp keeps
+    boundary ties deterministic on both sides."""
     from .stages.joins import asof_join_latest
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
     left = ev.filter(expr="event_type == 'error'")
     right = ev.filter(expr="event_type == 'click'")
     return asof_join_latest(left, right, key="user_id", ts="ts",
-                            left_id="event_id")
+                            left_id="event_id",
+                            salt_bucket_us=3_600_000_000)
 
 
 @register(
@@ -404,9 +409,11 @@ def _q_asof(sf_dir: str):
 )
 def _q_range_count(sf_dir: str):
     """Range join (count form): clicks within ±10 min of each error by the
-    same user — two searchsorted probes per key group, no pair
+    same user — two searchsorted probes per group, no pair
     materialization (the scale-safe formulation; exploding pairs is what
-    makes naive range joins quadratic)."""
+    makes naive range joins quadratic). Runs the SALTED plan (1h buckets,
+    right rows replicate ~1.33×), so the oracle validates the hot-key
+    path end-to-end."""
     from .stages.joins import range_join_count
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
@@ -414,7 +421,8 @@ def _q_range_count(sf_dir: str):
     right = ev.filter(expr="event_type == 'click'")
     return range_join_count(left, right, key="user_id", ts="ts",
                             left_id="event_id",
-                            before_us=600_000_000, after_us=600_000_000)
+                            before_us=600_000_000, after_us=600_000_000,
+                            salt_bucket_us=3_600_000_000)
 
 
 # ---------------------------------------------------------------------------

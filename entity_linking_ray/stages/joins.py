@@ -3,10 +3,20 @@
 Both are implemented as ONE co-group shuffle: the two sides are projected
 onto a shared schema with a ``__side`` tag, unioned, grouped by the join
 key, and matched inside each group with vectorized ``searchsorted`` over
-the sorted right-side timestamps. The partitioning assumption is the
-usual one for keyed temporal joins: a single key's rows fit one group
-(skewed keys are bounded by per-key event counts; salt + re-merge applies
-if a key outgrows that, same as blocking).
+the sorted right-side timestamps. By default a single key's rows land in
+one group; for HOT keys (one user with the whole 100-TB stream's history)
+pass ``salt_bucket_us`` to shard each key by time bucket:
+
+- as-of: per-(key, bucket) groups resolve in-bucket matches; lefts with
+  no in-bucket predecessor fall back to a second, SUMMARY-sized co-group
+  per key (one max-timestamp row per non-empty right bucket) that takes a
+  prefix max over earlier buckets. Group size is bounded by the per-bucket
+  row count plus the bucket count — never the key's full history.
+- range: right rows replicate to every bucket their timestamp can serve
+  (1 + ceil((before+after)/bucket) copies); each left row then counts
+  entirely inside its own (key, bucket) group. Exact, one phase.
+- sessions (stages/windows.py): pre-segment inside each (key, bucket),
+  then merge boundary sessions per key over the session SUMMARIES.
 
 - :func:`asof_join_latest` — for every left row, the latest right
   timestamp ≤ the left timestamp (backward as-of). Emitting the matched
@@ -55,9 +65,17 @@ def _tagged_union(left: ray.data.Dataset, right: ray.data.Dataset,
 
 def asof_join_latest(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      key: str, ts: str, left_id: str,
-                     out_col: str = "asof_t") -> ray.data.Dataset:
+                     out_col: str = "asof_t",
+                     salt_bucket_us: int | None = None) -> ray.data.Dataset:
     """→ (left_id, key, t, out_col) with out_col = max right __t ≤ t per
-    key, or -1 when no right row precedes the left row."""
+    key, or -1 when no right row precedes the left row.
+
+    ``salt_bucket_us`` switches to the salted two-phase plan (module
+    docstring) — identical output, bounded group sizes under hot keys."""
+    if salt_bucket_us is not None:
+        return _asof_join_salted(left, right, key=key, ts=ts,
+                                 left_id=left_id, out_col=out_col,
+                                 salt_bucket_us=salt_bucket_us)
 
     def match(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]
@@ -84,9 +102,20 @@ def asof_join_latest(left: ray.data.Dataset, right: ray.data.Dataset, *,
 def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      key: str, ts: str, left_id: str,
                      before_us: int, after_us: int,
-                     out_col: str = "n_in_range") -> ray.data.Dataset:
+                     out_col: str = "n_in_range",
+                     salt_bucket_us: int | None = None) -> ray.data.Dataset:
     """→ (left_id, key, t, out_col) with out_col = |{right rows with
-    __t in [t - before_us, t + after_us]}| per key."""
+    __t in [t - before_us, t + after_us]}| per key.
+
+    ``salt_bucket_us`` switches to the salted single-phase plan (module
+    docstring): right rows replicate to the buckets they can serve, so
+    each left row counts inside its own (key, bucket) group — identical
+    output, group sizes bounded by per-bucket density."""
+    if salt_bucket_us is not None:
+        return _range_join_salted(left, right, key=key, ts=ts,
+                                  left_id=left_id, before_us=before_us,
+                                  after_us=after_us, out_col=out_col,
+                                  salt_bucket_us=salt_bucket_us)
 
     def match(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]
@@ -104,4 +133,147 @@ def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset, *,
                              "t": lt, out_col: (hi - lo).astype(np.int64)})
 
     return _tagged_union(left, right, key, ts, left_id).groupby(key).map_groups(
+        match, batch_format="pandas")
+
+
+def _add_bucket(tagged: ray.data.Dataset, width_us: int) -> ray.data.Dataset:
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b["__t"].to_numpy(zero_copy_only=False)
+        return b.append_column("__bucket", pa.array(t // width_us, pa.int64()))
+
+    return tagged.map_batches(bucketize, batch_format="pyarrow")
+
+
+def _asof_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                      key: str, ts: str, left_id: str, out_col: str,
+                      salt_bucket_us: int) -> ray.data.Dataset:
+    """Two-phase salted as-of (module docstring): phase A resolves lefts
+    with an in-bucket predecessor inside (key, time-bucket) groups and
+    emits one max-timestamp SUMMARY row per non-empty right bucket; phase
+    B co-groups only the unresolved lefts with the summaries per key and
+    takes a prefix max over strictly earlier buckets. Output is identical
+    to the unsalted plan (property-tested on a skewed fixture)."""
+    W = salt_bucket_us
+    tagged = _add_bucket(_tagged_union(left, right, key, ts, left_id), W)
+
+    def match_a(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0]
+        rt = np.sort(group.loc[group["__side"] == 1, "__t"].to_numpy())
+        kdt = group[key].dtype
+        cols = {left_id: [], key: [], "t": [], out_col: [], "__kind": []}
+        out = pd.DataFrame({left_id: pd.Series(cols[left_id], dtype="int64"),
+                            key: pd.Series(cols[key], dtype=kdt),
+                            "t": pd.Series([], dtype="int64"),
+                            out_col: pd.Series([], dtype="int64"),
+                            "__kind": pd.Series([], dtype="int8")})
+        frames = [out]
+        if len(l):
+            lt = l["__t"].to_numpy()
+            if len(rt):
+                pos = np.searchsorted(rt, lt, side="right") - 1
+                matched = np.where(pos >= 0, rt[np.clip(pos, 0, None)], _NO_MATCH)
+            else:
+                matched = np.full(len(lt), _NO_MATCH, np.int64)
+            kind = np.where(matched == _NO_MATCH, 1, 0).astype(np.int8)
+            frames.append(pd.DataFrame({
+                left_id: l["__id"].to_numpy(), key: l[key].to_numpy(),
+                "t": lt, out_col: matched, "__kind": kind}))
+        if len(rt):
+            # summary row: t carries the BUCKET index, out_col the bucket max
+            frames.append(pd.DataFrame({
+                left_id: np.array([_NO_MATCH], np.int64),
+                key: pd.Series([group[key].iloc[0]], dtype=kdt),
+                "t": np.array([int(group["__bucket"].iloc[0])], np.int64),
+                out_col: np.array([rt[-1]], np.int64),
+                "__kind": np.array([2], np.int8)}))
+        return pd.concat(frames, ignore_index=True)
+
+    phase_a = tagged.groupby([key, "__bucket"]).map_groups(
+        match_a, batch_format="pandas")
+
+    resolved = phase_a.filter(expr="__kind == 0").drop_columns(["__kind"])
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        un = group[group["__kind"] == 1]
+        kdt = group[key].dtype
+        if not len(un):
+            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
+                                 key: pd.Series([], dtype=kdt),
+                                 "t": pd.Series([], dtype="int64"),
+                                 out_col: pd.Series([], dtype="int64")})
+        summ = group[group["__kind"] == 2]
+        sb = summ["t"].to_numpy()          # bucket indices
+        smax = summ[out_col].to_numpy()
+        order = np.argsort(sb)
+        sb = sb[order]
+        smax = np.maximum.accumulate(smax[order])
+        ub = un["t"].to_numpy() // W
+        if len(sb):
+            pos = np.searchsorted(sb, ub, side="left") - 1  # buckets < ub
+            val = np.where(pos >= 0, smax[np.clip(pos, 0, None)], _NO_MATCH)
+        else:
+            val = np.full(len(un), _NO_MATCH, np.int64)
+        return pd.DataFrame({left_id: un[left_id].to_numpy(),
+                             key: un[key].to_numpy(),
+                             "t": un["t"].to_numpy(), out_col: val})
+
+    fallback = phase_a.filter(expr="__kind > 0").groupby(key).map_groups(
+        finish, batch_format="pandas")
+    return resolved.union(fallback)
+
+
+def _range_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                       key: str, ts: str, left_id: str,
+                       before_us: int, after_us: int, out_col: str,
+                       salt_bucket_us: int) -> ray.data.Dataset:
+    """Single-phase salted range count (module docstring): each right row
+    replicates to every time bucket whose lefts it can serve; each left
+    row counts inside its own (key, bucket) group. Exact — a qualifying
+    right appears exactly once in the left's group."""
+    W = salt_bucket_us
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        t = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: b[key], "__t": pa.array(t, pa.int64()),
+            "__id": pc.cast(b[left_id], pa.int64()),
+            "__side": pa.array(np.zeros(len(t), np.int8)),
+            "__bucket": pa.array(t // W, pa.int64()),
+        })
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        t = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        lob = (t - after_us) // W
+        hib = (t + before_us) // W
+        reps = (hib - lob + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), reps)
+        within = np.arange(reps.sum(), dtype=np.int64) - \
+            np.repeat(np.cumsum(reps) - reps, reps)
+        return pa.table({
+            key: b[key].take(pa.array(idx, pa.int64())),
+            "__t": pa.array(t[idx], pa.int64()),
+            "__id": pa.array(np.full(len(idx), _NO_MATCH, np.int64)),
+            "__side": pa.array(np.ones(len(idx), np.int8)),
+            "__bucket": pa.array(lob[idx] + within, pa.int64()),
+        })
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def match(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0]
+        if not len(l):
+            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
+                                 key: pd.Series([], dtype=group[key].dtype),
+                                 "t": pd.Series([], dtype="int64"),
+                                 out_col: pd.Series([], dtype="int64")})
+        rt = np.sort(group.loc[group["__side"] == 1, "__t"].to_numpy())
+        lt = l["__t"].to_numpy()
+        lo = np.searchsorted(rt, lt - before_us, side="left")
+        hi = np.searchsorted(rt, lt + after_us, side="right")
+        return pd.DataFrame({left_id: l["__id"].to_numpy(),
+                             key: l[key].to_numpy(),
+                             "t": lt, out_col: (hi - lo).astype(np.int64)})
+
+    return tagged.groupby([key, "__bucket"]).map_groups(
         match, batch_format="pandas")

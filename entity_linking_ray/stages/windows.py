@@ -83,10 +83,23 @@ def sliding_window_agg(events: ray.data.Dataset, *, width_us: int,
 
 def session_windows(events: ray.data.Dataset, *, gap_us: int,
                     key_col: str = "user_id",
-                    ts_col: str = "ts") -> ray.data.Dataset:
+                    ts_col: str = "ts",
+                    salt_bucket_us: int | None = None) -> ray.data.Dataset:
     """→ (key, session_start: int64 epoch-us, n_events: int64,
     duration_us: int64) — one row per (key, session), sessions split where
-    the sorted inter-event gap exceeds ``gap_us``."""
+    the sorted inter-event gap exceeds ``gap_us``.
+
+    ``salt_bucket_us`` switches to the salted two-phase plan for hot keys
+    (stages/joins.py module docstring): events pre-segment inside each
+    (key, time-bucket) group, then a per-key pass over only the session
+    SUMMARIES merges sessions across bucket boundaries (adjacent sessions
+    whose start-to-end gap ≤ ``gap_us``). Identical output — sessions are
+    contiguous time intervals, so per-bucket segmentation plus boundary
+    merging is exact (property-tested on a skewed fixture)."""
+    if salt_bucket_us is not None:
+        return _session_windows_salted(events, gap_us=gap_us,
+                                       key_col=key_col, ts_col=ts_col,
+                                       salt_bucket_us=salt_bucket_us)
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         t = np.sort(group[ts_col].astype("int64").to_numpy())
@@ -119,3 +132,64 @@ def session_windows(events: ray.data.Dataset, *, gap_us: int,
     return (cols.map_batches(to_us, batch_format="pyarrow")
             .groupby(key_col)
             .map_groups(sessions, batch_format="pandas"))
+
+
+def _session_windows_salted(events: ray.data.Dataset, *, gap_us: int,
+                            key_col: str, ts_col: str,
+                            salt_bucket_us: int) -> ray.data.Dataset:
+    """Hot-key session windows: per-(key, bucket) local segmentation, then
+    a per-key merge over session summaries only (one row per local
+    session — a hot key with a month-long session contributes #buckets
+    summary rows to the merge group, never its raw events)."""
+    W = salt_bucket_us
+
+    def to_us(b: pa.Table) -> pa.Table:
+        t = pc.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: b[key_col],
+            ts_col: pa.array(t, pa.int64()),
+            "__bucket": pa.array(t // W, pa.int64()),
+        })
+
+    def local_sessions(group: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(group[ts_col].to_numpy())
+        brk = np.empty(len(t), dtype=np.int64)
+        brk[0] = 1
+        if len(t) > 1:
+            brk[1:] = (np.diff(t) > gap_us).astype(np.int64)
+        run_start = np.nonzero(brk)[0]
+        run_end = np.append(run_start[1:], len(t)) - 1
+        return pd.DataFrame({
+            key_col: np.full(len(run_start), group[key_col].iloc[0]),
+            "session_start": t[run_start],
+            "__end": t[run_end],
+            "n_events": np.diff(np.append(run_start, len(t))),
+        })
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("session_start")
+        start = g["session_start"].to_numpy()
+        end = g["__end"].to_numpy()
+        n = g["n_events"].to_numpy()
+        # local sessions of one key are disjoint, ordered intervals:
+        # merge adjacent ones whose boundary gap is within gap_us
+        brk = np.empty(len(g), dtype=np.int64)
+        brk[0] = 1
+        if len(g) > 1:
+            brk[1:] = (start[1:] - end[:-1] > gap_us).astype(np.int64)
+        run_start = np.nonzero(brk)[0]
+        run_end = np.append(run_start[1:], len(g)) - 1
+        sess = np.cumsum(brk) - 1
+        counts = np.bincount(sess, weights=n).astype(np.int64)
+        return pd.DataFrame({
+            key_col: np.full(len(run_start), g[key_col].iloc[0]),
+            "session_start": start[run_start],
+            "n_events": counts,
+            "duration_us": end[run_end] - start[run_start],
+        })
+
+    cols = events.select_columns([key_col, ts_col])
+    local = (cols.map_batches(to_us, batch_format="pyarrow")
+             .groupby([key_col, "__bucket"])
+             .map_groups(local_sessions, batch_format="pandas"))
+    return local.groupby(key_col).map_groups(merge, batch_format="pandas")

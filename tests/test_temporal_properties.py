@@ -107,3 +107,84 @@ def test_asof_and_range_match_bruteforce(rows):
     for i, (u, t, _) in enumerate(left_rows):
         n = sum(1 for x in rt_by_user.get(u, []) if t - before <= x <= t + after)
         assert got_n[(u, t, i)] == n
+
+
+@given(_EVENTS)
+@_SETTINGS
+def test_salted_temporal_ops_equal_unsalted(rows):
+    """The hot-key salted plans (salt_bucket_us) must equal the unsalted
+    co-group plans exactly — boundaries, ties and empty sides included.
+    W=64 over ts∈[0,500] forces multi-bucket keys and cross-bucket
+    fallbacks/merges."""
+    W = 64
+    left_rows = [r for r in rows if r[2] == 0] or rows[:1]
+    right_rows = [r for r in rows if r[2] != 0]
+    left, right = _ds(left_rows), _ds(right_rows)
+
+    a0 = asof_join_latest(left, right, key="user_id", ts="ts",
+                          left_id="event_id").to_pandas()
+    a1 = asof_join_latest(left, right, key="user_id", ts="ts",
+                          left_id="event_id", salt_bucket_us=W).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["event_id", "user_id", "t",
+                                           "asof_t"]].to_numpy()))
+    assert key(a0) == key(a1)
+
+    r0 = range_join_count(left, right, key="user_id", ts="ts",
+                          left_id="event_id", before_us=30,
+                          after_us=30).to_pandas()
+    r1 = range_join_count(left, right, key="user_id", ts="ts",
+                          left_id="event_id", before_us=30, after_us=30,
+                          salt_bucket_us=W).to_pandas()
+    rkey = lambda df: sorted(map(tuple, df[["event_id", "user_id", "t",
+                                            "n_in_range"]].to_numpy()))
+    assert rkey(r0) == rkey(r1)
+
+    s0 = session_windows(_ds(rows), gap_us=50).to_pandas()
+    s1 = session_windows(_ds(rows), gap_us=50, salt_bucket_us=W).to_pandas()
+    skey = lambda df: sorted(map(tuple, df[["user_id", "session_start",
+                                            "n_events", "duration_us"]].to_numpy()))
+    assert skey(s0) == skey(s1)
+
+
+def test_salted_temporal_ops_on_hot_key(ray_session):
+    """Deterministic skewed fixture: one hot user owns 95% of the events
+    across many salt buckets (including a session that spans buckets and
+    as-of probes whose predecessor sits buckets away); salted == unsalted."""
+    rng = np.random.default_rng(42)
+    rows = []
+    t = 0
+    for i in range(400):           # hot user 0: dense stream, gaps mixed
+        t += int(rng.integers(1, 120))
+        rows.append((0, t, int(i % 3 == 0)))
+    rows += [(u, int(rng.integers(0, t)), u % 2) for u in range(1, 8)]
+    W = 256                         # many buckets over the hot stream
+
+    left_rows = [r for r in rows if r[2] == 0] or rows[:1]
+    right_rows = [r for r in rows if r[2] != 0]
+    left, right = _ds(left_rows), _ds(right_rows)
+
+    a0 = asof_join_latest(left, right, key="user_id", ts="ts",
+                          left_id="event_id").to_pandas()
+    a1 = asof_join_latest(left, right, key="user_id", ts="ts",
+                          left_id="event_id", salt_bucket_us=W).to_pandas()
+    cols = ["event_id", "user_id", "t", "asof_t"]
+    assert sorted(map(tuple, a0[cols].to_numpy())) == \
+        sorted(map(tuple, a1[cols].to_numpy()))
+
+    r0 = range_join_count(left, right, key="user_id", ts="ts",
+                          left_id="event_id", before_us=200,
+                          after_us=100).to_pandas()
+    r1 = range_join_count(left, right, key="user_id", ts="ts",
+                          left_id="event_id", before_us=200, after_us=100,
+                          salt_bucket_us=W).to_pandas()
+    cols = ["event_id", "user_id", "t", "n_in_range"]
+    assert sorted(map(tuple, r0[cols].to_numpy())) == \
+        sorted(map(tuple, r1[cols].to_numpy()))
+
+    s0 = session_windows(_ds(rows), gap_us=100).to_pandas()
+    s1 = session_windows(_ds(rows), gap_us=100, salt_bucket_us=W).to_pandas()
+    cols = ["user_id", "session_start", "n_events", "duration_us"]
+    assert sorted(map(tuple, s0[cols].to_numpy())) == \
+        sorted(map(tuple, s1[cols].to_numpy()))
+    # the hot key genuinely spans buckets: >1 bucket and >1 merged session
+    assert t // W > 3 and (s1["user_id"] == 0).sum() >= 1
