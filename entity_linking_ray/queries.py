@@ -767,42 +767,23 @@ def _q_embed_dups(sf_dir: str):
     """,
 )
 def _q_embed_sim_pairs(sf_dir: str):
-    """EXACT cosine similarity self-join above a threshold: the broadcast
-    block-matmul pattern (normalized matrix broadcast once via ray.put;
-    each task emits its batch-vs-all pairs). The brute-force baseline the
-    LSH variants approximate — oracled against DuckDB's
+    """EXACT cosine similarity self-join above a threshold, as a FULLY
+    DISTRIBUTED triangle tile join (stages/knn.py::cosine_self_join): no
+    driver-side collect of the embedding table — rows replicate to their
+    O(num_tiles) tile-pair groups and each group does one tile×tile
+    matmul, every pair computed exactly once. The brute-force baseline
+    the LSH variants approximate — oracled against DuckDB's
     list_cosine_similarity cross join. Threshold 0.45 sits in a wide
     margin of the testdata's cosine distribution (nearest values ~0.449 /
-    0.452), so float32-vs-float64 kernel differences cannot flip a pair.
-
-    The one-side-resident collect is inherent to brute-force all-pairs
-    (valid while one side fits the object store); beyond that the scale
-    path is the bucketed LSH variant (embedding_dup_pairs)."""
-    import numpy as np
+    0.452), so float32-vs-float64 kernel differences cannot flip a pair."""
     import pyarrow as pa
 
-    import ray
-
-    from .stages.knn import _normalize, _to_matrix
+    from .stages.knn import cosine_self_join
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    all_pd = ds.to_pandas().sort_values("vec_id")
-    V = _normalize(_to_matrix(all_pd["embedding"]))
-    ids = all_pd["vec_id"].to_numpy()
-    blob = ray.put((V, ids))
-
-    def pairs(b: pa.Table) -> pa.Table:
-        Vb = _normalize(_to_matrix(b["embedding"].to_pylist()))
-        bid = np.asarray(b["vec_id"].to_pylist())
-        Vn, all_ids = ray.get(blob)
-        C = Vb @ Vn.T
-        ii, jj = np.nonzero((C >= 0.45) & (bid[:, None] < all_ids[None, :]))
-        return pa.table({
-            "id_a": pa.array(bid[ii], pa.int64()),
-            "id_b": pa.array(all_ids[jj], pa.int64()),
-        })
-
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    out = cosine_self_join(ds, threshold=0.45, num_tiles=4)
+    return out.map_batches(lambda b: b.select(["id_a", "id_b"]),
+                           batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

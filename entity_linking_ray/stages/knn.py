@@ -155,3 +155,86 @@ def ivf_knn(ds: ray.data.Dataset, queries: np.ndarray, query_ids, k: int = 5,
         return g
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def cosine_self_join(ds: ray.data.Dataset, *, threshold: float,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     num_tiles: int = 8) -> ray.data.Dataset:
+    """EXACT all-pairs cosine similarity self-join above ``threshold`` —
+    fully distributed triangle tile join (no driver-side collect of the
+    embedding table; the LSH variant in stages/dedup.py remains the scale
+    path when the threshold is high enough to prune).
+
+    Plan: each row is hashed to one of ``num_tiles`` tiles; every row
+    replicates to the ``num_tiles`` unordered tile-pair groups it belongs
+    to (the classic triangle all-pairs join), and each (i, j) group does
+    one tile×tile matmul — diagonal groups take the upper triangle, off-
+    diagonal groups the full cross. Every pair is computed in EXACTLY one
+    group. Shuffle volume is O(n·num_tiles) vector rows against O(n²)
+    comparison work, so num_tiles ~ sqrt(cluster width) keeps both the
+    replication factor modest and the per-group matmul
+    (n/num_tiles)²-sized. Output: (id_a, id_b, cosine) with id_a < id_b."""
+    T = num_tiles
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"__pair": pa.array([], pa.int64()),
+                             "__tile": pa.array([], pa.int64()),
+                             id_col: b[id_col], vec_col: b[vec_col]})
+        if pa.types.is_integer(b[id_col].type):
+            from ..functions.hashing import splitmix64
+
+            g = (splitmix64(b[id_col].to_numpy(zero_copy_only=False)
+                            .astype(np.uint64)) % np.uint64(T)).astype(np.int64)
+        else:
+            from ..functions.hashing import hash_strings
+
+            g = hash_strings([str(x) for x in b[id_col].to_pylist()]) % T
+        n = b.num_rows
+        gi = np.repeat(g, T)
+        h = np.tile(np.arange(T, dtype=np.int64), n)
+        pair = np.minimum(gi, h) * T + np.maximum(gi, h)
+        # h == g contributes the diagonal group exactly once; other h once
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), T), pa.int64())
+        return pa.table({
+            "__pair": pa.array(pair, pa.int64()),
+            "__tile": pa.array(gi, pa.int64()),
+            id_col: b[id_col].take(idx),
+            vec_col: b[vec_col].take(idx),
+        })
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        pk = int(group["__pair"].iloc[0])
+        i, j = pk // T, pk % T
+        out_empty = pd.DataFrame({
+            "id_a": group[id_col].iloc[:0], "id_b": group[id_col].iloc[:0],
+            "cosine": pd.Series([], dtype="float64")})
+        if i == j:
+            g = group[group["__tile"] == i].drop_duplicates(subset=[id_col])
+            if len(g) < 2:
+                return out_empty
+            ids = g[id_col].to_numpy()
+            V = _normalize(_to_matrix(g[vec_col]))
+            C = V @ V.T
+            iu, ju = np.triu_indices(len(g), k=1)
+            keep = C[iu, ju] >= threshold
+            a, b_ = ids[iu[keep]], ids[ju[keep]]
+            cos = C[iu[keep], ju[keep]]
+        else:
+            gi_ = group[group["__tile"] == i].drop_duplicates(subset=[id_col])
+            gj_ = group[group["__tile"] == j].drop_duplicates(subset=[id_col])
+            if not len(gi_) or not len(gj_):
+                return out_empty
+            ia, ib = gi_[id_col].to_numpy(), gj_[id_col].to_numpy()
+            C = _normalize(_to_matrix(gi_[vec_col])) @ \
+                _normalize(_to_matrix(gj_[vec_col])).T
+            ii, jj = np.nonzero(C >= threshold)
+            a = np.minimum(ia[ii], ib[jj])
+            b_ = np.maximum(ia[ii], ib[jj])
+            cos = C[ii, jj]
+        order = np.argsort(a, kind="stable")
+        return pd.DataFrame({"id_a": a[order], "id_b": b_[order],
+                             "cosine": cos[order]})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("__pair").map_groups(pairs, batch_format="pandas"))

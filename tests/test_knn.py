@@ -52,3 +52,43 @@ def test_ivf_recall_reasonable(vec_ds):
         hits += len(got & set(exact[q]))
         total += 5
     assert hits / total >= 0.6  # nprobe=4 of 8 buckets → recall well above half
+
+
+def test_cosine_self_join_matches_bruteforce():
+    """Triangle tile join == exact all-pairs, every pair exactly once —
+    int and string id columns, several tile widths."""
+    import numpy as np
+    import pandas as pd
+
+    from entity_linking_ray.stages.knn import cosine_self_join
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(80, 12))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    iu, ju = np.triu_indices(len(V), k=1)
+    thr = np.quantile(C[iu, ju], 0.95)  # enough qualifying pairs
+    exact = {(int(i), int(j)) for i, j in
+             zip(iu[C[iu, ju] >= thr], ju[C[iu, ju] >= thr])}
+    assert len(exact) >= 50
+
+    base = pa.table({
+        "vec_id": pa.array(range(len(V)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float64())),
+    })
+    for tiles in (1, 3, 8):
+        got = cosine_self_join(ray.data.from_arrow(base), threshold=float(thr),
+                               num_tiles=tiles).to_pandas()
+        gp = list(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+        assert len(gp) == len(set(gp)) == len(exact)  # no dup pairs
+        assert set(gp) == exact
+
+    sid = pa.table({
+        "vec_id": pa.array([f"v{i:03d}" for i in range(len(V))], pa.string()),
+        "embedding": base["embedding"],
+    })
+    got = cosine_self_join(ray.data.from_arrow(sid), threshold=float(thr),
+                           num_tiles=4).to_pandas()
+    exp_s = {(f"v{a:03d}", f"v{b:03d}") for a, b in exact}
+    assert {(a, b) for a, b in zip(got["id_a"], got["id_b"])} == exp_s
