@@ -148,9 +148,53 @@ def run_alias_scale() -> list[dict]:
     return rows
 
 
+def run_hnsw_amortized(sf_dir: str) -> dict:
+    """Persistent-shard HNSW serving shape: build each shard's graph once,
+    then serve many query batches — amortized per-batch cost vs the
+    per-call rebuild of hnsw_knn (the one-shot scan shape)."""
+    import numpy as np
+
+    import ray.data
+
+    from entity_linking_ray.stages.ann import sharded_topk
+    from entity_linking_ray.stages.hnsw import build_hnsw_shards, hnsw_knn
+
+    tbl = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").to_pandas()
+    ids = tbl["vec_id"].to_numpy()
+    V = np.stack([np.asarray(v, np.float32) for v in tbl["embedding"]])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    Q = V[:50]
+
+    t0 = time.time()
+    shards = build_hnsw_shards(ids.astype(object), V, num_shards=4)
+    build_sec = time.time() - t0
+    n_batches = 10
+    t0 = time.time()
+    for _ in range(n_batches):
+        sharded_topk(shards, Q, k=10)
+    per_batch = (time.time() - t0) / n_batches
+
+    # one-shot comparison: hnsw_knn rebuilds per run
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    hnsw_knn(ds, Q, list(range(len(Q))), k=10).count()
+    oneshot = time.time() - t0
+    return {"n_vectors": int(len(V)), "build_sec": round(build_sec, 3),
+            "per_batch_sec": round(per_batch, 4), "n_batches": n_batches,
+            "oneshot_hnsw_knn_sec": round(oneshot, 3)}
+
+
 def main():
     if "--alias-scale" in sys.argv:
         print(json.dumps({"metric": "alias_scale", "results": run_alias_scale()}))
+        return
+    if "--hnsw-amortized" in sys.argv:
+        _init_ray(NUM_CPUS)
+        import ray
+
+        print(json.dumps({"metric": "hnsw_amortized",
+                          **run_hnsw_amortized(SF_DIR)}))
+        ray.shutdown()
         return
     if "--scaling" in sys.argv:
         here = os.path.dirname(os.path.abspath(__file__))

@@ -210,6 +210,13 @@ def hnsw_knn(ds: "ray.data.Dataset", queries: np.ndarray, query_ids,
     like :func:`..stages.knn.brute_force_knn` — the union of per-shard
     approximate top-k is merged to a global top-k.
 
+    This is the ONE-SHOT scan shape (graph per input block, rebuilt every
+    run). For repeated-query/serving workloads use
+    :func:`build_hnsw_shards` + :func:`..stages.ann.sharded_topk` — the
+    persistent shard actors build each graph once (or ``load()`` it) and
+    amortize the build across every subsequent query batch, the
+    reference's serving shape (faiss_indexer.py:111-141).
+
     The queries ride in one broadcast blob; only (query_id, neighbor_id,
     cosine) rows move. Same output schema as brute_force_knn."""
     import pandas as pd
@@ -261,3 +268,108 @@ def hnsw_knn(ds: "ray.data.Dataset", queries: np.ndarray, query_ids,
         return g
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+@ray.remote
+class HNSWShard:
+    """Persistent-serving HNSW shard actor — the repeated-query shape
+    (reference ``faiss_indexer.py:111-141``: build/deserialize once, serve
+    many queries). Same add/seal/save/load/search lifecycle as
+    :class:`..stages.ann.IndexShard`, so :func:`..stages.ann.sharded_topk`
+    fans queries out to HNSW shards unchanged; unlike :func:`hnsw_knn`
+    (which rebuilds a graph per input block — right for one-shot scans),
+    the graph is built ONCE at ``seal()``/``load()`` and amortized across
+    every subsequent query batch.
+
+    ``save()`` persists (ids, matrix, params); ``load()`` re-derives the
+    graph — the build is DETERMINISTIC (splitmix64 level assignment), so
+    matrix + params reproduce the identical graph and search results."""
+
+    def __init__(self, *, m: int = 16, ef_construction: int = 200,
+                 ef_search: int = 256):
+        self._params = dict(m=m, ef_construction=ef_construction,
+                            ef_search=ef_search)
+        self._ids: list[np.ndarray] = []
+        self._mats: list[np.ndarray] = []
+        self.ids: np.ndarray | None = None
+        self.index: HNSWIndex | None = None
+        self.builds = 0  # construction counter (amortization test hook)
+
+    def add(self, ids: np.ndarray, matrix: np.ndarray) -> int:
+        self._ids.append(np.asarray(ids))
+        self._mats.append(np.asarray(matrix, dtype=np.float32))
+        return sum(len(x) for x in self._ids)
+
+    def seal(self) -> int:
+        self.ids = (np.concatenate(self._ids) if self._ids
+                    else np.empty(0, dtype=object))
+        matrix = (np.vstack(self._mats) if self._mats
+                  else np.empty((0, 1), np.float32))
+        self._ids, self._mats = [], []
+        self.index = HNSWIndex(matrix, **self._params)
+        self.builds += 1
+        return len(self.ids)
+
+    def save(self, path: str) -> str:
+        if self.index is None:
+            raise RuntimeError("shard not sealed")
+        np.savez_compressed(path, ids=self.ids.astype(str),
+                            matrix=self.index.matrix,
+                            params=np.array([self._params["m"],
+                                             self._params["ef_construction"],
+                                             self._params["ef_search"]],
+                                            dtype=np.int64))
+        return path
+
+    def load(self, path: str) -> int:
+        data = np.load(path, allow_pickle=False)
+        self.ids = data["ids"].astype(object)
+        m, efc, efs = (int(x) for x in data["params"])
+        self._params = dict(m=m, ef_construction=efc, ef_search=efs)
+        self.index = HNSWIndex(data["matrix"], **self._params)
+        self.builds += 1
+        self._ids, self._mats = [], []
+        return len(self.ids)
+
+    def build_count(self) -> int:
+        return self.builds
+
+    def search(self, queries: np.ndarray, k: int):
+        if self.index is None:
+            raise RuntimeError("shard not sealed")
+        n = len(queries)
+        if len(self.ids) == 0:
+            return (np.empty((n, 0), dtype=object),
+                    np.empty((n, 0), np.float32))
+        k = min(k, len(self.ids))
+        out_ids = np.empty((n, k), dtype=self.ids.dtype)
+        out_scores = np.zeros((n, k), dtype=np.float32)
+        for i in range(n):
+            idx, sims = self.index.search_one(queries[i], k)
+            order = np.lexsort((self.ids[idx], -sims))
+            idx, sims = idx[order], sims[order]
+            take = min(k, len(idx))
+            out_ids[i, :take] = self.ids[idx[:take]]
+            out_scores[i, :take] = sims[:take]
+        return out_ids, out_scores
+
+
+def build_hnsw_shards(ids: np.ndarray, matrix: np.ndarray, num_shards: int,
+                      add_buffer: int = 50_000, **hnsw_params) -> list:
+    """Hash-partition entities across persistent HNSW shard actors
+    (deterministic by id — same partitioning as
+    :func:`..stages.ann.build_shards`); seal() builds each shard's graph
+    once, in parallel across actors."""
+    from ..functions.hashing import hash_strings
+
+    shards = [HNSWShard.remote(**hnsw_params) for _ in range(num_shards)]
+    h = hash_strings([str(x) for x in ids]) % num_shards
+    pend = []
+    for s in range(num_shards):
+        sel = np.nonzero(h == s)[0]
+        for lo in range(0, len(sel), add_buffer):
+            part = sel[lo:lo + add_buffer]
+            pend.append(shards[s].add.remote(ids[part], matrix[part]))
+    ray.get(pend)
+    ray.get([s.seal.remote() for s in shards])
+    return shards

@@ -57,3 +57,39 @@ def test_hnsw_knn_dataset(ray_session):
     got = out.sort_values("rank")
     assert int(got.iloc[0]["neighbor_id"]) == 150  # the planted near-dup
     assert set(got.columns) >= {"query_id", "neighbor_id", "cosine", "rank"}
+
+
+def test_hnsw_persistent_shards(ray_session, tmp_path):
+    """build_hnsw_shards + ann.sharded_topk: recall vs exact, graph built
+    ONCE per shard across repeated query batches, and save/load reproduces
+    identical search results (deterministic build)."""
+    from entity_linking_ray.stages.ann import sharded_topk, topk_ids
+    from entity_linking_ray.stages.hnsw import HNSWShard, build_hnsw_shards
+
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(400, 16)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    ids = np.array([f"e{i:04d}" for i in range(len(V))], dtype=object)
+    Q = V[:10] + rng.normal(scale=0.05, size=(10, 16)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+
+    shards = build_hnsw_shards(ids, V, num_shards=3)
+    got_ids, _ = sharded_topk(shards, Q, k=10)
+    exact_ids, _ = topk_ids(Q @ V.T, ids, 10)
+    recall = np.mean([len(set(g) & set(e)) / 10
+                      for g, e in zip(got_ids, exact_ids)])
+    assert recall >= 0.9
+
+    # many query batches — no rebuilds after seal()
+    for _ in range(3):
+        sharded_topk(shards, Q, k=5)
+    assert all(ray.get(s.build_count.remote()) == 1 for s in shards)
+
+    # save → fresh actors → load: identical results
+    paths = [str(tmp_path / f"hnsw-{i}.npz") for i in range(3)]
+    ray.get([s.save.remote(p) for s, p in zip(shards, paths)])
+    fresh = [HNSWShard.remote() for _ in paths]
+    ray.get([s.load.remote(p) for s, p in zip(fresh, paths)])
+    got2_ids, got2_sc = sharded_topk(fresh, Q, k=10)
+    assert [list(map(str, r)) for r in got2_ids] == \
+        [list(map(str, r)) for r in got_ids]
