@@ -43,10 +43,11 @@ def add_gold_pos(mentions: ray.data.Dataset,
     return mentions.map_batches(pos, batch_format="pyarrow")
 
 
-def recall_at_gen(mentions_by_dataset: dict[str, ray.data.Dataset],
-                  max_rank: int | None = None) -> dict[str, float]:
-    """{dataset: recall@gen} + "overall" (evaluator.py:62-84). Each input
-    dataset is tagged and unioned; one small groupby computes the table."""
+def _recall_counts(mentions_by_dataset: dict[str, ray.data.Dataset],
+                   max_rank: int | None = None) -> dict[str, tuple[int, int]]:
+    """{dataset: (hits, total)} via one small distributed groupby over
+    per-batch partial counts (the shared engine under recall_at_gen and
+    benchmark_report)."""
     tagged = [add_gold_pos(ds, name) for name, ds in mentions_by_dataset.items()]
     allm = tagged[0]
     for t in tagged[1:]:
@@ -71,11 +72,44 @@ def recall_at_gen(mentions_by_dataset: dict[str, ray.data.Dataset],
            .groupby("dataset")
            .aggregate(Sum("hits", alias_name="hits"),
                       Sum("total", alias_name="total")))
-    out: dict[str, float] = {}
-    hits = total = 0
-    for row in agg.take_all():
-        out[row["dataset"]] = row["hits"] / row["total"]
-        hits += row["hits"]
-        total += row["total"]
+    return {row["dataset"]: (row["hits"], row["total"])
+            for row in agg.take_all()}
+
+
+def recall_at_gen(mentions_by_dataset: dict[str, ray.data.Dataset],
+                  max_rank: int | None = None) -> dict[str, float]:
+    """{dataset: recall@gen} + "overall" (evaluator.py:62-84). Each input
+    dataset is tagged and unioned; one small groupby computes the table."""
+    counts = _recall_counts(mentions_by_dataset, max_rank)
+    out = {name: h / t for name, (h, t) in counts.items()}
+    hits = sum(h for h, _ in counts.values())
+    total = sum(t for _, t in counts.values())
     out["overall"] = hits / total if total else 0.0
     return out
+
+
+def benchmark_report(dataset_paths: dict[str, "list[str] | str"],
+                     max_rank: int | None = None):
+    """The full ``run_benchmark.py:57-94`` analogue: read every S15
+    benchmark CSV, compute recall@gen + support per dataset, and return
+    the summary table (the reference's prettytable) as a pandas DataFrame
+    with columns ``(dataset, recall_at_gen, support)`` in input order plus
+    a final ``overall`` row. Each dataset streams through the one shared
+    recall groupby — no per-mention driver collection."""
+    import pandas as pd
+
+    from ..sources.benchmarks import read_benchmark_mentions
+
+    dsets = {name: read_benchmark_mentions(p)
+             for name, p in dataset_paths.items()}
+    counts = _recall_counts(dsets, max_rank)
+    rows = [{"dataset": name,
+             "recall_at_gen": round(counts[name][0] / counts[name][1], 4),
+             "support": counts[name][1]}
+            for name in dataset_paths]
+    hits = sum(h for h, _ in counts.values())
+    total = sum(t for _, t in counts.values())
+    rows.append({"dataset": "overall",
+                 "recall_at_gen": round(hits / total, 4) if total else 0.0,
+                 "support": total})
+    return pd.DataFrame(rows, columns=["dataset", "recall_at_gen", "support"])

@@ -34,3 +34,41 @@ def test_gold_pos_and_recall(tmp_path, ray_session):
     # max_rank=1 drops Kyoto (gold at position 2)
     rec1 = recall_at_gen({"A": a, "B": b}, max_rank=1)
     assert rec1["B"] == 0.0 and abs(rec1["overall"] - 1 / 4) < 1e-9
+
+
+def test_benchmark_report_golden(ray_session):
+    """The full run_benchmark.py:57-94 analogue over the checked-in
+    multi-dataset fixture: per-dataset recall@gen + support table with
+    pinned golden values. The fixture exercises every dataset.py parser
+    path — comma-containing entity names, EMPTYCAND, the -1 gold
+    sentinel, and quote/space normalization."""
+    import os
+
+    from entity_linking_ray.pipelines.benchmark import benchmark_report
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "benchmark")
+    datasets = {
+        "AIDA-YAGO2 testa": os.path.join(fix, "aida_testa.csv"),
+        "AIDA-YAGO2 testb": os.path.join(fix, "aida_testb.csv"),
+        "ACE 2004": os.path.join(fix, "ace2004.csv"),
+        "msnbc": os.path.join(fix, "msnbc.csv"),
+    }
+
+    df = benchmark_report(datasets)
+    got = {r["dataset"]: (r["recall_at_gen"], r["support"])
+           for _, r in df.iterrows()}
+    # golden table (the reference's prettytable rows)
+    assert got == {
+        "AIDA-YAGO2 testa": (0.8, 5),     # Paris gold absent
+        "AIDA-YAGO2 testb": (0.5, 4),     # EMPTYCAND + -1-sentinel miss
+        "ACE 2004": (1.0, 3),
+        "msnbc": (0.25, 4),               # only the quoted name hits
+        "overall": (0.625, 16),
+    }
+    assert list(df["dataset"]) == list(datasets) + ["overall"]
+
+    # recall@1: Rome (pos 2) and Madrid (pos 2) drop out
+    df1 = benchmark_report(datasets, max_rank=1)
+    got1 = {r["dataset"]: r["recall_at_gen"] for _, r in df1.iterrows()}
+    assert got1 == {"AIDA-YAGO2 testa": 0.6, "AIDA-YAGO2 testb": 0.25,
+                    "ACE 2004": 1.0, "msnbc": 0.25, "overall": 0.5}
