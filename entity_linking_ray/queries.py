@@ -613,6 +613,35 @@ def _q_minhash_pairs(sf_dir: str):
     )
 
 
+@register(
+    "jaccard_dup_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([(hash(substring(text, i, 5)) & 9223372036854775807)::BIGINT
+                            FOR i IN range(1, length(text) - 3)]) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s)) AS n_inter,
+           len(list_distinct(a.s || b.s)) AS n_union
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) >= 0.7 * len(list_distinct(a.s || b.s))
+    """,
+)
+def _q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering (All-Pairs
+    blocking on the shingle-order prefix — recall 1 at the threshold by
+    the prefix lemma, no LSH estimate anywhere). The oracle is the
+    brute-force exact Jaccard self-join; the Ray side must produce the
+    identical pair set AND the identical integer intersect/union counts
+    (shingle-set cardinalities are hash-invariant)."""
+    from .stages.dedup import ngram_jaccard_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_dup_pairs(ds, threshold=0.7)
+
+
 @register("simhash_fingerprints")
 def _q_simhash(sf_dir: str):
     from .stages.dedup import simhash_fingerprints

@@ -149,3 +149,76 @@ def test_embedding_dup_pairs_join_mode_equivalent():
     pb = {(int(a), int(b)) for a, b in zip(bc["id_a"], bc["id_b"])}
     pj = {(int(a), int(b)) for a, b in zip(jn["id_a"], jn["id_b"])}
     assert pb == pj and len(pb) >= 5
+
+
+def _jac_docs():
+    """Docs with planted near-dups plus heavy shared boilerplate — the
+    boilerplate makes hash-ordered prefixes degenerate, so this doubles as
+    a regression test for the df-ordered prefix (all-pairs) blocking."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    boiler = "terms of service apply to all content on this page "
+    rows = []
+    for i in range(40):
+        body = " ".join(f"w{rng.integers(0, 5000)}" for _ in range(60))
+        rows.append({"doc_id": i, "text": boiler + body})
+    # planted near-dups: single-word edits of docs 0..4
+    for j in range(5):
+        t = rows[j]["text"].split()
+        t[-1] = "edited"
+        rows.append({"doc_id": 100 + j, "text": " ".join(t)})
+    rows.append({"doc_id": 999, "text": ""})
+    return rows
+
+
+def _exact_jaccard_pairs(rows, k=5, t=0.7):
+    out = {}
+    sets = {r["doc_id"]: {r["text"][i:i + k] for i in range(len(r["text"]) - k + 1)}
+            for r in rows if len(r["text"]) >= k}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter >= t * union:
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def test_ngram_jaccard_exact_pairs_and_counts():
+    from entity_linking_ray.stages.dedup import ngram_jaccard_dup_pairs
+
+    rows = _jac_docs()
+    want = _exact_jaccard_pairs(rows)
+    assert len(want) >= 5  # the planted pairs
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = ngram_jaccard_dup_pairs(ds, threshold=0.7).to_pandas()
+    got_map = {(int(a), int(b)): (int(i), int(u)) for a, b, i, u in
+               zip(got["id_a"], got["id_b"], got["n_inter"], got["n_union"])}
+    # identical pair set AND identical integer set cardinalities
+    # (hash-invariant: 63-bit shingle hashes collide with prob ~0)
+    assert got_map == want
+
+
+def test_ngram_jaccard_join_mode_equivalent():
+    from entity_linking_ray.stages.dedup import ngram_jaccard_dup_pairs
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(_jac_docs()))
+    bc = ngram_jaccard_dup_pairs(ds, threshold=0.7, pair_mode="broadcast").to_pandas()
+    jn = ngram_jaccard_dup_pairs(ds, threshold=0.7, pair_mode="join",
+                                 num_partitions=2).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "n_inter", "n_union"]]
+                                .itertuples(index=False)))
+    assert key(bc) == key(jn) and len(bc) >= 5
+
+
+def test_ngram_jaccard_no_dups_returns_typed_empty():
+    from entity_linking_ray.stages.dedup import ngram_jaccard_dup_pairs
+
+    rows = [{"doc_id": i, "text": f"totally unique number {i} " * 3}
+            for i in range(6)]
+    out = ngram_jaccard_dup_pairs(
+        ray.data.from_arrow(pa.Table.from_pylist(rows)), threshold=0.9)
+    assert out.schema().names == ["id_a", "id_b", "n_inter", "n_union"]
+    assert out.count() == 0
