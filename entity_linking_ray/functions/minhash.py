@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hashing import splitmix64
+from .hashing import hash_strings, splitmix64
 
 U64 = np.uint64
 _EMPTY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -43,6 +43,20 @@ def shingle_hashes(s: str, k: int = 5) -> np.ndarray:
         for j in range(k):
             acc = acc * U64(1099511628211) + cps[j : j + n]
     return np.unique(splitmix64(acc))
+
+
+def word_shingle_hashes(s: str, k: int = 3) -> np.ndarray:
+    """63-bit int64 hashes of all k-WORD shingles of *s* (whitespace
+    split, deduplicated) — Broder w-shingling. Docs with fewer than k
+    words yield no shingles (mirrors the SQL-oracle formulation, which
+    excludes them). Word shingles keep a Zipfian document frequency on
+    template-heavy corpora where char shingles collapse to a few thousand
+    common grams and prefix-filter blocking loses all selectivity."""
+    w = s.split()
+    if len(w) < k:
+        return np.empty(0, dtype=np.int64)
+    grams = [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
+    return np.unique(hash_strings(grams))
 
 
 def minhash_signature(s: str, num_perm: int = 64, k: int = 5, seed: int = 7) -> np.ndarray:

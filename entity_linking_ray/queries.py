@@ -616,11 +616,17 @@ def _q_minhash_pairs(sf_dir: str):
 @register(
     "jaccard_dup_pairs",
     """
-    WITH sh AS (
+    WITH w AS (
       SELECT doc_id,
-             list_distinct([(hash(substring(text, i, 5)) & 9223372036854775807)::BIGINT
-                            FOR i IN range(1, length(text) - 3)]) AS s
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
       FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN range(1, len(w) - 1)]) AS s
+      FROM w
+      WHERE len(w) >= 3
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            len(list_intersect(a.s, b.s)) AS n_inter,
@@ -630,12 +636,14 @@ def _q_minhash_pairs(sf_dir: str):
     """,
 )
 def _q_jaccard_pairs(sf_dir: str):
-    """EXACT n-gram Jaccard near-dup pairs via prefix filtering (All-Pairs
-    blocking on the shingle-order prefix — recall 1 at the threshold by
-    the prefix lemma, no LSH estimate anywhere). The oracle is the
-    brute-force exact Jaccard self-join; the Ray side must produce the
-    identical pair set AND the identical integer intersect/union counts
-    (shingle-set cardinalities are hash-invariant)."""
+    """EXACT word-trigram Jaccard near-dup pairs via df-ordered prefix
+    filtering (All-Pairs blocking — recall 1 at the threshold by the
+    prefix lemma, no LSH estimate anywhere). The oracle is the
+    brute-force exact Jaccard self-join over the same word trigrams; the
+    Ray side must produce the identical pair set AND the identical
+    integer intersect/union counts (shingle-set cardinalities are
+    hash-invariant: the oracle intersects gram STRINGS, the engine
+    63-bit gram hashes)."""
     from .stages.dedup import ngram_jaccard_dup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

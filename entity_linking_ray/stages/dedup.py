@@ -30,7 +30,8 @@ import ray
 import ray.data
 
 from ..functions.hashing import hash_strings, splitmix64
-from ..functions.minhash import band_keys, shingle_hashes, signature_matrix
+from ..functions.minhash import (band_keys, shingle_hashes, signature_matrix,
+                                 word_shingle_hashes)
 from ..functions.simhash import hamming64, simhash64
 
 
@@ -337,7 +338,7 @@ def simhash_dup_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "do
 
 def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
                             id_col: str = "doc_id", threshold: float = 0.7,
-                            shingle_k: int = 5,
+                            unit: str = "word", shingle_k: int = 3,
                             hh_min_df: int | None = None,
                             max_docs_per_token: int = 512,
                             num_partitions: int = 16,
@@ -363,6 +364,14 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
       with hash order, a few hundred with df order). At 10^12-doc scale
       set ``hh_min_df ~ εN``: the map stays broadcast-able AND every
       unmapped token's posting list is < εN docs by construction.
+    - shingles are k-WORD grams by default (``unit="word"``, Broder
+      w-shingling; ``unit="char"`` selects the k-char variant). Word
+      grams keep a Zipfian df distribution even on template-heavy
+      corpora, where the char-5-gram universe collapses to a few
+      thousand grams all with high df and NO ordering can make prefixes
+      selective (measured on the sf0.1 synthetic corpus: 2,041 distinct
+      char-5-grams → 39.5M candidates over 5,000 docs, vs ~80k word
+      trigrams with max df 15).
     - the shuffle carries only (prefix_token, id, set_size) rows — never
       the text or the shingle set (the same slim two-phase shape as
       :func:`embedding_dup_pairs`). Candidates are generated per
@@ -382,10 +391,15 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
     """
     _MASK = np.uint64(0x7FFFFFFFFFFFFFFF)
 
-    def masked_shingles(s: str) -> np.ndarray:
-        # mask to non-negative int64 BEFORE sorting so the prefix order and
-        # the Ray groupby key agree (collisions only add candidates)
-        return np.unique((shingle_hashes(s, shingle_k) & _MASK).astype(np.int64))
+    if unit == "word":
+        def masked_shingles(s: str) -> np.ndarray:
+            return word_shingle_hashes(s, shingle_k)  # already 63-bit int64
+    else:
+        def masked_shingles(s: str) -> np.ndarray:
+            # mask to non-negative int64 BEFORE sorting so the prefix order
+            # and the Ray groupby key agree (collisions only add candidates)
+            return np.unique(
+                (shingle_hashes(s, shingle_k) & _MASK).astype(np.int64))
 
     # ---- pass 1: exact per-shingle document frequency (word-count shape:
     # batch-local partial counts, then one small groupby-sum shuffle) ----
@@ -477,15 +491,35 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
     cand = buckets.groupby("__b").map_groups(
         cand_pairs, batch_format="pandas").materialize()
 
-    def verify_counts(texts_a: list, texts_b: list) -> tuple[np.ndarray, np.ndarray]:
-        n_inter = np.empty(len(texts_a), np.int64)
-        n_union = np.empty(len(texts_a), np.int64)
-        for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
-            sa, sb = masked_shingles(ta), masked_shingles(tb)
+    def verified_table(arr_a, arr_b, shingles_of) -> pa.Table:
+        """Exact-count verify for one batch of candidate pairs.
+
+        ``shingles_of(id)`` must be cheap on repeat lookups — docs recur
+        across many pairs, so each caller wraps masked_shingles in a
+        per-batch (or broadcast) id-keyed cache; recomputing per PAIR was
+        the original hotspot (~40 s serial on the driver at sf0.1).
+        Output id columns are ``take``n from the input Arrow arrays so the
+        id type survives empty selections (a pa.array([]) would be null-
+        typed and break the block union for string ids).
+        """
+        ids_a = arr_a.to_pylist()
+        ids_b = arr_b.to_pylist()
+        n = len(ids_a)
+        n_inter = np.empty(n, np.int64)
+        n_union = np.empty(n, np.int64)
+        for i in range(n):
+            sa, sb = shingles_of(ids_a[i]), shingles_of(ids_b[i])
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             n_inter[i] = inter
             n_union[i] = len(sa) + len(sb) - inter
-        return n_inter, n_union
+        keep = n_inter >= threshold * n_union
+        idx = pa.array(np.nonzero(keep)[0], pa.int64())
+        return pa.table({
+            "id_a": arr_a.take(idx),
+            "id_b": arr_b.take(idx),
+            "n_inter": pa.array(n_inter[keep]),
+            "n_union": pa.array(n_union[keep]),
+        })
 
     def _typed_empty() -> pa.Table:
         return pa.table({
@@ -514,18 +548,29 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
             return pa.table({id_col: sel[id_col], "__txt": sel[col]})
 
         got = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-        txt = dict(zip(got[id_col], got["__txt"]))
-        n_inter, n_union = verify_counts(
-            [txt[i] for i in pairs_pd["id_a"]],
-            [txt[i] for i in pairs_pd["id_b"]])
-        keep = n_inter >= threshold * n_union
-        out = pa.table({
-            "id_a": pa.array(pairs_pd["id_a"].to_numpy()[keep]),
-            "id_b": pa.array(pairs_pd["id_b"].to_numpy()[keep]),
-            "n_inter": pa.array(n_inter[keep]),
-            "n_union": pa.array(n_union[keep]),
-        })
-        return ray.data.from_arrow(out) if out.num_rows else ray.data.from_arrow(_typed_empty())
+        # verify DISTRIBUTED over pair batches (never a driver loop): texts
+        # of candidate docs broadcast once, shingle sets cached per id
+        # inside each task
+        txt_ref = ray.put(dict(zip(got[id_col], got["__txt"])))
+
+        def verify_batch(b: pa.Table) -> pa.Table:
+            txt = ray.get(txt_ref)
+            cache: dict = {}
+
+            def shingles_of(i):
+                r = cache.get(i)
+                if r is None:
+                    r = cache[i] = masked_shingles(txt[i])
+                return r
+
+            return verified_table(b["id_a"], b["id_b"], shingles_of)
+
+        out = (ray.data.from_pandas(pairs_pd)
+               .repartition(num_partitions)
+               .map_batches(verify_batch, batch_format="pyarrow"))
+        if out.count() == 0:
+            return ray.data.from_arrow(_typed_empty())
+        return out
 
     # distributed path: bucketed distinct over id pairs, then two hash
     # joins against the slim (id, text) projection — same shape (and empty-
@@ -562,14 +607,19 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
     def verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return _typed_empty()
-        n_inter, n_union = verify_counts(b["__txt_a"].to_pylist(),
-                                         b["__txt_b"].to_pylist())
-        keep = pa.array(np.nonzero(n_inter >= threshold * n_union)[0], pa.int64())
-        return pa.table({
-            "id_a": b["id_a"].take(keep), "id_b": b["id_b"].take(keep),
-            "n_inter": pa.array(n_inter[keep.to_numpy()]),
-            "n_union": pa.array(n_union[keep.to_numpy()]),
-        })
+        ids_a = b["id_a"].to_pylist()
+        ids_b = b["id_b"].to_pylist()
+        txt = dict(zip(ids_a, b["__txt_a"].to_pylist()))
+        txt.update(zip(ids_b, b["__txt_b"].to_pylist()))
+        cache: dict = {}
+
+        def shingles_of(i):
+            r = cache.get(i)
+            if r is None:
+                r = cache[i] = masked_shingles(txt[i])
+            return r
+
+        return verified_table(b["id_a"], b["id_b"], shingles_of)
 
     out = witht.map_batches(verify, batch_format="pyarrow")
     if out.count() == 0:

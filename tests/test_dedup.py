@@ -172,10 +172,14 @@ def _jac_docs():
     return rows
 
 
-def _exact_jaccard_pairs(rows, k=5, t=0.7):
+def _exact_jaccard_pairs(rows, k=3, t=0.7):
     out = {}
-    sets = {r["doc_id"]: {r["text"][i:i + k] for i in range(len(r["text"]) - k + 1)}
-            for r in rows if len(r["text"]) >= k}
+    sets = {}
+    for r in rows:
+        w = r["text"].split()
+        if len(w) >= k:
+            sets[r["doc_id"]] = {" ".join(w[i:i + k])
+                                 for i in range(len(w) - k + 1)}
     ids = sorted(sets)
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
