@@ -5,7 +5,17 @@ onto a shared schema with a ``__side`` tag, unioned, grouped by the join
 key, and matched inside each group with vectorized ``searchsorted`` over
 the sorted right-side timestamps. By default a single key's rows land in
 one group; for HOT keys (one user with the whole 100-TB stream's history)
-pass ``salt_bucket_us`` to shard each key by time bucket:
+``salt_bucket_us`` shards a key by time bucket.
+
+Salting is ROUTED, not unconditional: with ``salt_bucket_us`` set, an
+exact combiner word-count pass finds the keys whose total row count
+reaches ``hot_key_rows``; only those route through the salted plan, and
+everything else takes the plain one-shuffle co-group. Salting every key
+multiplies the group count by the active-bucket count and pays 2 extra
+phases per query — measured 2.9 s → 36.3 s on the sf0.1 as-of query when
+the salted plan ran unconditionally. The hot set is at most
+total_rows / hot_key_rows keys, so the broadcast is bounded by
+construction. The per-key salted plans:
 
 - as-of: per-(key, bucket) groups resolve in-bucket matches; lefts with
   no in-bucket predecessor fall back to a second, SUMMARY-sized co-group
@@ -63,20 +73,69 @@ def _tagged_union(left: ray.data.Dataset, right: ray.data.Dataset,
         right.map_batches(tag_right, batch_format="pyarrow"))
 
 
+def hot_keys(ds: ray.data.Dataset, key: str, hot_rows: int) -> list:
+    """EXACT per-key row counts (batch-local Arrow group_by combiner → one
+    small groupby-sum shuffle of partials), filtered to keys with >=
+    ``hot_rows`` rows. Returns a driver-side python list — bounded by
+    total_rows / hot_rows, so always broadcast-able."""
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.select([key]).group_by([key]).aggregate([([], "count_all")])
+        return t.rename_columns([key, "__c"])
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(key).aggregate(Sum("__c", alias_name="__n"))
+           .map_batches(lambda b: b.filter(
+               pc.greater_equal(b["__n"], pa.scalar(hot_rows, pa.int64())))
+               .select([key]), batch_format="pyarrow")
+           .materialize())
+    if agg.count() == 0:
+        return []
+    return agg.to_pandas()[key].tolist()
+
+
+def _key_filter(ds: ray.data.Dataset, key: str, keys: list,
+                keep: bool) -> ray.data.Dataset:
+    value_set = pa.array(keys)
+
+    def flt(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b[key], value_set=value_set)
+        return b.filter(m if keep else pc.invert(m))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def asof_join_latest(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      key: str, ts: str, left_id: str,
                      out_col: str = "asof_t",
-                     salt_bucket_us: int | None = None) -> ray.data.Dataset:
+                     salt_bucket_us: int | None = None,
+                     hot_key_rows: int = 200_000) -> ray.data.Dataset:
     """→ (left_id, key, t, out_col) with out_col = max right __t ≤ t per
     key, or -1 when no right row precedes the left row.
 
-    ``salt_bucket_us`` switches to the salted two-phase plan (module
-    docstring) — identical output, bounded group sizes under hot keys."""
-    if salt_bucket_us is not None:
-        return _asof_join_salted(left, right, key=key, ts=ts,
-                                 left_id=left_id, out_col=out_col,
-                                 salt_bucket_us=salt_bucket_us)
+    With ``salt_bucket_us`` set, keys holding >= ``hot_key_rows`` rows
+    (left+right, exact combiner count) route through the salted two-phase
+    plan (module docstring); all other keys take the plain co-group.
+    Identical output either way — routing is purely a skew guard."""
+    tagged = _tagged_union(left, right, key, ts, left_id)
+    if salt_bucket_us is None:
+        return _asof_match(tagged, key=key, left_id=left_id, out_col=out_col)
+    hot = hot_keys(tagged, key, hot_key_rows)
+    if not hot:
+        return _asof_match(tagged, key=key, left_id=left_id, out_col=out_col)
+    cold = _asof_match(_key_filter(tagged, key, hot, keep=False),
+                       key=key, left_id=left_id, out_col=out_col)
+    salted = _asof_join_salted(
+        _key_filter(left, key, hot, keep=True),
+        _key_filter(right, key, hot, keep=True),
+        key=key, ts=ts, left_id=left_id, out_col=out_col,
+        salt_bucket_us=salt_bucket_us)
+    return cold.union(salted)
 
+
+def _asof_match(tagged: ray.data.Dataset, *, key: str, left_id: str,
+                out_col: str) -> ray.data.Dataset:
     def match(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]
         if not len(l):
@@ -95,28 +154,47 @@ def asof_join_latest(left: ray.data.Dataset, right: ray.data.Dataset, *,
                              key: l[key].to_numpy(),
                              "t": lt, out_col: matched})
 
-    return _tagged_union(left, right, key, ts, left_id).groupby(key).map_groups(
-        match, batch_format="pandas")
+    return tagged.groupby(key).map_groups(match, batch_format="pandas")
 
 
 def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      key: str, ts: str, left_id: str,
                      before_us: int, after_us: int,
                      out_col: str = "n_in_range",
-                     salt_bucket_us: int | None = None) -> ray.data.Dataset:
+                     salt_bucket_us: int | None = None,
+                     hot_key_rows: int = 200_000) -> ray.data.Dataset:
     """→ (left_id, key, t, out_col) with out_col = |{right rows with
     __t in [t - before_us, t + after_us]}| per key.
 
-    ``salt_bucket_us`` switches to the salted single-phase plan (module
-    docstring): right rows replicate to the buckets they can serve, so
-    each left row counts inside its own (key, bucket) group — identical
-    output, group sizes bounded by per-bucket density."""
-    if salt_bucket_us is not None:
-        return _range_join_salted(left, right, key=key, ts=ts,
-                                  left_id=left_id, before_us=before_us,
-                                  after_us=after_us, out_col=out_col,
-                                  salt_bucket_us=salt_bucket_us)
+    With ``salt_bucket_us`` set, keys holding >= ``hot_key_rows`` rows
+    route through the salted single-phase plan (module docstring: right
+    rows replicate to the buckets they can serve, each left counts inside
+    its own (key, bucket) group); all other keys take the plain co-group.
+    Identical output either way."""
+    tagged = _tagged_union(left, right, key, ts, left_id)
+    if salt_bucket_us is None:
+        return _range_match(tagged, key=key, left_id=left_id,
+                            before_us=before_us, after_us=after_us,
+                            out_col=out_col)
+    hot = hot_keys(tagged, key, hot_key_rows)
+    if not hot:
+        return _range_match(tagged, key=key, left_id=left_id,
+                            before_us=before_us, after_us=after_us,
+                            out_col=out_col)
+    cold = _range_match(_key_filter(tagged, key, hot, keep=False),
+                        key=key, left_id=left_id, before_us=before_us,
+                        after_us=after_us, out_col=out_col)
+    salted = _range_join_salted(
+        _key_filter(left, key, hot, keep=True),
+        _key_filter(right, key, hot, keep=True),
+        key=key, ts=ts, left_id=left_id, before_us=before_us,
+        after_us=after_us, out_col=out_col, salt_bucket_us=salt_bucket_us)
+    return cold.union(salted)
 
+
+def _range_match(tagged: ray.data.Dataset, *, key: str, left_id: str,
+                 before_us: int, after_us: int,
+                 out_col: str) -> ray.data.Dataset:
     def match(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]
         if not len(l):
@@ -132,8 +210,7 @@ def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset, *,
                              key: l[key].to_numpy(),
                              "t": lt, out_col: (hi - lo).astype(np.int64)})
 
-    return _tagged_union(left, right, key, ts, left_id).groupby(key).map_groups(
-        match, batch_format="pandas")
+    return tagged.groupby(key).map_groups(match, batch_format="pandas")
 
 
 def _add_bucket(tagged: ray.data.Dataset, width_us: int) -> ray.data.Dataset:

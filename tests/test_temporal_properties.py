@@ -124,7 +124,8 @@ def test_salted_temporal_ops_equal_unsalted(rows):
     a0 = asof_join_latest(left, right, key="user_id", ts="ts",
                           left_id="event_id").to_pandas()
     a1 = asof_join_latest(left, right, key="user_id", ts="ts",
-                          left_id="event_id", salt_bucket_us=W).to_pandas()
+                          left_id="event_id", salt_bucket_us=W,
+                          hot_key_rows=1).to_pandas()
     key = lambda df: sorted(map(tuple, df[["event_id", "user_id", "t",
                                            "asof_t"]].to_numpy()))
     assert key(a0) == key(a1)
@@ -134,13 +135,14 @@ def test_salted_temporal_ops_equal_unsalted(rows):
                           after_us=30).to_pandas()
     r1 = range_join_count(left, right, key="user_id", ts="ts",
                           left_id="event_id", before_us=30, after_us=30,
-                          salt_bucket_us=W).to_pandas()
+                          salt_bucket_us=W, hot_key_rows=1).to_pandas()
     rkey = lambda df: sorted(map(tuple, df[["event_id", "user_id", "t",
                                             "n_in_range"]].to_numpy()))
     assert rkey(r0) == rkey(r1)
 
     s0 = session_windows(_ds(rows), gap_us=50).to_pandas()
-    s1 = session_windows(_ds(rows), gap_us=50, salt_bucket_us=W).to_pandas()
+    s1 = session_windows(_ds(rows), gap_us=50, salt_bucket_us=W,
+                         hot_key_rows=1).to_pandas()
     skey = lambda df: sorted(map(tuple, df[["user_id", "session_start",
                                             "n_events", "duration_us"]].to_numpy()))
     assert skey(s0) == skey(s1)
@@ -166,7 +168,8 @@ def test_salted_temporal_ops_on_hot_key(ray_session):
     a0 = asof_join_latest(left, right, key="user_id", ts="ts",
                           left_id="event_id").to_pandas()
     a1 = asof_join_latest(left, right, key="user_id", ts="ts",
-                          left_id="event_id", salt_bucket_us=W).to_pandas()
+                          left_id="event_id", salt_bucket_us=W,
+                          hot_key_rows=50).to_pandas()
     cols = ["event_id", "user_id", "t", "asof_t"]
     assert sorted(map(tuple, a0[cols].to_numpy())) == \
         sorted(map(tuple, a1[cols].to_numpy()))
@@ -176,15 +179,29 @@ def test_salted_temporal_ops_on_hot_key(ray_session):
                           after_us=100).to_pandas()
     r1 = range_join_count(left, right, key="user_id", ts="ts",
                           left_id="event_id", before_us=200, after_us=100,
-                          salt_bucket_us=W).to_pandas()
+                          salt_bucket_us=W, hot_key_rows=50).to_pandas()
     cols = ["event_id", "user_id", "t", "n_in_range"]
     assert sorted(map(tuple, r0[cols].to_numpy())) == \
         sorted(map(tuple, r1[cols].to_numpy()))
 
     s0 = session_windows(_ds(rows), gap_us=100).to_pandas()
-    s1 = session_windows(_ds(rows), gap_us=100, salt_bucket_us=W).to_pandas()
+    s1 = session_windows(_ds(rows), gap_us=100, salt_bucket_us=W,
+                         hot_key_rows=50).to_pandas()
     cols = ["user_id", "session_start", "n_events", "duration_us"]
     assert sorted(map(tuple, s0[cols].to_numpy())) == \
         sorted(map(tuple, s1[cols].to_numpy()))
     # the hot key genuinely spans buckets: >1 bucket and >1 merged session
     assert t // W > 3 and (s1["user_id"] == 0).sum() >= 1
+
+
+def test_hot_key_detection_and_cold_routing(ray_session):
+    """hot_keys finds exactly the keys at/above the threshold via the
+    combiner count; with no hot keys the routed plans reduce to the plain
+    co-group (same output, no salted phases)."""
+    from entity_linking_ray.stages.joins import hot_keys
+
+    rows = [(0, t, 0) for t in range(40)] + [(u, 5, 1) for u in range(1, 5)]
+    ds = _ds(rows)
+    assert hot_keys(ds, "user_id", 40) == [0]
+    assert hot_keys(ds, "user_id", 41) == []
+    assert sorted(hot_keys(ds, "user_id", 1)) == [0, 1, 2, 3, 4]
