@@ -425,6 +425,58 @@ def _q_range_count(sf_dir: str):
                             salt_bucket_us=3_600_000_000)
 
 
+@register(
+    "event_value_quantiles",
+    """
+    SELECT event_type,
+           cast(count(*) as bigint) AS n,
+           cast(quantile_disc(cast(round(value * 100) as bigint), 0.50)
+                as bigint) AS p50_units,
+           cast(quantile_disc(cast(round(value * 100) as bigint), 0.95)
+                as bigint) AS p95_units,
+           cast(quantile_disc(cast(round(value * 100) as bigint), 0.99)
+                as bigint) AS p99_units
+    FROM events GROUP BY event_type
+    """,
+)
+def _q_event_quantiles(sf_dir: str):
+    """EXACT per-type p50/p95/p99 of event value via the distributed
+    count-histogram (stages/rank.py): per-block Arrow group_by partials →
+    one groupby over (type, cents, count) rows → integer-rank cumsum.
+    quantile_disc semantics (value at rank ceil(q*n)); cents fixed-point
+    on both sides so no float-sum hash drift. Shuffle volume is distinct
+    cents × blocks per type, independent of row count."""
+    from .stages.rank import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ev, key_col="event_type", val_col="value",
+                             qs_pct=(50, 95, 99))
+
+
+@register(
+    "top_orders_per_priority",
+    """
+    SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             cast(row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC)
+                  as bigint) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def _q_top_orders(sf_dir: str):
+    """Grouped top-N (row_number semantics, ties broken by o_orderkey):
+    per-block combiner keeps ≤ N rows per key, so the shuffle carries
+    ≤ N × blocks rows per key — the shape that survives a skewed 100-TB
+    key where a global sort or full-group collect would not."""
+    from .stages.rank import topn_per_group
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return topn_per_group(orders, key_col="o_orderpriority",
+                          order_col="o_totalprice", id_col="o_orderkey", n=3)
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis suite over documents (token counting / quality / word freq)
 # ---------------------------------------------------------------------------

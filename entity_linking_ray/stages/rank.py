@@ -1,0 +1,102 @@
+"""Rank-family operators: exact distributed quantiles and grouped top-N.
+
+Both are built on the combiner-before-shuffle shape (SURVEY.md §2.6's
+pre-aggregate guidance): a ``map_batches`` stage collapses each input
+block to a bounded partial (a value histogram / a per-key top-N), so the
+all-to-all groupby moves partials, never raw rows.
+
+``grouped_quantiles``: exact discrete quantiles (DuckDB ``quantile_disc``
+semantics — the value at 1-based rank ``ceil(q*n)``) over a fixed-point
+quantization of a float column. Floats are quantized to int64 units
+(default cents, round-half-away-from-zero — the SQL ``round()`` rule) so
+the reduction is exact integer counting: per-block Arrow ``group_by``
+histograms → one groupby(key) over (key, unit, count) partials → a
+vectorized cumsum picks each rank. Shuffle volume per key is bounded by
+distinct quantized values × blocks, independent of row count — the shape
+that survives 100 TB where a sort-based quantile would be a global sort.
+
+``topn_per_group``: deterministic top-N rows per key (order column desc,
+tie-broken by an id column asc). The per-block combiner keeps at most N
+rows per key per block, so the shuffle carries ≤ N × blocks rows per key.
+Equivalent SQL: ``row_number() OVER (PARTITION BY key ORDER BY val DESC,
+id ASC) <= n``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def grouped_quantiles(ds: ray.data.Dataset, *, key_col: str, val_col: str,
+                      qs_pct: tuple[int, ...] = (50, 95, 99),
+                      scale: int = 100) -> ray.data.Dataset:
+    """→ (key_col, n: int64, p{q}_units: int64 per q in qs_pct).
+
+    Exact ``quantile_disc`` over ``round(val*scale)`` int64 units. Ranks
+    use pure integer math (``(p*n + 99) // 100``) — no float rank
+    drift against the SQL oracle."""
+    qs = tuple(int(q) for q in qs_pct)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        units = pc.cast(pc.round(
+            pc.multiply(pc.cast(batch[val_col], pa.float64()),
+                        pa.scalar(float(scale))),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({key_col: batch[key_col], "__u": units})
+        g = t.group_by([key_col, "__u"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "__u", "__c"])
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        u = group["__u"].to_numpy(np.int64)
+        c = group["__c"].to_numpy(np.int64)
+        # merge duplicate units coming from different blocks' partials
+        uu, inv = np.unique(u, return_inverse=True)
+        cc = np.zeros(len(uu), np.int64)
+        np.add.at(cc, inv, c)
+        cum = np.cumsum(cc)
+        n = int(cum[-1])
+        out = {key_col: [group[key_col].iloc[0]], "n": [n]}
+        for p in qs:
+            r = max(1, (p * n + 99) // 100)  # ceil(p/100 * n), integer-exact
+            out[f"p{p}_units"] = [int(uu[np.searchsorted(cum, r)])]
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(hist, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(finalize, batch_format="pandas"))
+
+
+def block_topn(df: pd.DataFrame, key_col: str, order_col: str,
+               id_col: str, n: int) -> pd.DataFrame:
+    """Top-``n`` rows per key within one block (order desc, id asc) —
+    the combiner AND the finalizer kernel; emits ≤ n rows per key."""
+    df = df.sort_values([order_col, id_col], ascending=[False, True],
+                        kind="mergesort")
+    return df.groupby(key_col, sort=False).head(n)
+
+
+def topn_per_group(ds: ray.data.Dataset, *, key_col: str, order_col: str,
+                   id_col: str, n: int,
+                   keep_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """→ (key_col, rn: int64 1..n, id_col, order_col, *keep_cols) — the
+    top ``n`` rows per key ordered by ``order_col`` DESC with ties broken
+    by ``id_col`` ASC (row_number semantics, fully deterministic)."""
+    cols = [key_col, id_col, order_col, *keep_cols]
+
+    def combiner(batch: pd.DataFrame) -> pd.DataFrame:
+        return block_topn(batch[cols], key_col, order_col, id_col, n)
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        out = block_topn(group, key_col, order_col, id_col,
+                         n).reset_index(drop=True)
+        out.insert(1, "rn", np.arange(1, len(out) + 1, dtype=np.int64))
+        return out
+
+    return (ds.map_batches(combiner, batch_format="pandas")
+            .groupby(key_col)
+            .map_groups(finalize, batch_format="pandas"))

@@ -1,0 +1,82 @@
+"""Rank-family operators: exact grouped quantiles + grouped top-N, each
+checked against an independent DuckDB formulation on seeded random data
+(the same shape the driver's sf0.01 oracle uses)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from entity_linking_ray.stages.rank import grouped_quantiles, topn_per_group
+
+
+@pytest.fixture(scope="module")
+def skewed_values():
+    rng = np.random.default_rng(7)
+    n = 5000
+    # heavy duplicate mass (quantile_disc over a multiset) + one hot key
+    key = np.where(rng.random(n) < 0.5, "hot",
+                   rng.choice(["a", "b", "c"], size=n))
+    val = np.round(rng.gamma(2.0, 50.0, size=n), 3)
+    val[rng.random(n) < 0.2] = 9.995  # exact .5-cent ties both sides round
+    return pd.DataFrame({"k": key, "v": val,
+                         "id": np.arange(n, dtype=np.int64)})
+
+
+def test_grouped_quantiles_match_duckdb(ray_session, skewed_values):
+    ds = ray.data.from_pandas(skewed_values).repartition(7)
+    got = (grouped_quantiles(ds, key_col="k", val_col="v",
+                             qs_pct=(50, 95, 99))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", skewed_values)
+    want = con.execute("""
+        SELECT k, cast(count(*) as bigint) AS n,
+               cast(quantile_disc(cast(round(v*100) as bigint), 0.50) as bigint) AS p50_units,
+               cast(quantile_disc(cast(round(v*100) as bigint), 0.95) as bigint) AS p95_units,
+               cast(quantile_disc(cast(round(v*100) as bigint), 0.99) as bigint) AS p99_units
+        FROM t GROUP BY k ORDER BY k
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[["k", "n", "p50_units", "p95_units", "p99_units"]],
+        want, check_dtype=False)
+
+
+def test_grouped_quantiles_single_row_groups(ray_session):
+    df = pd.DataFrame({"k": ["x", "y"], "v": [1.234, -5.678]})
+    got = (grouped_quantiles(ray.data.from_pandas(df), key_col="k",
+                             val_col="v", qs_pct=(50, 99))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["n"].tolist() == [1, 1]
+    assert got["p50_units"].tolist() == [123, -568]
+    assert got["p99_units"].tolist() == [123, -568]
+
+
+def test_topn_per_group_matches_row_number(ray_session, skewed_values):
+    ds = ray.data.from_pandas(skewed_values).repartition(7)
+    got = (topn_per_group(ds, key_col="k", order_col="v", id_col="id", n=4)
+           .to_pandas().sort_values(["k", "rn"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", skewed_values)
+    want = con.execute("""
+        SELECT k, rn, id, v FROM (
+          SELECT k, id, v,
+                 cast(row_number() OVER (PARTITION BY k
+                      ORDER BY v DESC, id ASC) as bigint) AS rn
+          FROM t) WHERE rn <= 4 ORDER BY k, rn
+    """).df()
+    pd.testing.assert_frame_equal(got[["k", "rn", "id", "v"]], want,
+                                  check_dtype=False)
+
+
+def test_topn_combiner_bounds_shuffle(skewed_values):
+    """The per-block combiner must emit <= n rows per key per block —
+    the property that bounds shuffle volume under a hot key."""
+    from entity_linking_ray.stages.rank import block_topn
+
+    batch = skewed_values.iloc[:1000]
+    kept = block_topn(batch, "k", "v", "id", 4)
+    assert kept.groupby("k").size().max() <= 4
+    assert len(kept) < len(batch)
