@@ -477,6 +477,85 @@ def _q_top_orders(sf_dir: str):
                           order_col="o_totalprice", id_col="o_orderkey", n=3)
 
 
+@register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, cast(count(distinct user_id) as bigint) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def _q_distinct_users(sf_dir: str):
+    """Exact COUNT DISTINCT per group: per-block Arrow group_by collapses
+    to distinct (type, user) pairs BEFORE the shuffle (the combiner that
+    makes this survive 100 TB of repeated users), a two-key groupby
+    dedups globally, then a partial-count combiner + tiny groupby sums
+    per type."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_distinct(b: pa.Table) -> pa.Table:
+        return (b.group_by(["event_type", "user_id"]).aggregate([])
+                .select(["event_type", "user_id"]))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "__c"])
+
+    pairs = (ev.map_batches(pair_distinct, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="__dup"))
+             .drop_columns(["__dup"]))
+    return (pairs.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("event_type").aggregate(Sum("__c", alias_name="n_users")))
+
+
+@register(
+    "doc_pack_bins",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             cast(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) as bigint) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_tokens,
+           cast((cum_tokens - n_tokens) // 2048 as bigint) AS bin_id
+    FROM s
+    """,
+)
+def _q_pack_bins(sf_dir: str):
+    """Sequence packing for training: documents packed into 2048-token
+    bins in doc_id order via the distributed prefix-scan
+    (stages/scan.py — range-bucketed two-phase cumsum; only O(buckets)
+    totals touch the driver). bin_id = exclusive-prefix // capacity, so
+    the SQL window formulation verifies it exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.scan import pack_by_token_budget
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pc.cast(pc.list_value_length(
+                pc.split_pattern(b["text"], " ")), pa.int64()),
+        })
+
+    counted = ds.map_batches(toks, batch_format="pyarrow")
+    return pack_by_token_budget(counted, order_col="doc_id",
+                                tokens_col="n_tokens", capacity=2048)
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis suite over documents (token counting / quality / word freq)
 # ---------------------------------------------------------------------------

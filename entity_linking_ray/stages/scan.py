@@ -1,0 +1,107 @@
+"""Distributed prefix-scan (running sum) and token-bin packing.
+
+A prefix sum over a global ordering is the classic distributed SCAN: it
+cannot ride a plain groupby (every row's value depends on all preceding
+rows). The scale shape used here is range-bucketed two-phase scan:
+
+1. bucket each row by a range partition of the order column (bucket
+   boundaries from a cheap min/max aggregate — NOT a sort);
+2. per-bucket: order rows, cumsum locally, and emit the bucket TOTAL;
+3. the bucket totals (one row per bucket, driver-small by construction)
+   cumsum on the driver into per-bucket offsets, broadcast back;
+4. per-bucket local cumsum + its bucket's offset = the global scan.
+
+Only the per-bucket totals ever leave the workers, so the driver-side
+state is O(num_buckets) regardless of row count. Equivalent SQL:
+``sum(v) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)``.
+
+``pack_by_token_budget`` builds greedy contiguous sequence packing on
+top of it (the training-data "pack documents into fixed-token bins"
+op): bin_id = exclusive_prefix // capacity in the order-column order —
+deterministic, so an SQL window oracle can verify it exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _bucket_bounds(ds: ray.data.Dataset, order_col: str,
+                   num_buckets: int) -> tuple[int, int, int]:
+    """(lo, hi, width) for uniform range buckets over ``order_col`` —
+    one cheap min/max aggregate, no sort."""
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(order_col), Max(order_col))
+    lo, hi = int(agg[f"min({order_col})"]), int(agg[f"max({order_col})"])
+    width = max(1, (hi - lo) // num_buckets + 1)
+    return lo, hi, width
+
+
+def prefix_sum(ds: ray.data.Dataset, *, order_col: str, val_col: str,
+               out_col: str = "running", num_buckets: int = 64,
+               extra_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """→ input rows + ``out_col`` = inclusive running sum of ``val_col``
+    in ``order_col`` order (order values must be unique int64)."""
+    lo, _, width = _bucket_bounds(ds, order_col, num_buckets)
+    cols = [order_col, val_col, *extra_cols]
+
+    def tag(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.divide(pc.subtract(b[order_col], pa.scalar(lo)),
+                                   pa.scalar(width)), pa.int64())
+        return b.select(cols).append_column("__b", bucket)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    # phase 1: per-bucket totals (combiner: one row per bucket per block)
+    def part_totals(b: pa.Table) -> pa.Table:
+        g = b.group_by(["__b"]).aggregate([(val_col, "sum")])
+        return g.rename_columns(["__b", "__t"])
+
+    from ray.data.aggregate import Sum
+
+    totals = (tagged.map_batches(part_totals, batch_format="pyarrow")
+              .groupby("__b").aggregate(Sum("__t", alias_name="__t"))
+              .to_pandas())  # O(num_buckets) rows — driver-small
+    totals = totals.sort_values("__b")
+    offs = dict(zip(totals["__b"].astype(np.int64),
+                    np.concatenate([[0], np.cumsum(
+                        totals["__t"].to_numpy(np.int64))[:-1]])))
+
+    # phase 2: in-bucket ordered cumsum + broadcast bucket offset
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        base = offs[int(g["__b"].iloc[0])]
+        g[out_col] = base + np.cumsum(g[val_col].to_numpy(np.int64))
+        return g.drop(columns="__b")
+
+    return tagged.groupby("__b").map_groups(scan, batch_format="pandas")
+
+
+def pack_by_token_budget(ds: ray.data.Dataset, *, order_col: str,
+                         tokens_col: str, capacity: int,
+                         num_buckets: int = 64) -> ray.data.Dataset:
+    """→ (order_col, tokens_col, cum_tokens: int64, bin_id: int64) —
+    contiguous greedy packing: walking rows in ``order_col`` order,
+    bin_id = exclusive-prefix-sum // capacity. A document larger than
+    ``capacity`` still lands in exactly one bin (its exclusive prefix
+    decides), matching the SQL window formulation."""
+    scanned = prefix_sum(ds, order_col=order_col, val_col=tokens_col,
+                         out_col="cum_tokens", num_buckets=num_buckets)
+
+    def bins(b: pa.Table) -> pa.Table:
+        excl = pc.subtract(b["cum_tokens"], pc.cast(b[tokens_col], pa.int64()))
+        bin_id = pc.cast(pc.divide(excl, pa.scalar(capacity)), pa.int64())
+        return pa.table({
+            order_col: b[order_col],
+            tokens_col: pc.cast(b[tokens_col], pa.int64()),
+            "cum_tokens": pc.cast(b["cum_tokens"], pa.int64()),
+            "bin_id": bin_id,
+        })
+
+    return scanned.map_batches(bins, batch_format="pyarrow")

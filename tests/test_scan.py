@@ -1,0 +1,85 @@
+"""Distributed prefix-scan + token packing vs DuckDB window formulation."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from entity_linking_ray.stages.scan import pack_by_token_budget, prefix_sum
+
+
+def _fixture(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    ids = rng.permutation(np.arange(10_000, dtype=np.int64))[:n]
+    return pd.DataFrame({"doc_id": ids,
+                         "n_tokens": rng.integers(1, 900, n, dtype=np.int64)})
+
+
+def test_prefix_sum_matches_window(ray_session):
+    df = _fixture()
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = (prefix_sum(ds, order_col="doc_id", val_col="n_tokens",
+                      out_col="running", num_buckets=13)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT doc_id, n_tokens,
+               cast(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) as bigint) AS running
+        FROM t ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got[["doc_id", "n_tokens", "running"]],
+                                  want, check_dtype=False)
+
+
+def test_prefix_sum_driver_state_is_bucket_sized(ray_session):
+    """Only O(num_buckets) totals reach the driver regardless of rows —
+    the property that makes the scan scale-safe."""
+    df = _fixture(n=2000)
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = prefix_sum(ds, order_col="doc_id", val_col="n_tokens",
+                     num_buckets=4).to_pandas()
+    assert len(out) == len(df)
+    assert out["running"].max() == df["n_tokens"].sum()
+
+
+def test_pack_by_token_budget_matches_sql(ray_session):
+    df = _fixture()
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = (pack_by_token_budget(ds, order_col="doc_id",
+                                tokens_col="n_tokens", capacity=1000,
+                                num_buckets=13)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        WITH s AS (
+          SELECT doc_id, n_tokens,
+                 cast(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) as bigint) AS cum_tokens
+          FROM t)
+        SELECT doc_id, n_tokens, cum_tokens,
+               cast((cum_tokens - n_tokens) // 1000 as bigint) AS bin_id
+        FROM s ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_tokens", "cum_tokens", "bin_id"]], want,
+        check_dtype=False)
+    # every bin except possibly the last begins before crossing capacity
+    first_tok = got.groupby("bin_id")["cum_tokens"].min() - \
+        got.groupby("bin_id").apply(
+            lambda g: g.loc[g["cum_tokens"].idxmin(), "n_tokens"])
+    assert (first_tok // 1000 == first_tok.index).all()
+
+
+def test_oversized_doc_occupies_one_bin(ray_session):
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "n_tokens": np.array([10, 5000, 7, 8, 9],
+                                            dtype=np.int64)})
+    got = (pack_by_token_budget(ray.data.from_pandas(df),
+                                order_col="doc_id", tokens_col="n_tokens",
+                                capacity=100, num_buckets=2)
+           .to_pandas().sort_values("doc_id"))
+    assert got["bin_id"].tolist() == [0, 0, 50, 50, 50]
