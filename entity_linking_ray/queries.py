@@ -426,6 +426,90 @@ def _q_range_count(sf_dir: str):
 
 
 @register(
+    "orders_status_pivot",
+    """
+    SELECT o_orderpriority,
+           cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                as bigint) AS n_f,
+           cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                as bigint) AS n_o,
+           cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                as bigint) AS n_p,
+           cast(sum(cast(round(o_totalprice * 100) as bigint))
+                as bigint) AS total_units
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def _q_status_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: per-priority counts fanned out by
+    status into columns, plus a fixed-point price sum. The whole pivot is
+    a per-block Arrow kernel (flag columns + group_by partials) feeding
+    one tiny groupby-sum — shuffle rows = priorities × blocks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        units = pc.cast(pc.round(
+            pc.multiply(pc.cast(b["o_totalprice"], pa.float64()),
+                        pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        flags = pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "n_f": pc.cast(pc.equal(b["o_orderstatus"], "F"), pa.int64()),
+            "n_o": pc.cast(pc.equal(b["o_orderstatus"], "O"), pa.int64()),
+            "n_p": pc.cast(pc.equal(b["o_orderstatus"], "P"), pa.int64()),
+            "total_units": units,
+        })
+        g = flags.group_by(["o_orderpriority"]).aggregate(
+            [("n_f", "sum"), ("n_o", "sum"), ("n_p", "sum"),
+             ("total_units", "sum")])
+        return g.rename_columns(
+            ["o_orderpriority", "n_f", "n_o", "n_p", "total_units"])
+
+    return (orders.map_batches(part, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_f", alias_name="n_f"),
+                       Sum("n_o", alias_name="n_o"),
+                       Sum("n_p", alias_name="n_p"),
+                       Sum("total_units", alias_name="total_units")))
+
+
+@register(
+    "event_value_lag_delta",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             cast(round(value * 100) as bigint) AS value_units
+      FROM events),
+    l AS (
+      SELECT user_id, event_id, t, value_units,
+             lag(value_units) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) AS prev_units
+      FROM e)
+    SELECT user_id, event_id, t, value_units,
+           cast(prev_units as bigint) AS prev_units,
+           cast(value_units - prev_units as bigint) AS delta_units
+    FROM l WHERE prev_units IS NOT NULL
+    """,
+)
+def _q_lag_delta(sf_dir: str):
+    """Per-user lag/delta (SQL lag() window semantics, ties broken by
+    event_id; first event per user dropped — its lag is NULL). Values in
+    cents fixed-point so the delta is integer-exact against the oracle.
+    One groupby(user) shuffle, vectorized shift per group."""
+    from .stages.windows import grouped_lag_delta
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return grouped_lag_delta(ev, key_col="user_id", ts_col="ts",
+                             id_col="event_id", val_col="value")
+
+
+@register(
     "event_value_quantiles",
     """
     SELECT event_type,

@@ -208,3 +208,39 @@ def _session_windows_salted(events: ray.data.Dataset, *, gap_us: int,
              .groupby([key_col, "__bucket"])
              .map_groups(local_sessions, batch_format="pandas"))
     return local.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def grouped_lag_delta(events: ray.data.Dataset, *, key_col: str,
+                      ts_col: str, id_col: str, val_col: str,
+                      scale: int = 100) -> ray.data.Dataset:
+    """→ (key, id, t: epoch-us, value_units, prev_units, delta_units) —
+    SQL ``lag(value) OVER (PARTITION BY key ORDER BY ts, id)`` with the
+    first row of each key dropped (its lag is NULL). Values are
+    fixed-point int64 units (``round(value*scale)``, half-away-from-zero
+    — the SQL ``round`` rule) so deltas are integer-exact against the
+    oracle. One groupby(key) shuffle; per-key work is a vectorized
+    sort + shift. Hot keys: per-key row counts bound group size exactly
+    as for :func:`session_windows` — for a skewed stream route through
+    ``hot_keys`` (stages/joins.py) and a time-bucketed pre-pass carrying
+    each bucket's last row into the next (not built; the plain shape is
+    the default for the same reason as the temporal joins)."""
+    def prep(b: pa.Table) -> pa.Table:
+        # normalize to us first: in-memory pandas blocks arrive as ns
+        t = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        units = pc.cast(pc.round(
+            pc.multiply(pc.cast(b[val_col], pa.float64()),
+                        pa.scalar(float(scale))),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({key_col: b[key_col], id_col: b[id_col],
+                         "t": t, "value_units": units})
+
+    def lag(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["t", id_col], kind="mergesort")
+        v = g["value_units"].to_numpy(np.int64)
+        out = g.iloc[1:].copy()  # empty (typed) when the key has one row
+        out["prev_units"] = v[:-1]
+        out["delta_units"] = v[1:] - v[:-1]
+        return out
+
+    return (events.map_batches(prep, batch_format="pyarrow")
+            .groupby(key_col).map_groups(lag, batch_format="pandas"))

@@ -67,11 +67,11 @@ def test_pack_by_token_budget_matches_sql(ray_session):
     pd.testing.assert_frame_equal(
         got[["doc_id", "n_tokens", "cum_tokens", "bin_id"]], want,
         check_dtype=False)
-    # every bin except possibly the last begins before crossing capacity
-    first_tok = got.groupby("bin_id")["cum_tokens"].min() - \
-        got.groupby("bin_id").apply(
-            lambda g: g.loc[g["cum_tokens"].idxmin(), "n_tokens"])
-    assert (first_tok // 1000 == first_tok.index).all()
+    # every bin's first doc starts at an exclusive prefix inside that bin
+    g = got.sort_values("cum_tokens")
+    firsts = g.drop_duplicates("bin_id", keep="first")
+    excl = firsts["cum_tokens"] - firsts["n_tokens"]
+    assert (excl // 1000 == firsts["bin_id"]).all()
 
 
 def test_oversized_doc_occupies_one_bin(ray_session):
