@@ -818,10 +818,10 @@ def _q_minhash_pairs(sf_dir: str):
     column is available from lsh_candidate_pairs for non-oracled use."""
     import pyarrow as pa
 
-    from .stages.dedup import lsh_candidate_pairs, minhash_band_rows
+    from .stages.dedup import lsh_candidate_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = lsh_candidate_pairs(minhash_band_rows(ds), jaccard_threshold=0.6)
+    pairs = lsh_candidate_pairs(ds, jaccard_threshold=0.6)
     return pairs.map_batches(
         lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),
         batch_format="pyarrow",

@@ -5,8 +5,9 @@ the near-dup families are required engine extensions:
 
 - exact:       content-hash → groupby(hash) keep min-id (hash-partition +
                per-group first)
-- MinHash-LSH: shingle → minhash → band keys → groupby(band) → candidate
-               pairs → signature-estimated Jaccard verify → connected
+- MinHash-LSH: shingle → minhash → slim (band_key, id, b-bit sketch) rows
+               → groupby(band) → sketch-prefiltered candidate pairs →
+               signature join-back → estimated-Jaccard verify → connected
                components → keep min-id representative
 - SimHash:     64-bit fingerprint → 4×16-bit band buckets → Hamming verify
 - n-gram Jaccard: EXACT prefix-filtered similarity self-join (All-Pairs /
@@ -34,6 +35,8 @@ from ..functions.minhash import (band_keys, shingle_hashes, signature_matrix,
                                  word_shingle_hashes)
 from ..functions.simhash import hamming64, simhash64
 
+U64 = np.uint64
+
 
 def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_hash") -> pa.Table:
     return batch.append_column(out, pa.array(hash_strings(batch[col].to_pylist()), pa.int64()))
@@ -51,63 +54,207 @@ def exact_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id")
     return out.drop_columns(["content_hash"])
 
 
+def _pack_bbit_sketch(sigs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """b-bit minwise sketch (Li & König 2010, b=2): keep the two low bits
+    of each per-permutation minimum, packed one bit-plane per int64 word.
+    For a pair at Jaccard J the expected Hamming distance over the
+    2·num_perm stored bits is (1-J)·num_perm — a 16-byte proxy that
+    prefilters candidates without shipping the 8·num_perm-byte signature."""
+    n, num_perm = sigs.shape
+    assert num_perm <= 64, "sketch packs one bit per perm per word"
+    w = np.uint64(1) << np.arange(num_perm, dtype=U64)
+    sk0 = ((sigs & U64(1)) * w).sum(axis=1, dtype=U64)
+    sk1 = (((sigs >> U64(1)) & U64(1)) * w).sum(axis=1, dtype=U64)
+    return sk0.view(np.int64), sk1.view(np.int64)
+
+
+def _sketch_cut(jaccard_threshold: float, num_perm: int) -> int:
+    """Hamming cutoff for the 2-bit sketch at +4σ above the threshold's
+    expected distance (pass prob ≈ 1-3e-5 for true pairs — far below the
+    banding miss floor) — kills the bulk of random co-bucket pairs."""
+    q = 1.0 - jaccard_threshold
+    var = num_perm * (1.5 * q - q * q)
+    return int(np.ceil(q * num_perm + 4.0 * np.sqrt(max(var, 0.0)))) + 2
+
+
 def minhash_band_rows(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, num_bands: int = 16, shingle_k: int = 5) -> ray.data.Dataset:
-    """Explode each row into (band_key, id, sig...) rows. The signature is
-    carried (num_perm × 8 bytes) so verification needs no second lookup."""
+    """Explode each row into SLIM (band_key, id, __sk0, __sk1) rows — the
+    full signature (num_perm × 8 bytes) never rides the band shuffle
+    (×num_bands it would replicate); only the 16-byte b-bit sketch does,
+    for in-bucket prefiltering. Verification joins signatures back per
+    surviving pair (see :func:`lsh_candidate_pairs`)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch[col].to_pylist()
-        ids = batch[id_col].to_pylist()
         sigs = signature_matrix(texts, num_perm=num_perm, k=shingle_k)
         bks = band_keys(sigs, num_bands=num_bands)
+        sk0, sk1 = _pack_bbit_sketch(sigs)
         n = len(texts)
-        rep_ids = np.repeat(np.asarray(ids, dtype=object), num_bands)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands), pa.int64())
         return pa.table({
             "band_key": pa.array(bks.reshape(-1), pa.int64()),
-            id_col: pa.array(list(rep_ids)),
-            "sig": pa.array(list(np.repeat(sigs.astype(np.int64), num_bands, axis=0))),
+            id_col: batch[id_col].take(rep),
+            "__sk0": pa.array(np.repeat(sk0, num_bands), pa.int64()),
+            "__sk1": pa.array(np.repeat(sk1, num_bands), pa.int64()),
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
-def lsh_candidate_pairs(band_rows: ray.data.Dataset, id_col: str = "doc_id",
+def _popcount64_2d(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a u64 array of any shape (returns int64)."""
+    b = x.astype(U64, copy=False).reshape(-1).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(b, axis=1).sum(axis=1, dtype=np.int64).reshape(x.shape)
+
+
+def lsh_candidate_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 64, num_bands: int = 16, shingle_k: int = 5,
                         jaccard_threshold: float = 0.7,
-                        max_pairs_per_bucket: int = 10_000) -> ray.data.Dataset:
-    """groupby(band_key) → verified near-dup pairs (id_a < id_b, est_jaccard).
+                        max_pairs_per_bucket: int = 10_000,
+                        num_partitions: int = 16,
+                        pair_mode: str = "auto") -> ray.data.Dataset:
+    """MinHash-LSH near-dup pairs (id_a < id_b, est_jaccard ≥ threshold).
 
-    Pairs per bucket are capped (quadratic guard for hot buckets — the cap
-    is the LSH analogue of blocking-key salting); pairs are globally deduped
-    by a final distinct groupby.
+    TWO-PHASE SHUFFLE (the 100-TB shape, same design as
+    :func:`embedding_dup_pairs`): the band stage ships only
+    (band_key, id, 16-byte sketch) rows; within a bucket, candidate pairs
+    are prefiltered by sketch Hamming distance (vectorized, blocked so a
+    pathological bucket never materializes an n² index array) and capped
+    per bucket (quadratic skew guard). Survivors get their two FULL
+    signatures back for the exact est_jaccard verify; ``pair_mode``:
+
+    - ``"broadcast"``: candidate pairs collect on the driver (bounded by
+      the caps), the needed signatures come from ONE filtered scan of
+      ``ds``, and the verify is a single vectorized pass — right up to
+      ``_BROADCAST_PAIRS_CAP`` candidates.
+    - ``"join"``: fully distributed — candidates are distinct-ed on a
+      bucketed hash and the two signatures join back per pair (two hash
+      joins against the slim (id, packed-sig) projection). No pair-scaled
+      driver state; the 100-TB path.
+    - ``"auto"`` (default): broadcast below the cap, join above.
     """
+    band_rows = minhash_band_rows(ds, col, id_col, num_perm, num_bands, shingle_k)
+    cut = _sketch_cut(jaccard_threshold, num_perm)
+    # cap ROWS per band key so the self-merge stays under the pair cap —
+    # n(n-1)/2 ≤ max_pairs_per_bucket (quadratic skew guard; deterministic:
+    # min-id rows survive, so giant dup clusters stay CC-connected)
+    max_rows_per_key = int((1 + np.sqrt(1 + 8 * max_pairs_per_bucket)) // 2)
+    _CB = 256  # coarse buckets: one vectorized self-merge each, not one
+    # pandas call per band key (~n_docs × num_bands tiny groups otherwise)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())  # [n, num_perm]
-        out_a, out_b, out_j = [], [], []
-        budget = max_pairs_per_bucket
-        for i in range(n):
-            if budget <= 0:
-                break
-            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            keep = np.nonzero(eq >= jaccard_threshold)[0]
-            for j in keep[:budget]:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                out_j.append(float(eq[j]))
-            budget -= len(keep)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+    def coarse(b: pa.Table) -> pa.Table:
+        cb = pc.bit_wise_and(b["band_key"], pa.scalar(_CB - 1, pa.int64()))
+        return b.append_column("__cb", cb)
 
-    cand = band_rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
-    # distinct (a, b): the same pair can surface from several bands
-    from ray.data.aggregate import Max
+    def cand_pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["band_key", id_col]) \
+                 .sort_values(["band_key", id_col], kind="mergesort")
+        g = g[g.groupby("band_key").cumcount() < max_rows_per_key]
+        m = g.merge(g, on="band_key", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if not len(m):
+            return pd.DataFrame({"id_a": g[id_col].iloc[:0],
+                                 "id_b": g[id_col].iloc[:0]})
+        h = (_popcount64_2d(m["__sk0_a"].to_numpy().astype(np.int64).view(U64)
+                            ^ m["__sk0_b"].to_numpy().astype(np.int64).view(U64))
+             + _popcount64_2d(m["__sk1_a"].to_numpy().astype(np.int64).view(U64)
+                              ^ m["__sk1_b"].to_numpy().astype(np.int64).view(U64)))
+        m = m[h <= cut]
+        return pd.DataFrame({"id_a": m[f"{id_col}_a"].to_numpy(),
+                             "id_b": m[f"{id_col}_b"].to_numpy()})
 
-    return cand.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    cand = (band_rows.map_batches(coarse, batch_format="pyarrow")
+            .groupby("__cb").map_groups(cand_pairs_bulk, batch_format="pandas")
+            .materialize())
+    if pair_mode == "auto":
+        pair_mode = ("broadcast" if cand.count() <= _BROADCAST_PAIRS_CAP
+                     else "join")
+
+    def sig_packed(texts: list) -> list[bytes]:
+        return [s.tobytes() for s in
+                signature_matrix(texts, num_perm=num_perm, k=shingle_k)]
+
+    def est_from_packed(pa_bytes, pb_bytes) -> np.ndarray:
+        Sa = np.frombuffer(b"".join(pa_bytes), U64).reshape(-1, num_perm)
+        Sb = np.frombuffer(b"".join(pb_bytes), U64).reshape(-1, num_perm)
+        return (Sa == Sb).mean(axis=1)
+
+    if pair_mode == "broadcast":
+        pairs_pd = cand.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+        if not len(pairs_pd):
+            return _ensure_pair_schema(cand, "est_jaccard")
+        need = np.unique(np.concatenate([pairs_pd["id_a"].to_numpy(),
+                                         pairs_pd["id_b"].to_numpy()]))
+        need_ref = ray.put(need)
+
+        def pick(b: pa.Table) -> pa.Table:
+            mask = np.isin(np.asarray(b[id_col].to_pylist()), ray.get(need_ref))
+            sel = b.filter(pa.array(mask))
+            return pa.table({id_col: sel[id_col],
+                             "__sig": pa.array(sig_packed(sel[col].to_pylist()),
+                                               pa.binary())})
+
+        got = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+        sig = dict(zip(got[id_col], got["__sig"]))
+        est = est_from_packed([sig[i] for i in pairs_pd["id_a"]],
+                              [sig[i] for i in pairs_pd["id_b"]])
+        keep = est >= jaccard_threshold
+        out = pa.table({
+            "id_a": pa.array(pairs_pd["id_a"].to_numpy()[keep]),
+            "id_b": pa.array(pairs_pd["id_b"].to_numpy()[keep]),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        })
+        return _ensure_pair_schema(ray.data.from_arrow(out), "est_jaccard")
+
+    # join mode: bucketed distinct over id pairs, then two hash joins
+    # against the slim (id, packed-sig) projection — same shape (and
+    # empty-block repartition scrub) as embedding_dup_pairs' join mode
+    _NB = 64
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        part = b.group_by(["id_a", "id_b"]).aggregate([]) if b.num_rows else b
+        if part.num_rows == 0:
+            return part.append_column("__pb", pa.array([], pa.int64()))
+        bk = hash_strings([f"{a}|{x}" for a, x in
+                           zip(part["id_a"].to_pylist(), part["id_b"].to_pylist())])
+        return part.append_column("__pb", pa.array(bk % _NB, pa.int64()))
+
+    def distinct_merge(g: pa.Table) -> pa.Table:
+        return g.select(["id_a", "id_b"]).group_by(["id_a", "id_b"]).aggregate([])
+
+    pairs_d = (cand.map_batches(distinct_partial, batch_format="pyarrow")
+               .groupby("__pb").map_groups(distinct_merge, batch_format="pyarrow")
+               .repartition(num_partitions))
+
+    def as_side(side: str):
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": b[id_col],
+                             f"__sig_{side}": pa.array(sig_packed(b[col].to_pylist()),
+                                                       pa.binary())})
+        return prep
+
+    sig_a = ds.map_batches(as_side("a"), batch_format="pyarrow")
+    sig_b = ds.map_batches(as_side("b"), batch_format="pyarrow")
+    withs = (pairs_d.join(sig_a, "inner", num_partitions,
+                          on=("id_a",), right_on=("id_a",))
+             .join(sig_b, "inner", num_partitions,
+                   on=("id_b",), right_on=("id_b",)))
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                             "est_jaccard": pa.array([], pa.float64())})
+        est = est_from_packed(b["__sig_a"].to_pylist(), b["__sig_b"].to_pylist())
+        keep = pa.array(np.nonzero(est >= jaccard_threshold)[0], pa.int64())
+        return pa.table({
+            "id_a": b["id_a"].take(keep),
+            "id_b": b["id_b"].take(keep),
+            "est_jaccard": pa.array(est[est >= jaccard_threshold], pa.float64()),
+        })
+
+    out = withs.map_batches(verify, batch_format="pyarrow")
+    return _ensure_pair_schema(out, "est_jaccard")
 
 
 # pairs above this broadcast-able size switch minhash_dedup to the keyed-join
@@ -137,8 +284,9 @@ def minhash_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id
     """
     from .clustering import connected_components
 
-    band_rows = minhash_band_rows(ds, col, id_col, num_perm, num_bands, shingle_k)
-    pairs = lsh_candidate_pairs(band_rows, id_col, jaccard_threshold).materialize()
+    pairs = lsh_candidate_pairs(ds, col, id_col, num_perm, num_bands,
+                                shingle_k, jaccard_threshold,
+                                num_partitions=num_partitions).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ds

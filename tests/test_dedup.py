@@ -35,11 +35,32 @@ def test_exact_dedup_keeps_min_id():
 
 
 def test_lsh_pairs_find_near_dups_not_distinct():
-    pairs = lsh_candidate_pairs(minhash_band_rows(_docs()), jaccard_threshold=0.5).to_pandas()
+    pairs = lsh_candidate_pairs(_docs(), jaccard_threshold=0.5).to_pandas()
     got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
     assert ("d0", "d1") in got
     assert ("d0", "d2") in got
     assert not any("d3" in p for p in got)
+
+
+def test_lsh_pairs_join_mode_equivalent():
+    """pair_mode="join" (the 100-TB path: signatures join back per pair,
+    no driver pair list) yields the same verified pair set and estimates
+    as the broadcast path."""
+    b = lsh_candidate_pairs(_docs(), jaccard_threshold=0.5,
+                            pair_mode="broadcast").to_pandas()
+    j = lsh_candidate_pairs(_docs(), jaccard_threshold=0.5,
+                            pair_mode="join", num_partitions=2).to_pandas()
+    key = lambda df: df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b, j = key(b), key(j[b.columns])
+    assert b[["id_a", "id_b"]].equals(j[["id_a", "id_b"]])
+    assert np.allclose(b["est_jaccard"], j["est_jaccard"])
+
+
+def test_band_rows_are_slim():
+    """The band shuffle must not carry the full signature payload — only
+    the 8-byte band key, the id, and the 16-byte b-bit sketch."""
+    schema = minhash_band_rows(_docs()).schema()
+    assert sorted(schema.names) == ["__sk0", "__sk1", "band_key", "doc_id"]
 
 
 def test_minhash_dedup_removes_cluster_losers():
