@@ -842,23 +842,34 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
         })
 
     buckets = ds.map_batches(bucket, batch_format="pyarrow")
+    # one vectorized self-merge per COARSE bucket instead of one pandas
+    # call per raw SRP bucket (~n_rows × num_bands tiny groups otherwise);
+    # per-key row cap keeps the merge under the pair cap (skew guard)
+    max_rows_per_key = int((1 + np.sqrt(1 + 8 * max_pairs_per_bucket)) // 2)
+    _CB = 256
 
-    def cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.simhash import hamming64
+    def coarse(b: pa.Table) -> pa.Table:
+        cb = pc.bit_wise_and(b["bucket"], pa.scalar(_CB - 1, pa.int64()))
+        return b.append_column("__cb", cb)
 
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
+    def cand_pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["bucket", id_col]) \
+                 .sort_values(["bucket", id_col], kind="mergesort")
+        g = g[g.groupby("bucket").cumcount() < max_rows_per_key]
+        m = g.merge(g, on="bucket", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if not len(m):
             return pd.DataFrame({"id_a": g[id_col].iloc[:0],
                                  "id_b": g[id_col].iloc[:0]})
-        ids = g[id_col].to_numpy()
-        sk = g["__sketch"].to_numpy().astype(np.int64).view(np.uint64)
-        iu, ju = np.triu_indices(len(g), k=1)
-        close = np.nonzero(hamming64(sk[iu], sk[ju]) <= sketch_cut)[0]
-        close = close[:max_pairs_per_bucket]
-        return pd.DataFrame({"id_a": ids[iu[close]], "id_b": ids[ju[close]]})
+        h = _popcount64_2d(m["__sketch_a"].to_numpy().astype(np.int64).view(U64)
+                           ^ m["__sketch_b"].to_numpy().astype(np.int64).view(U64))
+        m = m[h <= sketch_cut]
+        return pd.DataFrame({"id_a": m[f"{id_col}_a"].to_numpy(),
+                             "id_b": m[f"{id_col}_b"].to_numpy()})
 
-    cand = buckets.groupby("bucket").map_groups(
-        cand_pairs, batch_format="pandas").materialize()
+    cand = (buckets.map_batches(coarse, batch_format="pyarrow")
+            .groupby("__cb").map_groups(cand_pairs_bulk, batch_format="pandas")
+            .materialize())
     if pair_mode == "auto":
         pair_mode = ("broadcast" if cand.count() <= _BROADCAST_PAIRS_CAP
                      else "join")
