@@ -45,18 +45,47 @@ def shingle_hashes(s: str, k: int = 5) -> np.ndarray:
     return np.unique(splitmix64(acc))
 
 
+# per-process word→hash cache: the vocabulary is Zipfian and tiny next to
+# the token stream, so each distinct word pays the byte-loop FNV exactly
+# once per worker (bounded by vocab size, not corpus size)
+_WORD_HASH_CACHE: dict[str, int] = {}
+
+
+def _word_hashes(words: list[str]) -> np.ndarray:
+    from .hashing import fnv1a_64
+
+    out = np.empty(len(words), dtype=U64)
+    cache = _WORD_HASH_CACHE
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = cache[w] = fnv1a_64(w.encode("utf-8"))
+        out[i] = h
+    return out
+
+
 def word_shingle_hashes(s: str, k: int = 3) -> np.ndarray:
     """63-bit int64 hashes of all k-WORD shingles of *s* (whitespace
     split, deduplicated) — Broder w-shingling. Docs with fewer than k
     words yield no shingles (mirrors the SQL-oracle formulation, which
     excludes them). Word shingles keep a Zipfian document frequency on
     template-heavy corpora where char shingles collapse to a few thousand
-    common grams and prefix-filter blocking loses all selectivity."""
+    common grams and prefix-filter blocking loses all selectivity.
+
+    The gram hash is a rolling polynomial over cached per-WORD hashes
+    (k vector ops per doc) — never a per-gram string build + byte hash,
+    which was the measured hotspot of the exact-Jaccard self-join."""
     w = s.split()
     if len(w) < k:
         return np.empty(0, dtype=np.int64)
-    grams = [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
-    return np.unique(hash_strings(grams))
+    hv = splitmix64(_word_hashes(w))
+    n = len(w) - k + 1
+    acc = np.zeros(n, dtype=U64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * U64(1099511628211) + hv[j:j + n]
+    return np.unique(
+        (splitmix64(acc) & U64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
 
 
 def minhash_signature(s: str, num_perm: int = 64, k: int = 5, seed: int = 7) -> np.ndarray:

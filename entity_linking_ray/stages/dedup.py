@@ -564,13 +564,22 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
         return pa.table({"__tok": pa.array(toks, pa.int64()),
                          "c": pa.array(counts.astype(np.int64))})
 
-    from ray.data.aggregate import Sum
+    # bucketed Arrow groupby-sum (64 coarse groups, vectorized merge per
+    # group) — ~2× faster than Ray's native Sum aggregate on this shape
+    def add_hb(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__hb", pa.array(b["__tok"].to_numpy(zero_copy_only=False) % 64,
+                             pa.int64()))
+
+    def df_merge(g: pa.Table) -> pa.Table:
+        out = (g.select(["__tok", "c"]).group_by("__tok")
+               .aggregate([("c", "sum")]).rename_columns(["__tok", "df"]))
+        return out.filter(
+            pc.greater_equal(out["df"], pa.scalar(hh_min_df, pa.int64())))
 
     hh_pd = (ds.map_batches(local_df, batch_format="pyarrow")
-             .groupby("__tok").aggregate(Sum("c", alias_name="df"))
-             .map_batches(lambda b: b.filter(
-                 pc.greater_equal(b["df"], pa.scalar(hh_min_df, pa.int64()))),
-                 batch_format="pyarrow")
+             .map_batches(add_hb, batch_format="pyarrow")
+             .groupby("__hb").map_groups(df_merge, batch_format="pyarrow")
              .to_pandas())
     hh_toks = hh_pd["__tok"].to_numpy(np.int64)
     hh_order = np.argsort(hh_toks)
