@@ -210,20 +210,8 @@ def _session_windows_salted(events: ray.data.Dataset, *, gap_us: int,
     return local.groupby(key_col).map_groups(merge, batch_format="pandas")
 
 
-def grouped_lag_delta(events: ray.data.Dataset, *, key_col: str,
-                      ts_col: str, id_col: str, val_col: str,
-                      scale: int = 100) -> ray.data.Dataset:
-    """→ (key, id, t: epoch-us, value_units, prev_units, delta_units) —
-    SQL ``lag(value) OVER (PARTITION BY key ORDER BY ts, id)`` with the
-    first row of each key dropped (its lag is NULL). Values are
-    fixed-point int64 units (``round(value*scale)``, half-away-from-zero
-    — the SQL ``round`` rule) so deltas are integer-exact against the
-    oracle. One groupby(key) shuffle; per-key work is a vectorized
-    sort + shift. Hot keys: per-key row counts bound group size exactly
-    as for :func:`session_windows` — for a skewed stream route through
-    ``hot_keys`` (stages/joins.py) and a time-bucketed pre-pass carrying
-    each bucket's last row into the next (not built; the plain shape is
-    the default for the same reason as the temporal joins)."""
+def _lag_prep(key_col: str, ts_col: str, id_col: str, val_col: str,
+              scale: int):
     def prep(b: pa.Table) -> pa.Table:
         # normalize to us first: in-memory pandas blocks arrive as ns
         t = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
@@ -233,6 +221,48 @@ def grouped_lag_delta(events: ray.data.Dataset, *, key_col: str,
             round_mode="half_towards_infinity"), pa.int64())
         return pa.table({key_col: b[key_col], id_col: b[id_col],
                          "t": t, "value_units": units})
+    return prep
+
+
+def grouped_lag_delta(events: ray.data.Dataset, *, key_col: str,
+                      ts_col: str, id_col: str, val_col: str,
+                      scale: int = 100,
+                      salt_bucket_us: int | None = None,
+                      hot_key_rows: int = 200_000) -> ray.data.Dataset:
+    """→ (key, id, t: epoch-us, value_units, prev_units, delta_units) —
+    SQL ``lag(value) OVER (PARTITION BY key ORDER BY ts, id)`` with the
+    first row of each key dropped (its lag is NULL). Values are
+    fixed-point int64 units (``round(value*scale)``, half-away-from-zero
+    — the SQL ``round`` rule) so deltas are integer-exact against the
+    oracle. One groupby(key) shuffle; per-key work is a vectorized
+    sort + shift.
+
+    With ``salt_bucket_us`` set, keys holding >= ``hot_key_rows`` events
+    (exact combiner count — stages/joins.py ``hot_keys``) route through
+    the salted plan (:func:`_grouped_lag_salted`): lag is computed inside
+    each (key, time-bucket) group, and only each bucket's FIRST row needs
+    a patch from the previous bucket's last value — a per-key pass over
+    two boundary rows per bucket, never the raw events. All other keys
+    take the plain per-key shape (same routing rationale as
+    :func:`session_windows`). Identical output either way — equal
+    timestamps share a bucket, so the (t, id) sort order never splits
+    across buckets (property-tested on a skewed fixture)."""
+    if salt_bucket_us is not None:
+        from .joins import _key_filter, hot_keys
+
+        hot = hot_keys(events.select_columns([key_col]), key_col,
+                       hot_key_rows)
+        if hot:
+            cold = grouped_lag_delta(
+                _key_filter(events, key_col, hot, keep=False),
+                key_col=key_col, ts_col=ts_col, id_col=id_col,
+                val_col=val_col, scale=scale)
+            salted = _grouped_lag_salted(
+                _key_filter(events, key_col, hot, keep=True),
+                key_col=key_col, ts_col=ts_col, id_col=id_col,
+                val_col=val_col, scale=scale,
+                salt_bucket_us=salt_bucket_us)
+            return cold.union(salted)
 
     def lag(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["t", id_col], kind="mergesort")
@@ -242,5 +272,76 @@ def grouped_lag_delta(events: ray.data.Dataset, *, key_col: str,
         out["delta_units"] = v[1:] - v[:-1]
         return out
 
-    return (events.map_batches(prep, batch_format="pyarrow")
+    return (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
+                                         scale), batch_format="pyarrow")
             .groupby(key_col).map_groups(lag, batch_format="pandas"))
+
+
+def _grouped_lag_salted(events: ray.data.Dataset, *, key_col: str,
+                        ts_col: str, id_col: str, val_col: str,
+                        scale: int, salt_bucket_us: int) -> ray.data.Dataset:
+    """Hot-key lag: per-(key, time-bucket) local lag, then a per-key patch
+    pass over BOUNDARY rows only (each bucket's first row, which lacks a
+    local predecessor, plus each bucket's last row, which supplies the
+    next present bucket's missing lag). Group sizes: events-per-bucket in
+    pass 1, 2×#buckets in pass 2 — never the key's full history."""
+    W = salt_bucket_us
+    final_cols = [key_col, id_col, "t", "value_units", "prev_units",
+                  "delta_units"]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = b["t"].to_numpy(zero_copy_only=False) // W
+        return b.append_column("__bucket", pa.array(bk, pa.int64()))
+
+    def local_lag(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["t", id_col], kind="mergesort")
+        v = g["value_units"].to_numpy(np.int64)
+        out = g.copy()
+        out["prev_units"] = np.concatenate(([np.int64(0)], v[:-1]))
+        out["delta_units"] = v - out["prev_units"].to_numpy(np.int64)
+        # kind 0: complete; kind 1: bucket's first row (needs patching);
+        # kind 2: bucket's last row REPLICATED as the boundary supplier
+        kind = np.zeros(len(g), np.int64)
+        kind[0] = 1
+        out["__kind"] = kind
+        last = out.iloc[-1:].copy()
+        last["__kind"] = 2
+        return pd.concat([out, last], ignore_index=True)
+
+    prepped = (events.map_batches(_lag_prep(key_col, ts_col, id_col,
+                                            val_col, scale),
+                                  batch_format="pyarrow")
+               .map_batches(add_bucket, batch_format="pyarrow"))
+    local = (prepped.groupby([key_col, "__bucket"])
+             .map_groups(local_lag, batch_format="pandas"))
+
+    def split(kinds: list[int]):
+        val = pa.array(kinds, pa.int64())
+
+        def flt(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["__kind"], value_set=val))
+        return flt
+
+    complete = (local.map_batches(split([0]), batch_format="pyarrow")
+                .select_columns(final_cols))
+
+    def patch(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__bucket", "__kind"], kind="mergesort")
+        firsts = g[g["__kind"] == 1]
+        lasts = g[g["__kind"] == 2]
+        lb = lasts["__bucket"].to_numpy(np.int64)
+        lv = lasts["value_units"].to_numpy(np.int64)
+        fb = firsts["__bucket"].to_numpy(np.int64)
+        # previous PRESENT bucket's last value (buckets can be sparse)
+        idx = np.searchsorted(lb, fb) - 1
+        has_prev = idx >= 0
+        out = firsts[has_prev].copy()
+        out["prev_units"] = lv[idx[has_prev]]
+        out["delta_units"] = (out["value_units"].to_numpy(np.int64)
+                              - out["prev_units"].to_numpy(np.int64))
+        return out[[c for c in group.columns]]
+
+    patched = (local.map_batches(split([1, 2]), batch_format="pyarrow")
+               .groupby(key_col).map_groups(patch, batch_format="pandas")
+               .select_columns(final_cols))
+    return complete.union(patched)

@@ -49,3 +49,31 @@ def test_grouped_lag_delta_matches_window(ray_session):
             "delta_units"]
     pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
     assert (got["user_id"] != 999).all()
+
+
+def test_grouped_lag_salted_equals_plain_on_skew(ray_session):
+    """One hot user with most of the stream (incl. duplicate timestamps
+    spanning bucket boundaries) must produce identical lag output through
+    the salted per-(key, time-bucket) plan and the plain per-key plan."""
+    rng = np.random.default_rng(23)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.where(rng.random(n) < 0.8, 7,
+                            rng.integers(0, 12, n)).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 2000, n), unit="s"),
+        "value": np.round(rng.normal(10, 5, n), 3),
+    })
+    kw = dict(key_col="user_id", ts_col="ts", id_col="event_id",
+              val_col="value")
+    ds = ray.data.from_pandas(df).repartition(5)
+    plain = grouped_lag_delta(ds, **kw).to_pandas()
+    # hot_key_rows=1000 → user 7 is hot; 300s buckets split its history
+    salted = grouped_lag_delta(ds, salt_bucket_us=300_000_000,
+                               hot_key_rows=1000, **kw).to_pandas()
+    key = lambda d: d.sort_values(["user_id", "t", "event_id"]) \
+                     .reset_index(drop=True)
+    cols = ["user_id", "event_id", "t", "value_units", "prev_units",
+            "delta_units"]
+    pd.testing.assert_frame_equal(key(plain)[cols], key(salted)[cols],
+                                  check_dtype=False)
