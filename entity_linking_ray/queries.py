@@ -510,6 +510,36 @@ def _q_lag_delta(sf_dir: str):
 
 
 @register(
+    "event_running_totals",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             cast(round(value * 100) as bigint) AS value_units
+      FROM events)
+    SELECT user_id, event_id, t, value_units,
+           cast(sum(value_units) OVER (
+                PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                as bigint) AS run_units,
+           cast(count(*) OVER (
+                PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                as bigint) AS run_n
+    FROM e
+    """,
+)
+def _q_running_totals(sf_dir: str):
+    """Expanding-window running totals per user (SQL sum()/count() OVER
+    with full tie-break). One groupby(user) shuffle, vectorized cumsum
+    per group; cents fixed-point so the hash check is exact."""
+    from .stages.windows import grouped_running_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return grouped_running_sum(ev, key_col="user_id", ts_col="ts",
+                               id_col="event_id", val_col="value")
+
+
+@register(
     "event_value_quantiles",
     """
     SELECT event_type,

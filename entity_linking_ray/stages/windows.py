@@ -345,3 +345,27 @@ def _grouped_lag_salted(events: ray.data.Dataset, *, key_col: str,
                .groupby(key_col).map_groups(patch, batch_format="pandas")
                .select_columns(final_cols))
     return complete.union(patched)
+
+
+def grouped_running_sum(events: ray.data.Dataset, *, key_col: str,
+                        ts_col: str, id_col: str, val_col: str,
+                        scale: int = 100) -> ray.data.Dataset:
+    """→ (key, id, t: epoch-us, value_units, run_units, run_n) — the
+    expanding-window running total: SQL
+    ``sum(value) OVER (PARTITION BY key ORDER BY ts, id)`` plus the
+    matching running row count. Fixed-point int64 units keep the oracle
+    hash-exact. One groupby(key) shuffle; per-key work is a vectorized
+    sort + cumsum. Hot keys: same salted decomposition as
+    :func:`grouped_lag_delta` applies (per-bucket local cumsum + one
+    boundary pass adding each previous bucket's total); the plain shape
+    is the default for the same routing reason."""
+    def cumsum(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["t", id_col], kind="mergesort").copy()
+        v = g["value_units"].to_numpy(np.int64)
+        g["run_units"] = np.cumsum(v)
+        g["run_n"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
+                                         scale), batch_format="pyarrow")
+            .groupby(key_col).map_groups(cumsum, batch_format="pandas"))
