@@ -510,6 +510,42 @@ def _q_lag_delta(sf_dir: str):
 
 
 @register(
+    "doc_tfidf_top3",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(cast(n.n as double) / df.df), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, cast(rk as bigint) AS rn, term, score,
+           cast(tf as bigint) AS tf, cast(df as bigint) AS df
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def _q_tfidf(sf_dir: str):
+    """TF-IDF keyword extraction: top-3 terms per document by
+    round(tf·ln(N/df), 6) — per-batch Arrow tf explode, bucketed df sum,
+    one tf⋈df hash join on the term, grouped top-N finish. Same rounded-
+    ln float surface the part_link_boost oracle proved hash-stable."""
+    from .stages.tfidf import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, id_col="doc_id", col="text", k=3,
+                           num_partitions=_table_partitions(
+                               sf_dir, "documents"))
+
+
+@register(
     "event_running_totals",
     """
     WITH e AS (

@@ -82,21 +82,33 @@ def block_topn(df: pd.DataFrame, key_col: str, order_col: str,
 
 def topn_per_group(ds: ray.data.Dataset, *, key_col: str, order_col: str,
                    id_col: str, n: int,
-                   keep_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+                   keep_cols: tuple[str, ...] = (),
+                   num_buckets: int = 64) -> ray.data.Dataset:
     """→ (key_col, rn: int64 1..n, id_col, order_col, *keep_cols) — the
     top ``n`` rows per key ordered by ``order_col`` DESC with ties broken
-    by ``id_col`` ASC (row_number semantics, fully deterministic)."""
+    by ``id_col`` ASC (row_number semantics, fully deterministic).
+
+    The shuffle groups by a coarse KEY-HASH bucket, not the key: each
+    finalize call handles many keys with one vectorized sort +
+    per-key head — one pandas call per raw key collapses when there are
+    millions of small groups (measured on the TF-IDF top-k)."""
     cols = [key_col, id_col, order_col, *keep_cols]
+    out_cols = [key_col, "rn", id_col, order_col, *keep_cols]
 
     def combiner(batch: pd.DataFrame) -> pd.DataFrame:
-        return block_topn(batch[cols], key_col, order_col, id_col, n)
+        part = block_topn(batch[cols], key_col, order_col, id_col, n)
+        part = part.copy()
+        part["__kb"] = (pd.util.hash_array(
+            part[key_col].to_numpy()) % num_buckets).astype(np.int64)
+        return part
 
     def finalize(group: pd.DataFrame) -> pd.DataFrame:
-        out = block_topn(group, key_col, order_col, id_col,
-                         n).reset_index(drop=True)
-        out.insert(1, "rn", np.arange(1, len(out) + 1, dtype=np.int64))
-        return out
+        out = block_topn(group[cols], key_col, order_col, id_col, n)
+        # head() preserves the sorted order, so cumcount IS the row_number
+        out["rn"] = (out.groupby(key_col, sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        return out[out_cols].reset_index(drop=True)
 
     return (ds.map_batches(combiner, batch_format="pandas")
-            .groupby(key_col)
+            .groupby("__kb")
             .map_groups(finalize, batch_format="pandas"))
