@@ -44,14 +44,25 @@ def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_has
 
 def exact_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
     """Keep the min-id row per distinct content (deterministic winner).
-    Shuffle key is the 63-bit content hash, not the full text."""
-    hashed = ds.map_batches(lambda b: add_content_hash(b, col), batch_format="pyarrow")
+    Shuffle key is a COARSE bucket of the 63-bit content hash — one
+    vectorized sort + drop_duplicates per bucket, not one Python call per
+    distinct document (every unique doc is its own group otherwise)."""
+    _CB = 256
+
+    def hash_and_bucket(b: pa.Table) -> pa.Table:
+        t = add_content_hash(b, col)
+        return t.append_column(
+            "__cb", pc.bit_wise_and(t["content_hash"],
+                                    pa.scalar(_CB - 1, pa.int64())))
+
+    hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+        g = group.sort_values(["content_hash", id_col], kind="mergesort")
+        return g.drop_duplicates(subset=["content_hash"], keep="first")
 
-    out = hashed.groupby("content_hash").map_groups(keep_min, batch_format="pandas")
-    return out.drop_columns(["content_hash"])
+    out = hashed.groupby("__cb").map_groups(keep_min, batch_format="pandas")
+    return out.drop_columns(["content_hash", "__cb"])
 
 
 def _pack_bbit_sketch(sigs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -116,37 +116,41 @@ def session_windows(events: ray.data.Dataset, *, gap_us: int,
                 salt_bucket_us=salt_bucket_us)
             return cold.union(salted)
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        t = np.sort(group[ts_col].astype("int64").to_numpy())
-        brk = np.empty(len(t), dtype=np.int64)
-        brk[0] = 1
-        if len(t) > 1:
-            brk[1:] = (np.diff(t) > gap_us).astype(np.int64)
-        sess = np.cumsum(brk) - 1
-        counts = np.bincount(sess)
-        # t is sorted and sessions are contiguous runs: first/last per run
+    # shuffle on a coarse key-hash bucket: one vectorized segmenter call
+    # per bucket covers MANY keys (one pandas call per key collapses when
+    # the key space is large); key changes break runs exactly like gaps
+    def sessions_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col], kind="mergesort")
+        t = g[ts_col].to_numpy(np.int64)
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        if n > 1:
+            brk[1:] = (keys[1:] != keys[:-1]) | (np.diff(t) > gap_us)
         run_start = np.nonzero(brk)[0]
-        run_end = np.append(run_start[1:], len(t)) - 1
-        starts = t[run_start]
-        ends = t[run_end]
+        run_end = np.append(run_start[1:], n) - 1
         return pd.DataFrame({
-            key_col: np.full(len(starts), group[key_col].iloc[0]),
-            "session_start": starts,
-            "n_events": counts,
-            "duration_us": ends - starts,
+            key_col: keys[run_start],
+            "session_start": t[run_start],
+            "n_events": np.diff(np.append(run_start, n)).astype(np.int64),
+            "duration_us": t[run_end] - t[run_start],
         })
 
     cols = events.select_columns([key_col, ts_col])
 
     def to_us(b: pa.Table) -> pa.Table:
+        kb = pd.util.hash_array(
+            b[key_col].to_numpy(zero_copy_only=False)) % 64
         return pa.table({
             key_col: b[key_col],
             ts_col: pc.cast(b[ts_col], pa.int64()),
+            "__kb": pa.array(kb.astype(np.int64), pa.int64()),
         })
 
     return (cols.map_batches(to_us, batch_format="pyarrow")
-            .groupby(key_col)
-            .map_groups(sessions, batch_format="pandas"))
+            .groupby("__kb")
+            .map_groups(sessions_bulk, batch_format="pandas"))
 
 
 def _session_windows_salted(events: ray.data.Dataset, *, gap_us: int,
@@ -210,6 +214,17 @@ def _session_windows_salted(events: ray.data.Dataset, *, gap_us: int,
     return local.groupby(key_col).map_groups(merge, batch_format="pandas")
 
 
+def _add_key_bucket(key_col: str, num_buckets: int = 64):
+    """Coarse deterministic key-hash bucket column (``__kb``) — the
+    shuffle key for per-key kernels vectorized across many keys."""
+    def add(b: pa.Table) -> pa.Table:
+        kb = pd.util.hash_array(
+            b[key_col].to_numpy(zero_copy_only=False)) % num_buckets
+        return b.append_column("__kb", pa.array(kb.astype(np.int64),
+                                                pa.int64()))
+    return add
+
+
 def _lag_prep(key_col: str, ts_col: str, id_col: str, val_col: str,
               scale: int):
     def prep(b: pa.Table) -> pa.Table:
@@ -264,17 +279,28 @@ def grouped_lag_delta(events: ray.data.Dataset, *, key_col: str,
                 salt_bucket_us=salt_bucket_us)
             return cold.union(salted)
 
-    def lag(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["t", id_col], kind="mergesort")
+    # coarse key-hash bucket shuffle: one vectorized lag per bucket over
+    # many keys (key changes invalidate the shifted predecessor)
+    def lag_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "t", id_col], kind="mergesort")
         v = g["value_units"].to_numpy(np.int64)
-        out = g.iloc[1:].copy()  # empty (typed) when the key has one row
-        out["prev_units"] = v[:-1]
-        out["delta_units"] = v[1:] - v[:-1]
-        return out
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[1:] = keys[1:] == keys[:-1]
+        prev = np.empty(n, np.int64)
+        prev[0] = 0
+        prev[1:] = v[:-1]
+        out = g[same].copy()
+        out["prev_units"] = prev[same]
+        out["delta_units"] = v[same] - prev[same]
+        return out.drop(columns="__kb")
 
     return (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
                                          scale), batch_format="pyarrow")
-            .groupby(key_col).map_groups(lag, batch_format="pandas"))
+            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
+            .groupby("__kb").map_groups(lag_bulk, batch_format="pandas"))
 
 
 def _grouped_lag_salted(events: ray.data.Dataset, *, key_col: str,
@@ -359,13 +385,24 @@ def grouped_running_sum(events: ray.data.Dataset, *, key_col: str,
     :func:`grouped_lag_delta` applies (per-bucket local cumsum + one
     boundary pass adding each previous bucket's total); the plain shape
     is the default for the same routing reason."""
-    def cumsum(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["t", id_col], kind="mergesort").copy()
+    # coarse key-hash bucket shuffle; segmented cumsum across many keys
+    def cumsum_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "t", id_col],
+                              kind="mergesort").copy()
         v = g["value_units"].to_numpy(np.int64)
-        g["run_units"] = np.cumsum(v)
-        g["run_n"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        c = np.cumsum(v)
+        g["run_units"] = c - (c[starts] - v[starts])[seg]
+        g["run_n"] = np.arange(n, dtype=np.int64) - starts[seg] + 1
+        return g.drop(columns="__kb")
 
     return (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
                                          scale), batch_format="pyarrow")
-            .groupby(key_col).map_groups(cumsum, batch_format="pandas"))
+            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
+            .groupby("__kb").map_groups(cumsum_bulk, batch_format="pandas"))
