@@ -1418,3 +1418,348 @@ def _q_knn_ivf(sf_dir: str):
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
     out = ivf_knn(ds, Q, head["vec_id"].tolist(), k=5, n_centroids=16, nprobe=16)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: existence joins, bounded window frames, rollup,
+# distributed moments, histogram, deterministic sampling, sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_urgent_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def _q_customers_without_urgent(sf_dir: str):
+    """Left-anti existence join (SQL NOT EXISTS): the probe side is
+    filtered at the read then reduced to one distinct-key marker row per
+    customer before the hash join, so the shuffle moves key rows only
+    (stages/joins.py ``anti_join``). The URGENT filter keeps the result
+    non-empty at every test SF (an all-empty result would drop its
+    schema through the driver's pandas conversion)."""
+    from .stages.joins import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+              .filter(expr="o_orderpriority == '1-URGENT'")
+              .select_columns(["o_custkey"]))
+    nparts = _table_partitions(sf_dir, "customer", "orders")
+    return anti_join(cust, orders, on=("c_custkey",),
+                     right_on=("o_custkey",), num_partitions=nparts)
+
+
+@register(
+    "event_rolling_window",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             cast(round(value * 100) as bigint) AS value_units
+      FROM events)
+    SELECT user_id, event_id, t, value_units,
+           cast(sum(value_units) OVER (
+                PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                as bigint) AS win_units,
+           cast(count(*) OVER (
+                PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                as bigint) AS win_n
+    FROM e
+    """,
+)
+def _q_rolling_window(sf_dir: str):
+    """Bounded ROWS frame (4-row rolling sum/count per user): segmented
+    rolling sum via one cumsum per coarse key-hash bucket — completes
+    the window-frame family (lag / expanding / bounded / sliding-time /
+    session)."""
+    from .stages.windows import grouped_rolling_window
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return grouped_rolling_window(ev, key_col="user_id", ts_col="ts",
+                                  id_col="event_id", val_col="value",
+                                  window_rows=4)
+
+
+@register(
+    "user_first_last_event",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+               FROM events),
+    f AS (SELECT user_id, event_type AS first_type FROM e
+          QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY t, event_id) = 1),
+    l AS (SELECT user_id, event_type AS last_type,
+                 cast(count(*) OVER (PARTITION BY user_id) as bigint)
+                   AS n_events
+          FROM e
+          QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY t DESC, event_id DESC) = 1)
+    SELECT f.user_id, first_type, last_type, n_events
+    FROM f JOIN l USING (user_id)
+    """,
+)
+def _q_first_last(sf_dir: str):
+    """Distributed argmin/argmax-by-time: each batch reduces to one
+    (key, first, last, n) partial per key before the shuffle
+    (stages/windows.py ``grouped_first_last``) — the event payload never
+    moves, only per-batch boundary rows."""
+    import pyarrow as pa
+
+    from .stages.windows import grouped_first_last
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = grouped_first_last(ev, key_col="user_id", ts_col="ts",
+                             id_col="event_id", val_col="event_type")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "first_type": b["first_val"],
+                         "last_type": b["last_val"],
+                         "n_events": b["n_events"]})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+@register(
+    "event_value_histogram",
+    """
+    SELECT cast(floor(value / 5.0) as bigint) AS bin,
+           count(*) AS n,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint)
+             AS sum_units
+    FROM events GROUP BY bin
+    """,
+)
+def _q_value_histogram(sf_dir: str):
+    """Fixed-width histogram: pure combiner shape (per-batch Arrow
+    group_by partials, one tiny bin-keyed shuffle). Bin ids are exact
+    (floor of a float divide is reproducible), sums fixed-point."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        binid = pc.cast(pc.floor(pc.divide(b["value"], 5.0)), pa.int64())
+        units = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"bin": binid, "n": pa.repeat(pa.scalar(1, pa.int64()),
+                                                   b.num_rows),
+                      "sum_units": units})
+        return (t.group_by("bin")
+                .aggregate([("n", "sum"), ("sum_units", "sum")])
+                .rename_columns(["bin", "n", "sum_units"]))
+
+    return (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n"),
+                                      Sum("sum_units",
+                                          alias_name="sum_units")))
+
+
+@register(
+    "event_corr_moments",
+    """
+    WITH e AS (SELECT event_type,
+                      cast(round(value * 100) as bigint) AS x,
+                      cast(hour(ts) as bigint) AS y
+               FROM events)
+    SELECT event_type, count(*) AS n,
+           cast(sum(x) as bigint)     AS sum_x,
+           cast(sum(y) as bigint)     AS sum_y,
+           cast(sum(x * y) as bigint) AS sum_xy,
+           cast(sum(x * x) as bigint) AS sum_x2,
+           cast(sum(y * y) as bigint) AS sum_y2
+    FROM e GROUP BY event_type
+    """,
+)
+def _q_corr_moments(sf_dir: str):
+    """Distributed second moments (the covariance/correlation/variance
+    building blocks): all five sums accumulate as exact int64 in a
+    per-batch combiner — one streaming pass, order-independent, from
+    which corr(x,y) = (n·Σxy − ΣxΣy)/√((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
+    follows on the driver with no second pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                             round_mode="half_towards_infinity"), pa.int64())
+        y = pc.cast(pc.hour(b["ts"]), pa.int64())
+        t = pa.table({
+            "event_type": b["event_type"],
+            "n": pa.repeat(pa.scalar(1, pa.int64()), b.num_rows),
+            "sum_x": x, "sum_y": y,
+            "sum_xy": pc.multiply(x, y),
+            "sum_x2": pc.multiply(x, x),
+            "sum_y2": pc.multiply(y, y),
+        })
+        cols = ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+        return (t.group_by("event_type")
+                .aggregate([(c, "sum") for c in cols])
+                .rename_columns(["event_type", *cols]))
+
+    cols = ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+    return (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+
+@register(
+    "supplier_balance_rollup",
+    """
+    WITH s AS (SELECT r_name, n_name,
+                      cast(round(s_acctbal * 100) as bigint) AS cents
+               FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey)
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           cast(sum(cents) as bigint) AS sum_cents,
+           count(*) AS n_sup
+    FROM s GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def _q_balance_rollup(sf_dir: str):
+    """GROUP BY ROLLUP as hierarchical re-aggregation: ONE scan computes
+    the finest (region, nation) partials (dims resolved via a broadcast
+    lookup — never a shuffle join for a 25-row table); each fine row
+    then explodes into its 3 rollup levels and a second, partial-sized
+    groupby sums them. The corpus is read once; coarser levels reuse the
+    fine partials instead of rescanning."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                      "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    lut_ref = ray.put({int(r.n_nationkey): (r.r_name, r.n_name)
+                       for r in nat.itertuples()})
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def part(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        keys = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        names = [lut[int(kk)] for kk in keys]
+        cents = pc.cast(pc.round(pc.multiply(b["s_acctbal"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({
+            "region": pa.array([r for r, _ in names], pa.string()),
+            "nation": pa.array([nn for _, nn in names], pa.string()),
+            "sum_cents": cents,
+            "n_sup": pa.repeat(pa.scalar(1, pa.int64()), b.num_rows),
+        })
+        return (t.group_by(["region", "nation"])
+                .aggregate([("sum_cents", "sum"), ("n_sup", "sum")])
+                .rename_columns(["region", "nation", "sum_cents", "n_sup"]))
+
+    def explode_levels(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        lv1 = df.assign(nation="ALL")
+        lv2 = df.assign(region="ALL", nation="ALL")
+        return pa.Table.from_pandas(pd.concat([df, lv1, lv2],
+                                              ignore_index=True),
+                                    preserve_index=False)
+
+    return (sup.map_batches(part, batch_format="pyarrow")
+            .map_batches(explode_levels, batch_format="pyarrow")
+            .groupby(["region", "nation"])
+            .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                       Sum("n_sup", alias_name="n_sup")))
+
+
+@register(
+    "stratified_doc_sample",
+    """
+    SELECT lang, doc_id, n_chars FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang
+      ORDER BY (doc_id * 48271 + 11) % 2147483647, doc_id) <= 20
+    """,
+)
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample (20 docs per language) by
+    ascending affine id-hash — no RNG state, so any partition re-runs to
+    the same sample and the SQL oracle replays the selection exactly
+    (stages/sampling.py)."""
+    from .stages.sampling import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return stratified_sample(docs, key_col="lang", id_col="doc_id",
+                             n_per_key=20, keep_cols=("n_chars",))
+
+
+@register(
+    "weighted_doc_sample",
+    """
+    WITH d AS (SELECT doc_id, n_chars,
+                      pow((((doc_id * 48271 + 11) % 2147483647) + 1.0)
+                            / 2147483647.0,
+                          1.0 / n_chars) AS key
+               FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars FROM d ORDER BY key DESC, doc_id LIMIT 50
+    """,
+)
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sample without replacement (50 docs, weight = length) —
+    Efraimidis-Spirakis A-ES keys from the deterministic affine draw;
+    per-batch partial top-k tournament, never a global sort
+    (stages/sampling.py)."""
+    from .stages.sampling import weighted_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(docs, id_col="doc_id", weight_col="n_chars",
+                           k=50)
+
+
+@register(
+    "heavy_hitter_words",
+    """
+    SELECT tok AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, word
+    LIMIT 10
+    """,
+)
+def _q_heavy_hitters(sf_dir: str):
+    """Sketch-guided EXACT top-10 tokens: Misra-Gries candidate pass +
+    exact recount of candidates only, runtime-certified against the MG
+    error bound (stages/sketch.py). Same answer as the full-shuffle
+    word_freq path, but only O(width) rows per batch ever shuffle."""
+    from .stages.sketch import heavy_hitter_words
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return heavy_hitter_words(docs, text_col="text", k=10, width=1024)
+
+
+@register("approx_distinct_users_by_type")
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog COUNT DISTINCT per event type (rows-only: an estimate
+    has no SQL-exact oracle; accuracy ±1.04/√4096 ≈ 1.6% and the
+    merge=union property are pinned in pytest). The exact counterpart
+    (`distinct_users_by_type`) stays oracle-checked."""
+    from .stages.sketch import hll_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct(ev, key_col="event_type", val_col="user_id", p=12)

@@ -354,3 +354,57 @@ def _range_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     return tagged.groupby([key, "__bucket"]).map_groups(
         match, batch_format="pandas")
+
+
+def _existence_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                    on: tuple, right_on: tuple | None,
+                    num_partitions: int, keep_matches: bool) -> ray.data.Dataset:
+    """Shared plan for semi/anti joins: the probe side reduces to ONE
+    marker row per distinct key (batch-local Arrow distinct combiner →
+    one small key-row groupby) before the hash join, so duplicate right
+    keys can never multiply left rows and only key rows ride the
+    shuffle — never the right table's payload."""
+    right_on = tuple(right_on or on)
+    on = tuple(on)
+
+    def mark(b: pa.Table) -> pa.Table:
+        t = b.select(list(right_on)).group_by(list(right_on)).aggregate([])
+        return t.append_column(
+            "__hit", pa.array(np.ones(t.num_rows, np.int8)))
+
+    from ray.data.aggregate import Min
+
+    probe = (right.map_batches(mark, batch_format="pyarrow")
+             .groupby(list(right_on))
+             .aggregate(Min("__hit", alias_name="__hit"))
+             .repartition(num_partitions))  # scrub untyped empty blocks
+    joined = left.join(probe, "left_outer", num_partitions,
+                       on=on, right_on=right_on)
+    pred = pc.is_valid if keep_matches else pc.is_null
+    extra = ["__hit"] + [c for c in right_on if c not in on]
+
+    def flt(b: pa.Table) -> pa.Table:
+        drop = [c for c in extra if c in b.column_names]
+        return b.filter(pred(b["__hit"])).drop_columns(drop)
+
+    return joined.map_batches(flt, batch_format="pyarrow")
+
+
+def anti_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              on: tuple, right_on: tuple | None = None,
+              num_partitions: int = 16) -> ray.data.Dataset:
+    """Left rows with NO key match in ``right`` (SQL NOT EXISTS) — the
+    generic form of the loser-removal join inside
+    ``stages/dedup.py::_drop_losers_keyed``."""
+    return _existence_join(left, right, on=on, right_on=right_on,
+                           num_partitions=num_partitions, keep_matches=False)
+
+
+def semi_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              on: tuple, right_on: tuple | None = None,
+              num_partitions: int = 16) -> ray.data.Dataset:
+    """Left rows WITH at least one key match in ``right`` (SQL EXISTS);
+    left rows are never duplicated, whatever the right-side key
+    multiplicity."""
+    return _existence_join(left, right, on=on, right_on=right_on,
+                           num_partitions=num_partitions, keep_matches=True)

@@ -1,0 +1,107 @@
+"""Deterministic distributed sampling for training-data pipelines.
+
+The reference's only sampling is the seeded train/test shuffle split
+(SURVEY.md §2 M16/T7, re-expressed in ``pipelines/train_prep.py``); a
+corpus-scale engine also needs per-stratum and weighted selection. Both
+operators here are DETERMINISTIC functions of the row id — no RNG state,
+so re-running any partition reproduces the same sample (the resumability
+requirement), the result is independent of partitioning/arrival order,
+and a SQL oracle can replay the exact selection.
+
+- :func:`stratified_sample` — n rows per stratum, chosen by ascending
+  affine hash of the id (a Lehmer/Park-Miller step, ``(id*48271 + 11)
+  mod (2^31-1)``): uniform within each stratum, exactly n kept (fewer if
+  the stratum is smaller). Runs as the two-level top-n combiner of
+  ``stages/rank.topn_per_group`` — each batch keeps at most n rows per
+  stratum it contains, so the shuffle moves partial winners only.
+- :func:`weighted_sample` — global weighted sample WITHOUT replacement
+  of k rows (Efraimidis–Spirakis A-ES, IPL 2006): each row draws
+  u = affine_hash(id)/m ∈ (0,1) and scores key = u^(1/weight); the k
+  largest keys are the sample. Inclusion probability is proportional to
+  weight at each of the k draws. Per-batch partial top-k (vectorized
+  argpartition) reduces every batch to ≤ k rows before the single final
+  merge — a top-k tournament, not a global sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# Lehmer-style affine step: full-period multiplier 48271 mod the Mersenne
+# prime 2^31-1 (Park-Miller); +11 decouples id 0 from u=0
+_A = 48271
+_B = 11
+_M = 2147483647
+
+
+def _u01(ids: np.ndarray) -> np.ndarray:
+    """Deterministic uniform-ish (0,1] draw per int64 id — exact int64
+    arithmetic (no overflow: |id|·48271 < 2^63 for ids below 2^47), so a
+    SQL oracle reproduces it bit-for-bit."""
+    r = (ids.astype(np.int64) * _A + _B) % _M
+    return (r.astype(np.float64) + 1.0) / float(_M)
+
+
+def stratified_sample(ds: ray.data.Dataset, *, key_col: str, id_col: str,
+                      n_per_key: int,
+                      keep_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """→ (key_col, id_col, *keep_cols) — exactly ``n_per_key`` rows per
+    stratum (all rows when a stratum is smaller), picked by ascending
+    ``(affine_hash(id), id)``. Equivalent SQL:
+    ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY
+    (id*48271+11) % 2147483647, id) <= n``."""
+    from .rank import topn_per_group
+
+    def add_order(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        h = (ids * _A + _B) % _M
+        # topn_per_group keeps the LARGEST order values — negate for
+        # ascending-hash selection
+        return b.append_column("__ord", pa.array(-h, pa.int64()))
+
+    out = topn_per_group(
+        ds.map_batches(add_order, batch_format="pyarrow"),
+        key_col=key_col, order_col="__ord", id_col=id_col, n=n_per_key,
+        keep_cols=keep_cols)
+    return out.drop_columns(["__ord", "rn"])
+
+
+def weighted_sample(ds: ray.data.Dataset, *, id_col: str, weight_col: str,
+                    k: int,
+                    keep_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """→ (id_col, weight_col, *keep_cols) — k-row weighted sample without
+    replacement (A-ES keys ``u^(1/w)``, u a deterministic function of the
+    id). Rows with weight <= 0 are never selected. The float key is a
+    selection device only — it is NOT emitted, so the driver's value-hash
+    surface stays integer-exact (a ~1-ulp libm divergence from the SQL
+    oracle could only matter in the measure-zero event of a near-tie at
+    the k-th boundary)."""
+    cols = [id_col, weight_col, *keep_cols]
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        w = pc.cast(b[weight_col],
+                    pa.float64()).to_numpy(zero_copy_only=False)
+        key = np.where(w > 0, _u01(ids) ** (1.0 / np.maximum(w, 1e-300)),
+                       -1.0)
+        if len(ids) > k:
+            sel = np.argpartition(-key, k - 1)[:k]
+        else:
+            sel = np.arange(len(ids))
+        sel = sel[key[sel] >= 0]
+        t = b.select(cols).take(pa.array(sel, pa.int64()))
+        return t.append_column("__key", pa.array(key[sel], pa.float64())) \
+                .append_column("__g", pa.array(np.zeros(len(sel), np.int64)))
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__key", id_col],
+                              ascending=[False, True]).head(k)
+        return g[cols].reset_index(drop=True)
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("__g").map_groups(final, batch_format="pandas"))

@@ -1,0 +1,234 @@
+"""Mergeable sketches for wide aggregates the full shuffle can't afford.
+
+The reference computes its distincts and counts exactly (SURVEY.md §2.6
+G5); at 100-TB scale an exact COUNT DISTINCT or global top-k over raw
+tokens is an all-to-all shuffle of every distinct value. These operators
+replace that with the standard mergeable-summary shapes (Agarwal et al.,
+"Mergeable Summaries", PODS'12):
+
+- :func:`hll_distinct` — HyperLogLog (Flajolet et al. 2007) approximate
+  COUNT DISTINCT per group. Each batch reduces to one 2^p-byte register
+  array per group it contains (vectorized: one ``np.maximum.at`` over
+  splitmix64 hashes); registers merge by elementwise max — associative
+  and idempotent, so the groupby shuffle moves ONLY fixed-size register
+  blobs, never the values. Standard error ≈ 1.04/sqrt(2^p) (~1.6% at
+  p=12); linear counting below the small-range threshold.
+- :func:`heavy_hitter_words` — sketch-guided EXACT global top-k: a
+  Misra-Gries pass (per-batch exact counts trimmed to the top ``width``
+  with the (width+1)-th count subtracted — a valid MG summary; partials
+  merged by counter addition then one global trim) yields a candidate
+  set guaranteed to contain every token with true frequency >
+  total/width; a second pass exactly recounts ONLY the candidates
+  (broadcast via ``ray.put``, batch-local Arrow combiner) and the top-k
+  of those counts is the exact global top-k whenever the k-th frequency
+  clears the bound — asserted at runtime, so a too-narrow sketch fails
+  loudly instead of silently returning wrong counts. The full-shuffle
+  equivalent (``queries.py::word_freq_top20``) moves every distinct
+  token; this moves ≤ width rows per batch plus the candidate recount.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.hashing import splitmix64
+
+
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Register array (len 2^p, uint8) for one group's u64 hash values:
+    register[h >> (64-p)] = max rank, rank = 1 + leading zeros of the
+    remaining 64-p bits (capped at 64-p+1)."""
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = (hashes << np.uint64(p)).astype(np.uint64)
+    # rank = clz(rest) + 1 over the (64-p)-bit suffix; rest==0 → max rank
+    nz = rest != 0
+    rank = np.full(len(hashes), 64 - p + 1, np.uint8)
+    if nz.any():
+        # clz via float64 exponent is unsafe near 2^53; use bit_length
+        # through log2 on the uint64 viewed exactly: np.log2 of uint64
+        # loses precision ≥2^53, so shift down to 32-bit halves instead
+        r = rest[nz]
+        hi = (r >> np.uint64(32)).astype(np.uint32)
+        lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        bl_hi = np.frexp(hi.astype(np.float64))[1]  # bit_length, exact <2^32
+        bl_lo = np.frexp(lo.astype(np.float64))[1]
+        bl = np.where(hi != 0, bl_hi + 32, bl_lo)
+        rank[nz] = (64 - bl + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Raw HLL estimate with the standard small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.float64(2.0) ** -regs.astype(np.float64))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def hll_distinct(ds: ray.data.Dataset, *, key_col: str, val_col: str,
+                 p: int = 12) -> ray.data.Dataset:
+    """→ (key_col, approx_distinct: int64) — approximate COUNT(DISTINCT
+    val) per key. Shuffle payload: one 2^p-byte register blob per
+    (batch, key) partial; merge is elementwise max."""
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": b[key_col].to_numpy(zero_copy_only=False),
+            "v": b[val_col].to_numpy(zero_copy_only=False),
+        })
+        h = splitmix64(
+            pd.util.hash_array(df["v"].to_numpy()).astype(np.uint64))
+        keys_out, blobs = [], []
+        order = np.argsort(df["k"].to_numpy(), kind="stable")
+        ks = df["k"].to_numpy()[order]
+        hs = h[order]
+        bounds = np.nonzero(np.concatenate(
+            ([True], ks[1:] != ks[:-1])))[0]
+        ends = np.append(bounds[1:], len(ks))
+        for s, e in zip(bounds, ends):
+            keys_out.append(ks[s])
+            blobs.append(_hll_registers(hs[s:e], p).tobytes())
+        return pa.table({key_col: pa.array(keys_out),
+                         "__regs": pa.array(blobs, pa.binary())})
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(key_col, kind="mergesort")
+        keys = g[key_col].to_numpy()
+        out_k, out_n = [], []
+        i = 0
+        while i < len(g):
+            j = i
+            regs = np.zeros(m, np.uint8)
+            while j < len(g) and keys[j] == keys[i]:
+                regs = np.maximum(
+                    regs, np.frombuffer(g["__regs"].iloc[j], np.uint8))
+                j += 1
+            out_k.append(keys[i])
+            out_n.append(_hll_estimate(regs))
+            i = j
+        return pd.DataFrame({key_col: out_k,
+                             "approx_distinct": np.array(out_n, np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col).map_groups(merge, batch_format="pandas"))
+
+
+def _mg_trim(words: np.ndarray, counts: np.ndarray,
+             width: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Trim an exact (word, count) summary to a width-sized Misra-Gries
+    summary: keep the top ``width`` counters and subtract the
+    (width+1)-th count from each (the decrement-all step, batched).
+    Returns (words, residual counts > 0, error_bound added)."""
+    if len(words) <= width:
+        return words, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    cut = int(counts[order[width]])
+    keep = order[:width]
+    resid = counts[keep] - cut
+    pos = resid > 0
+    return words[keep][pos], resid[pos], cut
+
+
+def heavy_hitter_words(ds: ray.data.Dataset, *, text_col: str = "text",
+                       k: int = 10, width: int = 1024) -> ray.data.Dataset:
+    """→ (word, n: int64) — EXACT global top-``k`` tokens by count,
+    found with a Misra-Gries candidate pass + exact recount (module
+    docstring). Tokenization matches ``word_freq_top20`` (single-space
+    split). Raises if the sketch width cannot certify exactness —
+    ``total/width`` must be below the k-th candidate count."""
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(b[text_col], " "))
+        t = (pa.table({"w": toks}).group_by("w")
+             .aggregate([("w", "count")]).rename_columns(["w", "c"]))
+        words = np.asarray(t["w"].to_pylist(), dtype=object)
+        counts = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w2, c2, err = _mg_trim(words, counts, width)
+        # sentinel row (w = null) carries this batch's trim error exactly
+        # once — the certification bound sums sentinels, no per-row
+        # replication to deduplicate
+        return pa.table({
+            "w": pa.array(w2.tolist() + [None], pa.string()),
+            "c": pa.array(np.append(c2, 0), pa.int64()),
+            "__err": pa.array(np.append(np.zeros(len(w2), np.int64), err)),
+        })
+
+    # merge all MG partials (≤ width+1 rows per batch — small enough for
+    # one group): counter addition per word, then one global trim whose
+    # own subtraction joins the bound
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        err_in = int(group["__err"].sum())
+        g = group[group["w"].notna()]
+        agg = g.groupby("w", sort=False)["c"].sum().reset_index()
+        words = agg["w"].to_numpy(dtype=object)
+        counts = agg["c"].to_numpy(np.int64)
+        w2, c2, err = _mg_trim(words, counts, width)
+        # leading sentinel row (w = null) so the bound survives even when
+        # every counter trims away (the uncertifiable-input case)
+        return pd.DataFrame({"w": np.concatenate(([None], w2)),
+                             "__bound": np.full(len(w2) + 1, err_in + err,
+                                                np.int64)})
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int64)))
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(const_key, batch_format="pyarrow")
+            .groupby("__g").map_groups(merge, batch_format="pandas")
+            .to_pandas())
+    if not len(cand):  # empty corpus
+        return ray.data.from_arrow(pa.table({
+            "word": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64())}))
+    bound = int(cand["__bound"].iloc[0])
+    cand_words = cand["w"].dropna().tolist()
+    if not cand_words:
+        raise ValueError(
+            f"heavy_hitter_words: sketch width {width} cannot certify "
+            f"top-{k} (no counter survived; error bound {bound}); "
+            f"increase width")
+    cand_ref = ray.put(set(cand_words))
+
+    # pass 2: exact recount of candidates only
+    def recount(b: pa.Table) -> pa.Table:
+        want = ray.get(cand_ref)
+        toks = pc.list_flatten(pc.split_pattern(b[text_col], " "))
+        t = (pa.table({"word": toks}).group_by("word")
+             .aggregate([("word", "count")]).rename_columns(["word", "n"]))
+        mask = pa.array([w in want for w in t["word"].to_pylist()])
+        return t.filter(mask)
+
+    from ray.data.aggregate import Sum
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("n", alias_name="n"))
+             .sort(["n", "word"], descending=[True, False]))
+    top = exact.limit(k).materialize()
+
+    # certification: every NON-candidate word's true count <= bound
+    # (sum of per-batch trim errors + the merged trim error — the
+    # standard MG undercount guarantee), so the top-k over candidates is
+    # the exact global top-k iff the k-th candidate count > bound
+    kth = min(r["n"] for r in top.take_all()) if top.count() else 0
+    if kth <= bound:
+        raise ValueError(
+            f"heavy_hitter_words: sketch width {width} cannot certify "
+            f"top-{k} (k-th count {kth} <= error bound {bound}); "
+            f"increase width")
+    return top

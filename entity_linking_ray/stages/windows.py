@@ -373,6 +373,130 @@ def _grouped_lag_salted(events: ray.data.Dataset, *, key_col: str,
     return complete.union(patched)
 
 
+def grouped_rolling_window(events: ray.data.Dataset, *, key_col: str,
+                           ts_col: str, id_col: str, val_col: str,
+                           window_rows: int, scale: int = 100) -> ray.data.Dataset:
+    """→ (key, id, t: epoch-us, value_units, win_units, win_n) — the
+    bounded ROWS frame: SQL ``sum(value) OVER (PARTITION BY key ORDER BY
+    ts, id ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` plus
+    the matching in-window row count (< window_rows near each key's
+    start). Fixed-point int64 units keep the oracle hash-exact.
+
+    Same coarse key-hash-bucket shuffle as :func:`grouped_running_sum`;
+    the per-bucket kernel is a segmented rolling sum via one cumsum — for
+    row i in segment starting at s, the frame starts at
+    j = max(s, i-window_rows+1) and win = c[i] - c[j-1] — vectorized
+    across every key in the bucket. Hot keys: the time-bucketed salted
+    decomposition of :func:`grouped_lag_delta` extends to any bounded
+    frame (each bucket needs only the previous bucket's last
+    ``window_rows-1`` rows patched in); plain shape is the default for
+    the same routing reason."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def rolling_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "t", id_col],
+                              kind="mergesort").copy()
+        v = g["value_units"].to_numpy(np.int64)
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        i = np.arange(n, dtype=np.int64)
+        j = np.maximum(starts[seg], i - window_rows + 1)
+        c = np.cumsum(v)
+        cprev = np.concatenate(([np.int64(0)], c[:-1]))  # c[j-1]
+        g["win_units"] = c - cprev[j]
+        g["win_n"] = i - j + 1
+        return g.drop(columns="__kb")
+
+    return (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
+                                         scale), batch_format="pyarrow")
+            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
+            .groupby("__kb").map_groups(rolling_bulk, batch_format="pandas"))
+
+
+def grouped_first_last(events: ray.data.Dataset, *, key_col: str,
+                       ts_col: str, id_col: str,
+                       val_col: str) -> ray.data.Dataset:
+    """→ (key, first_val, last_val, n_events) — the distributed
+    argmin/argmax-by-time pattern: for every key, the value of its
+    earliest and latest row under the total order (ts, id).
+
+    TWO-LEVEL combiner, not a raw co-group: each batch first reduces to
+    one (key, first, last, n) partial per key it contains (vectorized
+    run-boundary pick after an in-batch sort), so the shuffle moves at
+    most num_batches × distinct-keys-per-batch partial rows — never the
+    events. Partials merge per coarse key-hash bucket with the identical
+    kernel (first/last of firsts/lasts ordered by their own (t, id))."""
+    us_id = "__fl_t"
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            key_col: b[key_col].to_numpy(zero_copy_only=False),
+            us_id: t, id_col: ids,
+            "__v": b[val_col].to_numpy(zero_copy_only=False),
+        }).sort_values([key_col, us_id, id_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pa.table({key_col: b[key_col],
+                             "__ft": pa.array([], pa.int64()),
+                             "__fi": pa.array([], pa.int64()),
+                             "first_val": b[val_col],
+                             "__lt": pa.array([], pa.int64()),
+                             "__li": pa.array([], pa.int64()),
+                             "last_val": b[val_col],
+                             "n_events": pa.array([], pa.int64())})
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        s = np.nonzero(new)[0]
+        e = np.append(s[1:], n) - 1
+        return pa.table({
+            key_col: pa.array(keys[s]),
+            "__ft": pa.array(df[us_id].to_numpy()[s], pa.int64()),
+            "__fi": pa.array(df[id_col].to_numpy()[s], pa.int64()),
+            "first_val": pa.array(df["__v"].to_numpy()[s]),
+            "__lt": pa.array(df[us_id].to_numpy()[e], pa.int64()),
+            "__li": pa.array(df[id_col].to_numpy()[e], pa.int64()),
+            "last_val": pa.array(df["__v"].to_numpy()[e]),
+            "n_events": pa.array(np.diff(np.append(s, n)), pa.int64()),
+        })
+
+    def merge_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        # both sorts are key-primary, so key-run boundaries coincide:
+        # firsts come from run STARTS of the (__ft, __fi) order, lasts
+        # from run ENDS of the (__lt, __li) order
+        gf = group.sort_values([key_col, "__ft", "__fi"], kind="mergesort")
+        gl = group.sort_values([key_col, "__lt", "__li"], kind="mergesort")
+        keys = gf[key_col].to_numpy()
+        n = len(gf)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        s = np.nonzero(new)[0]
+        e = np.append(s[1:], n) - 1
+        seg = np.cumsum(new) - 1
+        counts = np.zeros(len(s), np.int64)
+        np.add.at(counts, seg, gf["n_events"].to_numpy(np.int64))
+        return pd.DataFrame({
+            key_col: keys[s],
+            "first_val": gf["first_val"].to_numpy()[s],
+            "last_val": gl["last_val"].to_numpy()[e],
+            "n_events": counts,
+        })
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
+            .groupby("__kb").map_groups(merge_bulk, batch_format="pandas"))
+
+
 def grouped_running_sum(events: ray.data.Dataset, *, key_col: str,
                         ts_col: str, id_col: str, val_col: str,
                         scale: int = 100) -> ray.data.Dataset:
