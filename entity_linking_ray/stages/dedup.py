@@ -33,7 +33,7 @@ import ray.data
 from ..functions.hashing import hash_strings, splitmix64
 from ..functions.minhash import (band_keys, shingle_hashes, signature_matrix,
                                  word_shingle_hashes)
-from ..functions.simhash import hamming64, simhash64
+from ..functions.simhash import simhash64
 
 U64 = np.uint64
 
@@ -452,44 +452,50 @@ def simhash_dup_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "do
     fps = simhash_fingerprints(ds, col, id_col)
 
     def explode(batch: pa.Table) -> pa.Table:
-        s = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
-        ids = batch[id_col].to_pylist()
-        rows_id, rows_band, rows_sim = [], [], []
-        for band in range(4):
-            chunk = ((s >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
-            key = (chunk << 3) | band  # chunk value + band index
-            rows_id.extend(ids)
-            rows_band.extend(key.tolist())
-            rows_sim.extend(batch["simhash"].to_pylist())
+        s = batch["simhash"].to_numpy(zero_copy_only=False).view(U64)
+        n = len(s)
+        # [n, 4] chunk keys, vectorized (no per-band Python loop)
+        shifts = (np.arange(4, dtype=U64) * U64(16))[None, :]
+        chunks = ((s[:, None] >> shifts) & U64(0xFFFF)).astype(np.int64)
+        keys = (chunks << 3) | np.arange(4, dtype=np.int64)[None, :]
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4), pa.int64())
         return pa.table({
-            "bucket": pa.array(rows_band, pa.int64()),
-            id_col: pa.array(rows_id),
-            "simhash": pa.array(rows_sim, pa.int64()),
+            "bucket": pa.array(keys.reshape(-1), pa.int64()),
+            id_col: batch[id_col].take(rep),
+            "simhash": batch["simhash"].take(rep),
         })
 
-    buckets = fps.map_batches(explode, batch_format="pyarrow")
+    # coarse-bucket shuffle + one vectorized self-merge per group (one
+    # pandas call per raw 16-bit chunk bucket collapses at ~2^19 groups);
+    # per-key row cap keeps each self-merge under the pair cap (skew
+    # guard — deterministic: min-id rows survive)
+    max_rows_per_key = int((1 + np.sqrt(1 + 8 * max_pairs_per_bucket)) // 2)
+    _CB = 256
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ids = g[id_col].to_numpy()
-        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        out_a, out_b, out_h = [], [], []
-        budget = max_pairs_per_bucket
-        for i in range(len(g)):
-            if budget <= 0:
-                break
-            d = hamming64(sims[i + 1:], sims[i])
-            keep = np.nonzero(d <= max_hamming)[0][:budget]
-            for j in keep:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                out_h.append(int(d[j]))
-            budget -= len(keep)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+    def coarse(b: pa.Table) -> pa.Table:
+        cb = pc.bit_wise_and(b["bucket"], pa.scalar(_CB - 1, pa.int64()))
+        return b.append_column("__cb", cb)
 
-    cand = buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    def pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["bucket", id_col]) \
+                 .sort_values(["bucket", id_col], kind="mergesort")
+        g = g[g.groupby("bucket").cumcount() < max_rows_per_key]
+        m = g.merge(g, on="bucket", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if not len(m):
+            return pd.DataFrame({"id_a": g[id_col].iloc[:0],
+                                 "id_b": g[id_col].iloc[:0],
+                                 "hamming": np.array([], np.int64)})
+        d = _popcount64_2d(m["simhash_a"].to_numpy().astype(np.int64).view(U64)
+                           ^ m["simhash_b"].to_numpy().astype(np.int64).view(U64))
+        m = m[d <= max_hamming]
+        return pd.DataFrame({"id_a": m[f"{id_col}_a"].to_numpy(),
+                             "id_b": m[f"{id_col}_b"].to_numpy(),
+                             "hamming": d[d <= max_hamming]})
+
+    cand = (fps.map_batches(explode, batch_format="pyarrow")
+            .map_batches(coarse, batch_format="pyarrow")
+            .groupby("__cb").map_groups(pairs_bulk, batch_format="pandas"))
     from ray.data.aggregate import Min
 
     return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
