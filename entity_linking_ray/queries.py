@@ -180,28 +180,33 @@ def _q_top_customers(sf_dir: str):
                 pa.int64()),
         })
 
-    per_cust = orders.map_batches(prep, batch_format="pyarrow").groupby(
-        "o_custkey"
-    ).aggregate(
-        Sum("price_fx", alias_name="sum_fx"), Count(alias_name="n_orders")
-    )
-    # repartition scrubs Ray-groupby untyped empty blocks before the join
-    # (a join partition fed only those fails; see stages/dedup.py)
+    def combine(b: pa.Table) -> pa.Table:
+        # batch-local combiner: ≤ one row per (batch, custkey)
+        return (b.group_by("o_custkey")
+                .aggregate([("price_fx", "sum"), ("price_fx", "count")])
+                .rename_columns(["o_custkey", "sum_fx", "n_orders"]))
+
+    # join the batch partials DIRECTLY, aggregate after: the join shuffle
+    # already co-locates by custkey, so a global per-custkey groupby
+    # before it (plus the untyped-empty-block scrub repartition a
+    # groupby→join needs on Ray 2.49) would be two extra all-to-alls
+    per_cust = (orders.map_batches(prep, batch_format="pyarrow")
+                .map_batches(combine, batch_format="pyarrow"))
     np_ = _table_partitions(sf_dir, "orders", "customer")
-    joined = per_cust.repartition(np_).join(
+    joined = per_cust.join(
         customer, "inner", np_, on=("o_custkey",), right_on=("c_custkey",))
+    per_cust_tot = joined.groupby(["o_custkey", "c_name"]).aggregate(
+        Sum("sum_fx", alias_name="sum_fx"),
+        Sum("n_orders", alias_name="n_orders"))
 
     def fin(b: pa.Table) -> pa.Table:
-        # the join emits the left key column (o_custkey); the right key is
-        # consumed by the join itself
-        key = b["c_custkey"] if "c_custkey" in b.schema.names else b["o_custkey"]
         return pa.table({
-            "c_custkey": key, "c_name": b["c_name"],
+            "c_custkey": b["o_custkey"], "c_name": b["c_name"],
             "revenue": pc.divide(pc.cast(b["sum_fx"], pa.float64()), 100.0),
             "n_orders": b["n_orders"],
         })
 
-    return joined.map_batches(fin, batch_format="pyarrow").sort(
+    return per_cust_tot.map_batches(fin, batch_format="pyarrow").sort(
         ["revenue", "c_custkey"], descending=[True, False]
     ).limit(10)
 
@@ -235,16 +240,18 @@ def _q_part_boost(sf_dir: str):
             .rename_columns(["l_partkey", "n"])
         )
 
-    counts = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_partkey").aggregate(Sum("n", alias_name="n_lines"))
-    )
     # part SCALES with SF → semi-join as a distributed hash join (no
-    # driver-side key set); at 100 TB both sides shuffle by partkey only
+    # driver-side key set); at 100 TB both sides shuffle by partkey only.
+    # Batch partials join DIRECTLY and the per-key sum runs AFTER the
+    # join — a global pre-join groupby (plus the untyped-empty-block
+    # scrub repartition a groupby→join needs on Ray 2.49) would be two
+    # extra all-to-alls for the same result
     part = _read(sf_dir, "part", ["p_partkey"])
     np_ = _table_partitions(sf_dir, "lineitem", "part")
-    joined = counts.repartition(np_).join(
+    joined = li.map_batches(partial, batch_format="pyarrow").join(
         part, "inner", np_, on=("l_partkey",), right_on=("p_partkey",))
+    counts = joined.groupby("l_partkey").aggregate(
+        Sum("n", alias_name="n_lines"))
 
     def fin(b: pa.Table) -> pa.Table:
         boost = pc.round(pc.ln(pc.add(pc.cast(b["n_lines"], pa.float64()), 1.0)), 6,
@@ -253,7 +260,7 @@ def _q_part_boost(sf_dir: str):
             "p_partkey": b["l_partkey"], "n_lines": b["n_lines"], "boost": boost,
         })
 
-    return joined.map_batches(fin, batch_format="pyarrow")
+    return counts.map_batches(fin, batch_format="pyarrow")
 
 
 @register(
@@ -1169,14 +1176,15 @@ def _q_revenue_by_region(sf_dir: str):
             .rename_columns(["o_custkey", "fx_sum", "n"])
         )
 
-    per_cust = (
-        orders.map_batches(prep, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("fx_sum", alias_name="fx_sum"), Sum("n", alias_name="n"))
-    )
+    # batch-local partials join DIRECTLY (several rows per custkey are
+    # fine — the final region groupby sums them): a global per-custkey
+    # aggregate before the join would be a second all-to-all that buys
+    # nothing, since the join shuffle already co-locates by custkey and
+    # partial rows are at most one per (batch, custkey)
+    per_cust = orders.map_batches(prep, batch_format="pyarrow")
     np_ = _table_partitions(sf_dir, "orders", "customer")
-    joined = per_cust.repartition(np_).join(cust_region, "inner", np_,
-                                            on=("o_custkey",), right_on=("c_custkey",))
+    joined = per_cust.join(cust_region, "inner", np_,
+                           on=("o_custkey",), right_on=("c_custkey",))
     agg = joined.groupby("region").aggregate(
         Sum("fx_sum", alias_name="sum_fx"), Sum("n", alias_name="n_orders")
     )

@@ -50,3 +50,45 @@ def test_langid_accuracy_on_testdata():
     # synthetic corpus text is english-ish function words for every lang
     # label; at minimum the english docs must be recognized
     assert acc >= 0.9
+
+
+def test_resize_media_contract(corpus):
+    from entity_linking_ray.stages.multimodal import resize_media
+
+    docs = ray.data.from_arrow(corpus["documents"])
+    out = resize_media(docs, width=8, height=6, concurrency=(1, 2)).to_pandas()
+    assert len(out) > 0
+    # resize contract: payload is EXACTLY width*height bytes, every row
+    assert (out["pixels"].map(len) == 8 * 6).all()
+    assert (out["width"] == 8).all() and (out["height"] == 6).all()
+    assert (out["src_width"] >= 16).all() and (out["src_height"] >= 16).all()
+    # only image spans explode
+    docs_pd = corpus["documents"].to_pandas()
+    n_img = sum(1 for spans in docs_pd["spans"]
+                for sp in (spans if spans is not None else [])
+                if sp["kind"] == "image")
+    assert len(out) == n_img
+    # deterministic across runs
+    out2 = resize_media(docs, width=8, height=6).to_pandas()
+    a = out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert (a["pixels"] == b["pixels"]).all()
+
+
+def test_sample_frames_caps_and_layout(corpus):
+    from entity_linking_ray.stages.multimodal import sample_frames
+
+    docs = ray.data.from_arrow(corpus["documents"])
+    out = sample_frames(docs, stride=7, max_frames=5).to_pandas()
+    assert len(out) > 0
+    g = out.groupby(["doc_id", "span_idx"])
+    assert (g.size() <= 5).all()
+    # frame indices follow the stride and timestamps are monotone per span
+    for _, grp in g:
+        idx = grp.sort_values("frame_idx")["frame_idx"].to_numpy()
+        assert (idx % 7 == 0).all()
+        ts = grp.sort_values("frame_idx")["frame_ts_us"].to_numpy()
+        assert (np.diff(ts) > 0).all()
+    assert (out["frame"].map(len) == 256).all()
+    # only audio/video spans explode (the corpus has audio + image + table)
+    assert set(np.unique(out["media_ref"].map(lambda r: r.startswith("media://")))) == {True}
