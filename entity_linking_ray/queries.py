@@ -1287,18 +1287,24 @@ def _q_top_users(sf_dir: str):
     ev = _read(sf_dir, "events", ["user_id", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
-        return pa.table({
+        # batch-local combiner: the shuffle moves one row per
+        # (batch, user), never the raw events
+        t = pa.table({
             "user_id": b["user_id"],
             "value_fx": pc.cast(
                 pc.round(pc.multiply(b["value"], 1_000_000.0),
                          round_mode="half_towards_infinity"),
                 pa.int64()),
         })
+        return (t.group_by("user_id")
+                .aggregate([("value_fx", "sum"), ("value_fx", "count")])
+                .rename_columns(["user_id", "sum_fx", "n"]))
 
     agg = (
         ev.map_batches(prep, batch_format="pyarrow")
         .groupby("user_id")
-        .aggregate(Sum("value_fx", alias_name="sum_fx"), Count(alias_name="n_events"))
+        .aggregate(Sum("sum_fx", alias_name="sum_fx"),
+                   Sum("n", alias_name="n_events"))
     )
 
     def fin(b: pa.Table) -> pa.Table:
