@@ -356,16 +356,72 @@ def _range_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
         match, batch_format="pandas")
 
 
+def _bloom_split(left: ray.data.Dataset, right: ray.data.Dataset,
+                 on: tuple, right_on: tuple,
+                 bloom_bits: int) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """(maybe_present, definitely_absent) split of ``left`` by a Bloom
+    filter over the right keys. The filter builds as a per-batch
+    combiner (one fixed-size word-array partial per batch, OR-merged on
+    the driver — bounded by num_batches × n_bits/8 bytes, independent of
+    row count) and broadcasts once via ``ray.put``. Only the
+    maybe-present rows — right-key matches plus the bounded
+    false-positive residue — need the join shuffle; the definitely-absent
+    rows never leave their block."""
+    import pandas as pd
+
+    from ..functions.bloom import bloom_build, bloom_might_contain
+
+    def key_hash(b: pa.Table, cols: tuple) -> np.ndarray:
+        h = pd.util.hash_array(
+            b[cols[0]].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        for c in cols[1:]:
+            h = h * np.uint64(0x100000001B3) ^ pd.util.hash_array(
+                b[c].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return h
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = bloom_build(key_hash(b, right_on), n_bits=bloom_bits)
+        return pa.table({"__bloom": pa.array([words.tobytes()], pa.binary())})
+
+    blobs = right.map_batches(partial, batch_format="pyarrow").to_pandas()
+    words = np.zeros(bloom_bits // 64, np.uint64)
+    for blob in blobs["__bloom"]:
+        words |= np.frombuffer(blob, np.uint64)
+    bloom_ref = ray.put(words)
+
+    def split(keep_positive: bool):
+        def flt(b: pa.Table) -> pa.Table:
+            mask = bloom_might_contain(ray.get(bloom_ref), key_hash(b, on))
+            return b.filter(pa.array(mask if keep_positive else ~mask))
+        return flt
+
+    return (left.map_batches(split(True), batch_format="pyarrow"),
+            left.map_batches(split(False), batch_format="pyarrow"))
+
+
 def _existence_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                     on: tuple, right_on: tuple | None,
-                    num_partitions: int, keep_matches: bool) -> ray.data.Dataset:
+                    num_partitions: int, keep_matches: bool,
+                    bloom_bits: int | None = None) -> ray.data.Dataset:
     """Shared plan for semi/anti joins: the probe side reduces to ONE
     marker row per distinct key (batch-local Arrow distinct combiner →
     one small key-row groupby) before the hash join, so duplicate right
     keys can never multiply left rows and only key rows ride the
-    shuffle — never the right table's payload."""
+    shuffle — never the right table's payload.
+
+    With ``bloom_bits`` set, a Bloom filter over the right keys splits
+    the left side first: definitely-absent rows SKIP the join shuffle
+    entirely (kept directly for anti, dropped for semi); only the
+    maybe-present residue joins. False positives just take the exact
+    path — the result is identical either way (property-tested)."""
     right_on = tuple(right_on or on)
     on = tuple(on)
+    if bloom_bits is not None:
+        maybe, absent = _bloom_split(left, right, on, right_on, bloom_bits)
+        exact = _existence_join(maybe, right, on=on, right_on=right_on,
+                                num_partitions=num_partitions,
+                                keep_matches=keep_matches)
+        return exact if keep_matches else exact.union(absent)
 
     def mark(b: pa.Table) -> pa.Table:
         t = b.select(list(right_on)).group_by(list(right_on)).aggregate([])
@@ -392,19 +448,27 @@ def _existence_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
 def anti_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               on: tuple, right_on: tuple | None = None,
-              num_partitions: int = 16) -> ray.data.Dataset:
+              num_partitions: int = 16,
+              bloom_bits: int | None = None) -> ray.data.Dataset:
     """Left rows with NO key match in ``right`` (SQL NOT EXISTS) — the
     generic form of the loser-removal join inside
-    ``stages/dedup.py::_drop_losers_keyed``."""
+    ``stages/dedup.py::_drop_losers_keyed``. ``bloom_bits`` enables the
+    Bloom prefilter: rows the filter rules out bypass the join shuffle
+    and are kept directly (most of a 100-TB left side when matches are
+    rare)."""
     return _existence_join(left, right, on=on, right_on=right_on,
-                           num_partitions=num_partitions, keep_matches=False)
+                           num_partitions=num_partitions,
+                           keep_matches=False, bloom_bits=bloom_bits)
 
 
 def semi_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               on: tuple, right_on: tuple | None = None,
-              num_partitions: int = 16) -> ray.data.Dataset:
+              num_partitions: int = 16,
+              bloom_bits: int | None = None) -> ray.data.Dataset:
     """Left rows WITH at least one key match in ``right`` (SQL EXISTS);
     left rows are never duplicated, whatever the right-side key
-    multiplicity."""
+    multiplicity. ``bloom_bits`` enables the Bloom prefilter: rows the
+    filter rules out are dropped before the join shuffle."""
     return _existence_join(left, right, on=on, right_on=right_on,
-                           num_partitions=num_partitions, keep_matches=True)
+                           num_partitions=num_partitions,
+                           keep_matches=True, bloom_bits=bloom_bits)

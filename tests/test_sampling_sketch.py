@@ -228,3 +228,43 @@ def test_grouped_first_last_vs_pandas(ray_session):
     assert (got["first_val"] == first.sort_index()).all()
     assert (got["last_val"] == last.sort_index()).all()
     assert (got["n_events"] == n_ev.sort_index()).all()
+
+
+def test_bloom_filter_basics():
+    from entity_linking_ray.functions.bloom import (bloom_build,
+                                                    bloom_might_contain)
+
+    rng = np.random.default_rng(9)
+    present = rng.integers(0, 2**63, 5000, dtype=np.int64)
+    absent = rng.integers(0, 2**63, 5000, dtype=np.int64)
+    absent = np.setdiff1d(absent, present)
+    words = bloom_build(present, n_bits=1 << 20)
+    # no false negatives, ever
+    assert bloom_might_contain(words, present).all()
+    # false-positive rate bounded (expected ~0.2% at this load)
+    fp = bloom_might_contain(words, absent).mean()
+    assert fp < 0.02, fp
+    # partial merge ≡ whole build
+    merged = (bloom_build(present[:2500], n_bits=1 << 20)
+              | bloom_build(present[2500:], n_bits=1 << 20))
+    assert np.array_equal(merged, words)
+
+
+def test_bloom_prefiltered_joins_match_plain(ray_session):
+    rng = np.random.default_rng(13)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 10_000, 3000), pa.int64()),
+        "payload": pa.array([f"p{i}" for i in range(3000)]),
+    })).repartition(5)
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(rng.integers(0, 10_000, 400), pa.int64()),
+    })).repartition(3)
+
+    for fn in (anti_join, semi_join):
+        plain = fn(left, right, on=("k",), right_on=("rk",),
+                   num_partitions=4).to_pandas()
+        bloom = fn(left, right, on=("k",), right_on=("rk",),
+                   num_partitions=4, bloom_bits=1 << 16).to_pandas()
+        a = plain.sort_values(["k", "payload"]).reset_index(drop=True)
+        b = bloom.sort_values(["k", "payload"]).reset_index(drop=True)
+        assert a.equals(b), fn.__name__
