@@ -1220,14 +1220,21 @@ def _q_urgent_orders(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def part(b: pa.Table) -> pa.Table:
+        # filter + batch-local count combiner: ≤ one row per status per
+        # batch rides the shuffle, never the filtered orders
+        f = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        return (f.group_by("o_orderstatus")
+                .aggregate([("o_orderstatus", "count")])
+                .rename_columns(["o_orderstatus", "__c"]))
+
     return (
-        ds.map_batches(
-            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")),
-            batch_format="pyarrow")
-        .groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("o_orderstatus").aggregate(Sum("__c", alias_name="n"))
         .select_columns(["o_orderstatus", "n"])
     )
 
@@ -1777,3 +1784,25 @@ def _q_approx_distinct(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
     return hll_distinct(ev, key_col="event_type", val_col="user_id", p=12)
+
+
+@register(
+    "user_event_type_seq",
+    """
+    SELECT user_id,
+           string_agg(event_type, ','
+                      ORDER BY epoch_us(ts), event_id) AS seq,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def _q_event_type_seq(sf_dir: str):
+    """Per-user ordered behavior sequence (SQL string_agg ... ORDER BY
+    with full tie-break) — one coarse-bucket shuffle, vectorized
+    sort + join per bucket (stages/windows.py
+    ``grouped_ordered_concat``)."""
+    from .stages.windows import grouped_ordered_concat
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return grouped_ordered_concat(ev, key_col="user_id", ts_col="ts",
+                                  id_col="event_id", val_col="event_type")

@@ -134,27 +134,67 @@ def asof_join_latest(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return cold.union(salted)
 
 
-def _asof_match(tagged: ray.data.Dataset, *, key: str, left_id: str,
-                out_col: str) -> ray.data.Dataset:
+def _match_bulk(tagged: ray.data.Dataset, *, key: str, left_id: str,
+                out_col: str, kernel) -> ray.data.Dataset:
+    """Co-group matcher on a COARSE key-hash-bucket shuffle: one
+    map_groups call covers many keys (one pandas call per key collapses
+    when the key space is large — the same fix as the window family);
+    inside a bucket, each key's sorted right timestamps feed
+    ``kernel(rt, lt) -> int64`` with plain numpy searchsorted — no
+    per-key pandas frames."""
+    def add_kb(b: pa.Table) -> pa.Table:
+        kb = pd.util.hash_array(
+            b[key].to_numpy(zero_copy_only=False)) % 64
+        return b.append_column("__kb", pa.array(kb.astype(np.int64),
+                                                pa.int64()))
+
     def match(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0]
-        if not len(l):
+        g = group.sort_values([key, "__t"], kind="mergesort")
+        keys = g[key].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], n)
+        sides = g["__side"].to_numpy()
+        ts_ = g["__t"].to_numpy(np.int64)
+        ids = g["__id"].to_numpy(np.int64)
+        out_id, out_key, out_t, out_v = [], [], [], []
+        for s, e in zip(starts, ends):
+            lmask = sides[s:e] == 0
+            lt = ts_[s:e][lmask]
+            if not len(lt):
+                continue
+            rt = ts_[s:e][~lmask]  # already time-sorted within the key
+            out_id.append(ids[s:e][lmask])
+            out_key.append(keys[s:e][lmask])
+            out_t.append(lt)
+            out_v.append(kernel(rt, lt))
+        if not out_id:
             return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
                                  key: pd.Series([], dtype=group[key].dtype),
                                  "t": pd.Series([], dtype="int64"),
                                  out_col: pd.Series([], dtype="int64")})
-        rt = np.sort(group.loc[group["__side"] == 1, "__t"].to_numpy())
-        lt = l["__t"].to_numpy()
-        if len(rt):
-            pos = np.searchsorted(rt, lt, side="right") - 1
-            matched = np.where(pos >= 0, rt[np.clip(pos, 0, None)], _NO_MATCH)
-        else:
-            matched = np.full(len(lt), _NO_MATCH, np.int64)
-        return pd.DataFrame({left_id: l["__id"].to_numpy(),
-                             key: l[key].to_numpy(),
-                             "t": lt, out_col: matched})
+        return pd.DataFrame({left_id: np.concatenate(out_id),
+                             key: np.concatenate(out_key),
+                             "t": np.concatenate(out_t),
+                             out_col: np.concatenate(out_v).astype(np.int64)})
 
-    return tagged.groupby(key).map_groups(match, batch_format="pandas")
+    return (tagged.map_batches(add_kb, batch_format="pyarrow")
+            .groupby("__kb").map_groups(match, batch_format="pandas"))
+
+
+def _asof_match(tagged: ray.data.Dataset, *, key: str, left_id: str,
+                out_col: str) -> ray.data.Dataset:
+    def asof(rt: np.ndarray, lt: np.ndarray) -> np.ndarray:
+        if not len(rt):
+            return np.full(len(lt), _NO_MATCH, np.int64)
+        pos = np.searchsorted(rt, lt, side="right") - 1
+        return np.where(pos >= 0, rt[np.clip(pos, 0, None)], _NO_MATCH)
+
+    return _match_bulk(tagged, key=key, left_id=left_id, out_col=out_col,
+                       kernel=asof)
 
 
 def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset, *,
@@ -195,22 +235,13 @@ def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset, *,
 def _range_match(tagged: ray.data.Dataset, *, key: str, left_id: str,
                  before_us: int, after_us: int,
                  out_col: str) -> ray.data.Dataset:
-    def match(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0]
-        if not len(l):
-            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
-                                 key: pd.Series([], dtype=group[key].dtype),
-                                 "t": pd.Series([], dtype="int64"),
-                                 out_col: pd.Series([], dtype="int64")})
-        rt = np.sort(group.loc[group["__side"] == 1, "__t"].to_numpy())
-        lt = l["__t"].to_numpy()
+    def in_range(rt: np.ndarray, lt: np.ndarray) -> np.ndarray:
         lo = np.searchsorted(rt, lt - before_us, side="left")
         hi = np.searchsorted(rt, lt + after_us, side="right")
-        return pd.DataFrame({left_id: l["__id"].to_numpy(),
-                             key: l[key].to_numpy(),
-                             "t": lt, out_col: (hi - lo).astype(np.int64)})
+        return (hi - lo).astype(np.int64)
 
-    return tagged.groupby(key).map_groups(match, batch_format="pandas")
+    return _match_bulk(tagged, key=key, left_id=left_id, out_col=out_col,
+                       kernel=in_range)
 
 
 def _add_bucket(tagged: ray.data.Dataset, width_us: int) -> ray.data.Dataset:

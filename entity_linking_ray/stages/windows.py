@@ -530,3 +530,38 @@ def grouped_running_sum(events: ray.data.Dataset, *, key_col: str,
                                          scale), batch_format="pyarrow")
             .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
             .groupby("__kb").map_groups(cumsum_bulk, batch_format="pandas"))
+
+
+def grouped_ordered_concat(events: ray.data.Dataset, *, key_col: str,
+                           ts_col: str, id_col: str, val_col: str,
+                           sep: str = ",") -> ray.data.Dataset:
+    """→ (key, seq: string, n_events: int64) — the per-key ordered value
+    sequence (SQL ``string_agg(val, sep ORDER BY ts, id)``): the
+    behavior-sequence extraction shape for session/user modeling.
+
+    Same coarse key-hash-bucket shuffle as the other per-key kernels;
+    the per-bucket kernel is one pandas sort + groupby-join over every
+    key in the bucket. The shuffle carries (key, t, id, val) rows once —
+    at 100 TB the output row is as large as the key's history, so this
+    operator assumes per-key sequences fit a task (cap upstream with a
+    time filter or the session segmentation when they don't)."""
+    def concat_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "__t", id_col], kind="mergesort")
+        agg = g.groupby(key_col, sort=False)["__v"]
+        out = agg.agg(sep.join).reset_index()
+        out.columns = [key_col, "seq"]
+        out["n_events"] = agg.size().to_numpy(np.int64)
+        return out
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b[key_col],
+            "__t": pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                           pa.int64()),
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "__v": pc.cast(b[val_col], pa.string()),
+        })
+
+    return (events.map_batches(prep, batch_format="pyarrow")
+            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
+            .groupby("__kb").map_groups(concat_bulk, batch_format="pandas"))

@@ -268,3 +268,28 @@ def test_bloom_prefiltered_joins_match_plain(ray_session):
         a = plain.sort_values(["k", "payload"]).reset_index(drop=True)
         b = bloom.sort_values(["k", "payload"]).reset_index(drop=True)
         assert a.equals(b), fn.__name__
+
+
+def test_grouped_ordered_concat_vs_pandas(ray_session):
+    from entity_linking_ray.stages.windows import grouped_ordered_concat
+
+    rng = np.random.default_rng(21)
+    n = 250
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 8, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**6, n), pa.timestamp("us")),
+        "event_type": pa.array(
+            [f"e{int(x)}" for x in rng.integers(0, 4, n)]),
+    })
+    out = grouped_ordered_concat(
+        ray.data.from_arrow(t).repartition(5), key_col="user_id",
+        ts_col="ts", id_col="event_id",
+        val_col="event_type").to_pandas().set_index("user_id").sort_index()
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("int64")
+    df = df.sort_values(["user_id", "t", "event_id"])
+    want = df.groupby("user_id")["event_type"].agg(",".join)
+    assert (out["seq"] == want.sort_index()).all()
+    assert (out["n_events"]
+            == df.groupby("user_id").size().sort_index()).all()
