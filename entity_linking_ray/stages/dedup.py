@@ -1012,3 +1012,118 @@ def _ensure_pair_schema(ds: ray.data.Dataset, value_col: str) -> ray.data.Datase
     if ds.count() == 0:
         return ray.data.from_arrow(empty)
     return ds
+
+
+def dedup_new_against_corpus(new_docs: ray.data.Dataset,
+                             corpus: ray.data.Dataset, *,
+                             col: str = "text", id_col: str = "doc_id",
+                             near: bool = True,
+                             jaccard_threshold: float = 0.7,
+                             num_perm: int = 64, num_bands: int = 16,
+                             shingle_k: int = 5,
+                             bloom_bits: int = 1 << 23,
+                             num_partitions: int = 16) -> ray.data.Dataset:
+    """Incremental ingestion dedup: drop new docs that duplicate the
+    EXISTING corpus (the nightly-crawl-vs-100-TB-archive shape). Two
+    passes, both cross-only — the archive is never self-joined:
+
+    1. EXACT: Bloom-prefiltered anti join of new content hashes against
+       the corpus hashes (``stages/joins.anti_join``). Hash-disjoint new
+       docs — the vast majority — never enter the join shuffle; the
+       corpus side ships only (hash) key rows.
+    2. NEAR (``near=True``): MinHash band keys for the exact survivors
+       are probed against the CORPUS band buckets with a semi-join-style
+       match (one hash join of slim band rows, new-side ×num_bands rows
+       vs corpus ×num_bands rows), candidate (new, old) pairs verified
+       by the estimated Jaccard exactly as :func:`lsh_candidate_pairs`
+       — but no old-old or new-new pairs are ever generated.
+
+    Returns the surviving new docs with their original schema."""
+    # ---- pass 1: exact content-hash anti join ----
+    from .joins import anti_join
+
+    def with_hash(b: pa.Table) -> pa.Table:
+        return add_content_hash(b, col)
+
+    new_h = new_docs.map_batches(with_hash, batch_format="pyarrow")
+    corpus_h = (corpus.map_batches(with_hash, batch_format="pyarrow")
+                .select_columns(["content_hash"]))
+    exact_survivors = anti_join(
+        new_h, corpus_h, on=("content_hash",),
+        num_partitions=num_partitions,
+        bloom_bits=bloom_bits).drop_columns(["content_hash"])
+    if not near:
+        return exact_survivors
+
+    # ---- pass 2: cross-only LSH near-dup probe ----
+    survivors = exact_survivors.materialize()
+    new_bands = minhash_band_rows(survivors, col, id_col, num_perm,
+                                  num_bands, shingle_k)
+    old_bands = minhash_band_rows(corpus, col, id_col, num_perm,
+                                  num_bands, shingle_k)
+
+    def slim(side: str):
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table({"band_key": b["band_key"],
+                             f"id_{side}": b[id_col],
+                             f"__sk0_{side}": b["__sk0"],
+                             f"__sk1_{side}": b["__sk1"]})
+        return prep
+
+    cut = _sketch_cut(jaccard_threshold, num_perm)
+    # one hash join on band_key generates only NEW×OLD co-bucket pairs
+    cand = (new_bands.map_batches(slim("a"), batch_format="pyarrow")
+            .join(old_bands.map_batches(slim("b"), batch_format="pyarrow"),
+                  "inner", num_partitions,
+                  on=("band_key",), right_on=("band_key",)))
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"id_a": b["id_a"], "id_b": b["id_b"]})
+        h = (_popcount64_2d(b["__sk0_a"].to_numpy().astype(np.int64).view(U64)
+                            ^ b["__sk0_b"].to_numpy().astype(np.int64).view(U64))
+             + _popcount64_2d(b["__sk1_a"].to_numpy().astype(np.int64).view(U64)
+                              ^ b["__sk1_b"].to_numpy().astype(np.int64).view(U64)))
+        keep = pa.array(np.nonzero(h <= cut)[0], pa.int64())
+        return pa.table({"id_a": b["id_a"].take(keep),
+                         "id_b": b["id_b"].take(keep)})
+
+    pairs = cand.map_batches(prefilter, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return survivors
+
+    # verify: recompute the two signatures per distinct candidate pair
+    # (broadcast texts of the needed docs — bounded by the candidate set)
+    pairs_pd = pairs.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+    need_new = set(pairs_pd["id_a"])
+    need_old = set(pairs_pd["id_b"])
+
+    def pick(need):
+        def f(b: pa.Table) -> pa.Table:
+            mask = pa.array([x in need for x in b[id_col].to_pylist()])
+            sel = b.filter(mask)
+            return pa.table({id_col: sel[id_col], "__txt": sel[col]})
+        return f
+
+    got_new = survivors.map_batches(pick(need_new),
+                                    batch_format="pyarrow").to_pandas()
+    got_old = corpus.map_batches(pick(need_old),
+                                 batch_format="pyarrow").to_pandas()
+    txt = dict(zip(got_new[id_col], got_new["__txt"]))
+    txt.update(zip(got_old[id_col], got_old["__txt"]))
+    Sa = signature_matrix([txt[i] for i in pairs_pd["id_a"]],
+                          num_perm=num_perm, k=shingle_k)
+    Sb = signature_matrix([txt[i] for i in pairs_pd["id_b"]],
+                          num_perm=num_perm, k=shingle_k)
+    est = (Sa == Sb).mean(axis=1)
+    losers = set(pairs_pd["id_a"].to_numpy()[est >= jaccard_threshold])
+    if not losers:
+        return survivors
+    losers_ref = ray.put(losers)
+
+    def drop(b: pa.Table) -> pa.Table:
+        lose = ray.get(losers_ref)
+        return b.filter(pa.array([x not in lose
+                                  for x in b[id_col].to_pylist()]))
+
+    return survivors.map_batches(drop, batch_format="pyarrow")

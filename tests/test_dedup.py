@@ -247,3 +247,47 @@ def test_ngram_jaccard_no_dups_returns_typed_empty():
         ray.data.from_arrow(pa.Table.from_pylist(rows)), threshold=0.9)
     assert out.schema().names == ["id_a", "id_b", "n_inter", "n_union"]
     assert out.count() == 0
+
+
+def test_dedup_new_against_corpus(ray_session):
+    import numpy as np
+
+    from entity_linking_ray.stages.dedup import dedup_new_against_corpus
+
+    rng = np.random.default_rng(31)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    # wide vocab so RANDOM docs share few char shingles (a 10-word vocab
+    # makes everything a near-dup of everything at the 5-gram level)
+    vocab = ["".join(rng.choice(letters, 8)) for _ in range(500)]
+
+    def doc(seed, n=40):
+        r = np.random.default_rng(seed)
+        return " ".join(vocab[i] for i in r.integers(0, len(vocab), n))
+
+    corpus_texts = [doc(i) for i in range(30)]
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([f"old{i}" for i in range(30)]),
+        "text": pa.array(corpus_texts),
+    })).repartition(4)
+
+    exact_dup = corpus_texts[3]                      # byte-identical
+    words = corpus_texts[7].split()
+    words[0] = vocab[0]                              # near-dup of old7
+    near_dup = " ".join(words)
+    fresh = [doc(1000 + i) for i in range(5)]
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["n_exact", "n_near"] + [f"n{i}" for i in range(5)]),
+        "text": pa.array([exact_dup, near_dup] + fresh),
+    })).repartition(3)
+
+    out = dedup_new_against_corpus(new, corpus, jaccard_threshold=0.7)
+    kept = sorted(out.to_pandas()["doc_id"])
+    assert "n_exact" not in kept            # exact pass caught it
+    assert "n_near" not in kept             # near pass caught it
+    assert kept == sorted(f"n{i}" for i in range(5))
+
+    # exact-only mode keeps the near-dup
+    out2 = dedup_new_against_corpus(new, corpus, near=False)
+    assert "n_near" in set(out2.to_pandas()["doc_id"])
+    # old-old dups never appear anywhere: output only contains new ids
+    assert all(k.startswith("n") for k in kept)
