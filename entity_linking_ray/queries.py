@@ -1806,3 +1806,32 @@ def _q_event_type_seq(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
     return grouped_ordered_concat(ev, key_col="user_id", ts_col="ts",
                                   id_col="event_id", val_col="event_type")
+
+
+@register(
+    "docs_incremental_exact_dedup",
+    """
+    SELECT doc_id, n_chars FROM documents d
+    WHERE doc_id >= 400
+      AND NOT EXISTS (SELECT 1 FROM documents c
+                      WHERE c.doc_id < 400 AND c.text = d.text)
+    """,
+)
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental ingestion dedup, exact pass (stages/dedup.py
+    ``dedup_new_against_corpus`` with ``near=False``): docs 400+ play
+    the nightly batch, docs <400 the archive; the Bloom-prefiltered
+    content-hash anti join drops new docs whose text already exists in
+    the archive. The near (MinHash probe) pass is pytest-covered — an
+    LSH estimate has no exact SQL form."""
+    import ray.data
+
+    from .stages.dedup import dedup_new_against_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    corpus = docs.filter(expr="doc_id < 400")
+    new = docs.filter(expr="doc_id >= 400")
+    out = dedup_new_against_corpus(new, corpus, near=False,
+                                   num_partitions=_table_partitions(
+                                       sf_dir, "documents"))
+    return out.select_columns(["doc_id", "n_chars"])

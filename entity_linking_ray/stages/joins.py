@@ -449,6 +449,16 @@ def _existence_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     on = tuple(on)
     if bloom_bits is not None:
         maybe, absent = _bloom_split(left, right, on, right_on, bloom_bits)
+        # the residue is small by design (matches + false positives) —
+        # materialize it so the empty case short-circuits: an all-empty
+        # join side crashes Ray 2.49's hash join (untyped empty blocks)
+        maybe = maybe.materialize()
+        if maybe.count() == 0:
+            if not keep_matches:
+                return absent
+            # typed-empty result with the left schema
+            return absent.map_batches(lambda b: b.slice(0, 0),
+                                      batch_format="pyarrow")
         exact = _existence_join(maybe, right, on=on, right_on=right_on,
                                 num_partitions=num_partitions,
                                 keep_matches=keep_matches)
