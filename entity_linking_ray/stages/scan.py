@@ -48,8 +48,13 @@ def prefix_sum(ds: ray.data.Dataset, *, order_col: str, val_col: str,
                extra_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
     """→ input rows + ``out_col`` = inclusive running sum of ``val_col``
     in ``order_col`` order (order values must be unique int64)."""
-    lo, _, width = _bucket_bounds(ds, order_col, num_buckets)
     cols = [order_col, val_col, *extra_cols]
+    # materialize the SLIM projection once: three consumers follow (the
+    # min/max bounds aggregate, the totals pass, the scan) and Ray
+    # replays lineage per consumer — without this the upstream derivation
+    # (e.g. the tokenize behind n_tokens) runs three times
+    ds = ds.select_columns(cols).materialize()
+    lo, _, width = _bucket_bounds(ds, order_col, num_buckets)
 
     def tag(b: pa.Table) -> pa.Table:
         bucket = pc.cast(pc.divide(pc.subtract(b[order_col], pa.scalar(lo)),

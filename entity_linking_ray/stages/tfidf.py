@@ -78,7 +78,11 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     from .rank import topn_per_group
 
     n_docs = ds.count()
-    tf = term_frequencies(ds, id_col=id_col, col=col)
+    # materialize: tf feeds BOTH the df pass and the join, and Ray
+    # replays lineage per consumer — without this the tokenize/explode
+    # runs twice. The tf table is the tokenized corpus, so this trades
+    # object-store space (spillable) for a full second scan.
+    tf = term_frequencies(ds, id_col=id_col, col=col).materialize()
     # repartition scrubs Ray-groupby untyped empty blocks before the join
     df = document_frequencies(tf).repartition(num_partitions)
     joined = tf.join(df, "inner", num_partitions,
