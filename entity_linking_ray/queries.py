@@ -1835,3 +1835,49 @@ def _q_incremental_dedup(sf_dir: str):
                                    num_partitions=_table_partitions(
                                        sf_dir, "documents"))
     return out.select_columns(["doc_id", "n_chars"])
+
+
+@register(
+    "error_prev_click_value",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'error'),
+    c AS (SELECT user_id, epoch_us(ts) AS t, event_id AS rid,
+                 cast(round(value * 100) as bigint) AS v
+          FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, e.t,
+           coalesce(cv.v, -1) AS prev_click_units
+    FROM e LEFT JOIN LATERAL (
+      SELECT v FROM c
+      WHERE c.user_id = e.user_id AND c.t <= e.t
+      ORDER BY c.t DESC, c.rid DESC LIMIT 1) cv ON true
+    """,
+)
+def _q_asof_value(sf_dir: str):
+    """Value-emitting backward as-of join: for each error event, the
+    VALUE (fixed-point cents) of the latest click at or before it, tie
+    broken by (t, event_id) — the payload-fetching form of
+    error_prev_click_asof (stages/joins.py ``asof_join_value``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.joins import asof_join_value
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    left = ev.filter(expr="event_type == 'error'")
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts": b["ts"],
+            "v": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                  round_mode="half_towards_infinity"),
+                         pa.int64()),
+        })
+
+    right = (ev.filter(expr="event_type == 'click'")
+             .map_batches(cents, batch_format="pyarrow"))
+    return asof_join_value(left, right, key="user_id", ts="ts",
+                           left_id="event_id", right_id="event_id",
+                           right_val="v", out_col="prev_click_units")

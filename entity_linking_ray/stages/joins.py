@@ -513,3 +513,91 @@ def semi_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return _existence_join(left, right, on=on, right_on=right_on,
                            num_partitions=num_partitions,
                            keep_matches=True, bloom_bits=bloom_bits)
+
+
+def asof_join_value(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                    key: str, ts: str, left_id: str, right_id: str,
+                    right_val: str, out_col: str = "asof_val",
+                    default: int = _NO_MATCH) -> ray.data.Dataset:
+    """→ (left_id, key, t, out_col) — backward as-of join that emits the
+    right-side VALUE: for every left row, ``right_val`` of the latest
+    right row with __t ≤ t under the deterministic total order
+    (t, right_id); ``default`` when no right row precedes. Values ride
+    as int64 (callers fixed-point-encode floats — the repo's oracle
+    convention). Same coarse key-hash-bucket co-group as
+    :func:`_match_bulk`; one shuffle, searchsorted matching."""
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            key: b[key],
+            "__t": pc.cast(b[ts], pa.int64()),
+            "__id": pc.cast(b[left_id], pa.int64()),
+            "__rid": pa.array(np.full(n, -1, np.int64)),
+            "__v": pa.array(np.full(n, default, np.int64)),
+            "__side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            key: b[key],
+            "__t": pc.cast(b[ts], pa.int64()),
+            "__id": pa.array(np.full(n, _NO_MATCH, np.int64)),
+            "__rid": pc.cast(b[right_id], pa.int64()),
+            "__v": pc.cast(b[right_val], pa.int64()),
+            "__side": pa.array(np.ones(n, np.int8)),
+        })
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def add_kb(b: pa.Table) -> pa.Table:
+        kb = pd.util.hash_array(
+            b[key].to_numpy(zero_copy_only=False)) % 64
+        return b.append_column("__kb", pa.array(kb.astype(np.int64),
+                                                pa.int64()))
+
+    def match(group: pd.DataFrame) -> pd.DataFrame:
+        # (key, t, rid) sort puts each key's right rows in (t, rid)
+        # order, so searchsorted's last-≤ index IS the max-(t, rid) row
+        g = group.sort_values([key, "__t", "__rid"], kind="mergesort")
+        keys = g[key].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], n)
+        sides = g["__side"].to_numpy()
+        ts_ = g["__t"].to_numpy(np.int64)
+        ids = g["__id"].to_numpy(np.int64)
+        vals = g["__v"].to_numpy(np.int64)
+        out_id, out_key, out_t, out_v = [], [], [], []
+        for s, e in zip(starts, ends):
+            lmask = sides[s:e] == 0
+            lt = ts_[s:e][lmask]
+            if not len(lt):
+                continue
+            rt = ts_[s:e][~lmask]
+            rv = vals[s:e][~lmask]
+            if len(rt):
+                pos = np.searchsorted(rt, lt, side="right") - 1
+                v = np.where(pos >= 0, rv[np.clip(pos, 0, None)], default)
+            else:
+                v = np.full(len(lt), default, np.int64)
+            out_id.append(ids[s:e][lmask])
+            out_key.append(keys[s:e][lmask])
+            out_t.append(lt)
+            out_v.append(v)
+        if not out_id:
+            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
+                                 key: pd.Series([], dtype=group[key].dtype),
+                                 "t": pd.Series([], dtype="int64"),
+                                 out_col: pd.Series([], dtype="int64")})
+        return pd.DataFrame({left_id: np.concatenate(out_id),
+                             key: np.concatenate(out_key),
+                             "t": np.concatenate(out_t),
+                             out_col: np.concatenate(out_v).astype(np.int64)})
+
+    return (tagged.map_batches(add_kb, batch_format="pyarrow")
+            .groupby("__kb").map_groups(match, batch_format="pandas"))

@@ -43,3 +43,42 @@ def test_range_count_window_edges(ray_session):
     got = {int(r.event_id): int(r.n_in_range) for r in out.itertuples()}
     # inclusive window [5, 15]: rows at 5 and 15 count, 4 and 16 do not
     assert got == {100: 2, 101: 0}
+
+
+def test_asof_join_value_vs_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from entity_linking_ray.stages.joins import asof_join_value
+
+    rng = np.random.default_rng(17)
+    nl, nr = 120, 200
+    left = pa.table({
+        "lid": pa.array(np.arange(nl), pa.int64()),
+        "k": pa.array(rng.integers(0, 6, nl), pa.int64()),
+        "ts": pa.array(rng.integers(0, 1000, nl), pa.timestamp("us")),
+    })
+    # duplicate right timestamps per key to exercise the (t, rid) tie-break
+    rts = rng.integers(0, 1000, nr) // 10 * 10
+    right = pa.table({
+        "rid": pa.array(np.arange(nr), pa.int64()),
+        "k": pa.array(rng.integers(0, 6, nr), pa.int64()),
+        "ts": pa.array(rts, pa.timestamp("us")),
+        "v": pa.array(rng.integers(-50, 50, nr), pa.int64()),
+    })
+    out = asof_join_value(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        key="k", ts="ts", left_id="lid", right_id="rid",
+        right_val="v").to_pandas().set_index("lid").sort_index()
+
+    lf, rf = left.to_pandas(), right.to_pandas()
+    lf["t"] = lf["ts"].astype("int64")
+    rf["t"] = rf["ts"].astype("int64")
+    want = []
+    for r in lf.itertuples():
+        c = rf[(rf["k"] == r.k) & (rf["t"] <= r.t)]
+        want.append(int(c.sort_values(["t", "rid"]).iloc[-1]["v"])
+                    if len(c) else -1)
+    assert out["asof_val"].tolist() == want
