@@ -499,16 +499,41 @@ def grouped_first_last(events: ray.data.Dataset, *, key_col: str,
 
 def grouped_running_sum(events: ray.data.Dataset, *, key_col: str,
                         ts_col: str, id_col: str, val_col: str,
-                        scale: int = 100) -> ray.data.Dataset:
+                        scale: int = 100,
+                        salt_bucket_us: int | None = None,
+                        hot_key_rows: int = 200_000) -> ray.data.Dataset:
     """→ (key, id, t: epoch-us, value_units, run_units, run_n) — the
     expanding-window running total: SQL
     ``sum(value) OVER (PARTITION BY key ORDER BY ts, id)`` plus the
     matching running row count. Fixed-point int64 units keep the oracle
     hash-exact. One groupby(key) shuffle; per-key work is a vectorized
-    sort + cumsum. Hot keys: same salted decomposition as
-    :func:`grouped_lag_delta` applies (per-bucket local cumsum + one
-    boundary pass adding each previous bucket's total); the plain shape
-    is the default for the same routing reason."""
+    sort + cumsum.
+
+    With ``salt_bucket_us`` set, keys holding >= ``hot_key_rows`` rows
+    (exact combiner count) route through the salted plan
+    (:func:`_grouped_running_salted`): local cumsum per (key,
+    time-bucket), a per-key offsets pass over the bucket TOTALS only
+    (one row per non-empty bucket), and an offsets join back — no task
+    ever holds a hot key's full history. All other keys take the plain
+    shape (same routing rationale as :func:`grouped_lag_delta`);
+    identical output either way (property-tested on a skewed
+    fixture)."""
+    if salt_bucket_us is not None:
+        from .joins import _key_filter, hot_keys
+
+        hot = hot_keys(events.select_columns([key_col]), key_col,
+                       hot_key_rows)
+        if hot:
+            cold = grouped_running_sum(
+                _key_filter(events, key_col, hot, keep=False),
+                key_col=key_col, ts_col=ts_col, id_col=id_col,
+                val_col=val_col, scale=scale)
+            salted = _grouped_running_salted(
+                _key_filter(events, key_col, hot, keep=True),
+                key_col=key_col, ts_col=ts_col, id_col=id_col,
+                val_col=val_col, scale=scale,
+                salt_bucket_us=salt_bucket_us)
+            return cold.union(salted)
     # coarse key-hash bucket shuffle; segmented cumsum across many keys
     def cumsum_bulk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key_col, "t", id_col],
@@ -530,6 +555,87 @@ def grouped_running_sum(events: ray.data.Dataset, *, key_col: str,
                                          scale), batch_format="pyarrow")
             .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
             .groupby("__kb").map_groups(cumsum_bulk, batch_format="pandas"))
+
+
+def _grouped_running_salted(events: ray.data.Dataset, *, key_col: str,
+                            ts_col: str, id_col: str, val_col: str,
+                            scale: int,
+                            salt_bucket_us: int) -> ray.data.Dataset:
+    """Hot-key running totals, exact in three bounded passes:
+
+    1. local: per-(key, time-bucket) sorted cumsum (group size = the
+       bucket's rows, never the key's history) + ONE summary row per
+       group carrying the bucket's total and count;
+    2. offsets: per-key pass over summaries only (one row per non-empty
+       bucket) — exclusive cumsum gives each bucket's starting offset;
+    3. join offsets back on (key, bucket) and add. Equal timestamps
+       share a bucket (t // W), so the (t, id) order never splits
+       across buckets and local + offset ≡ the global cumsum."""
+    W = salt_bucket_us
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = b["t"].to_numpy(zero_copy_only=False) // W
+        return b.append_column("__bucket", pa.array(bk, pa.int64()))
+
+    def local_cumsum(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["t", id_col], kind="mergesort").copy()
+        v = g["value_units"].to_numpy(np.int64)
+        g["run_units"] = np.cumsum(v)
+        g["run_n"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["__kind"] = 0
+        summary = g.iloc[-1:].copy()  # carries bucket total in run_units
+        summary["__kind"] = 1
+        return pd.concat([g, summary], ignore_index=True)
+
+    prepped = (events.map_batches(_lag_prep(key_col, ts_col, id_col,
+                                            val_col, scale),
+                                  batch_format="pyarrow")
+               .map_batches(add_bucket, batch_format="pyarrow"))
+    local = (prepped.groupby([key_col, "__bucket"])
+             .map_groups(local_cumsum, batch_format="pandas")
+             .materialize())  # feeds both splits below
+
+    def split(kind: int):
+        def flt(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["__kind"], pa.scalar(kind)))
+        return flt
+
+    def offsets(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("__bucket", kind="mergesort")
+        tot_u = g["run_units"].to_numpy(np.int64)
+        tot_n = g["run_n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "__bucket": g["__bucket"].to_numpy(np.int64),
+            "__off_u": np.concatenate(([0], np.cumsum(tot_u)[:-1])),
+            "__off_n": np.concatenate(([0], np.cumsum(tot_n)[:-1])),
+        })
+
+    # offsets pass: summaries only — one row per (key, non-empty bucket).
+    # .repartition scrubs Ray-groupby untyped empty blocks before the join
+    offs = (local.map_batches(split(1), batch_format="pyarrow")
+            .map_batches(lambda b: b.select(
+                [key_col, "__bucket", "run_units", "run_n"]),
+                batch_format="pyarrow")
+            .groupby(key_col).map_groups(offsets, batch_format="pandas")
+            .repartition(8))
+
+    rows = (local.map_batches(split(0), batch_format="pyarrow")
+            .map_batches(lambda b: b.drop_columns(["__kind"]),
+                         batch_format="pyarrow"))
+    joined = rows.join(offs, "inner", 8,
+                       on=(key_col, "__bucket"),
+                       right_on=(key_col, "__bucket"))
+
+    def add_off(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b[key_col], id_col: b[id_col], "t": b["t"],
+            "value_units": b["value_units"],
+            "run_units": pc.add(b["run_units"], b["__off_u"]),
+            "run_n": pc.add(b["run_n"], b["__off_n"]),
+        })
+
+    return joined.map_batches(add_off, batch_format="pyarrow")
 
 
 def grouped_ordered_concat(events: ray.data.Dataset, *, key_col: str,

@@ -205,3 +205,34 @@ def test_hot_key_detection_and_cold_routing(ray_session):
     assert hot_keys(ds, "user_id", 40) == [0]
     assert hot_keys(ds, "user_id", 41) == []
     assert sorted(hot_keys(ds, "user_id", 1)) == [0, 1, 2, 3, 4]
+
+
+def test_running_sum_salted_equals_plain(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from entity_linking_ray.stages.windows import grouped_running_sum
+
+    rng = np.random.default_rng(23)
+    # one hot user with most of the stream + a few cold ones
+    n_hot, n_cold = 3000, 300
+    user = np.concatenate([np.zeros(n_hot, np.int64),
+                           rng.integers(1, 9, n_cold)])
+    n = len(user)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(user),
+        "ts": pa.array(rng.integers(0, 10**7, n), pa.timestamp("us")),
+        "value": pa.array(rng.normal(5, 2, n), pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    kw = dict(key_col="user_id", ts_col="ts", id_col="event_id",
+              val_col="value")
+    plain = grouped_running_sum(ds, **kw).to_pandas()
+    salted = grouped_running_sum(ds, **kw, salt_bucket_us=500_000,
+                                 hot_key_rows=1000).to_pandas()
+    cols = ["user_id", "event_id", "t", "value_units", "run_units", "run_n"]
+    a = plain[cols].sort_values(["user_id", "t", "event_id"]).reset_index(drop=True)
+    b = salted[cols].sort_values(["user_id", "t", "event_id"]).reset_index(drop=True)
+    assert a.equals(b)
