@@ -375,7 +375,9 @@ def _grouped_lag_salted(events: ray.data.Dataset, *, key_col: str,
 
 def grouped_rolling_window(events: ray.data.Dataset, *, key_col: str,
                            ts_col: str, id_col: str, val_col: str,
-                           window_rows: int, scale: int = 100) -> ray.data.Dataset:
+                           window_rows: int, scale: int = 100,
+                           salt_bucket_us: int | None = None,
+                           hot_key_rows: int = 200_000) -> ray.data.Dataset:
     """→ (key, id, t: epoch-us, value_units, win_units, win_n) — the
     bounded ROWS frame: SQL ``sum(value) OVER (PARTITION BY key ORDER BY
     ts, id ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` plus
@@ -386,13 +388,34 @@ def grouped_rolling_window(events: ray.data.Dataset, *, key_col: str,
     the per-bucket kernel is a segmented rolling sum via one cumsum — for
     row i in segment starting at s, the frame starts at
     j = max(s, i-window_rows+1) and win = c[i] - c[j-1] — vectorized
-    across every key in the bucket. Hot keys: the time-bucketed salted
-    decomposition of :func:`grouped_lag_delta` extends to any bounded
-    frame (each bucket needs only the previous bucket's last
-    ``window_rows-1`` rows patched in); plain shape is the default for
-    the same routing reason."""
+    across every key in the bucket.
+
+    With ``salt_bucket_us`` set, keys holding >= ``hot_key_rows`` rows
+    route through the salted plan (:func:`_grouped_rolling_salted`):
+    local rolling per (key, time-bucket); only each bucket's first
+    ``window_rows - 1`` rows need predecessors, and every predecessor a
+    bounded frame can reach lies in the last ``window_rows - 1`` rows of
+    SOME earlier bucket — so the patch pass per key touches boundary
+    rows only, never the hot key's history. Identical output either way
+    (property-tested on a skewed fixture)."""
     if window_rows < 1:
         raise ValueError("window_rows must be >= 1")
+    if salt_bucket_us is not None:
+        from .joins import _key_filter, hot_keys
+
+        hot = hot_keys(events.select_columns([key_col]), key_col,
+                       hot_key_rows)
+        if hot:
+            cold = grouped_rolling_window(
+                _key_filter(events, key_col, hot, keep=False),
+                key_col=key_col, ts_col=ts_col, id_col=id_col,
+                val_col=val_col, window_rows=window_rows, scale=scale)
+            salted = _grouped_rolling_salted(
+                _key_filter(events, key_col, hot, keep=True),
+                key_col=key_col, ts_col=ts_col, id_col=id_col,
+                val_col=val_col, window_rows=window_rows, scale=scale,
+                salt_bucket_us=salt_bucket_us)
+            return cold.union(salted)
 
     def rolling_bulk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key_col, "t", id_col],
@@ -417,6 +440,91 @@ def grouped_rolling_window(events: ray.data.Dataset, *, key_col: str,
                                          scale), batch_format="pyarrow")
             .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
             .groupby("__kb").map_groups(rolling_bulk, batch_format="pandas"))
+
+
+def _grouped_rolling_salted(events: ray.data.Dataset, *, key_col: str,
+                            ts_col: str, id_col: str, val_col: str,
+                            window_rows: int, scale: int,
+                            salt_bucket_us: int) -> ray.data.Dataset:
+    """Hot-key bounded frame, exact in two bounded passes. Local pass
+    per (key, time-bucket): in-bucket rolling sums; rows at in-bucket
+    index >= window_rows-1 are COMPLETE (their whole frame is local).
+    Patch pass per key over boundary rows only: each bucket's first
+    w-1 rows (kind 1, needing predecessors) plus each bucket's last
+    w-1 rows replicated as suppliers (kind 2). Correctness of the
+    supplier set: a row at in-bucket index p needs the w-1-p global
+    predecessors; any row within the last k <= w-1 rows of the stream
+    before some bucket is necessarily within the last k rows of its OWN
+    bucket, so the concatenated kind-2 tails (in global (t, id) order)
+    contain every reachable predecessor."""
+    W = salt_bucket_us
+    w = window_rows
+    final_cols = [key_col, id_col, "t", "value_units", "win_units",
+                  "win_n"]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = b["t"].to_numpy(zero_copy_only=False) // W
+        return b.append_column("__bucket", pa.array(bk, pa.int64()))
+
+    def local_roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["t", id_col], kind="mergesort").copy()
+        v = g["value_units"].to_numpy(np.int64)
+        n = len(g)
+        i = np.arange(n, dtype=np.int64)
+        j = np.maximum(0, i - w + 1)
+        c = np.cumsum(v)
+        cprev = np.concatenate(([np.int64(0)], c[:-1]))
+        g["win_units"] = c - cprev[j]
+        g["win_n"] = i - j + 1
+        g["__pos"] = i
+        kind = np.zeros(n, np.int64)
+        kind[: w - 1] = 1  # frames reach into earlier buckets
+        g["__kind"] = kind
+        tail = g.iloc[max(0, n - (w - 1)):].copy()
+        tail["__kind"] = 2
+        return pd.concat([g, tail], ignore_index=True)
+
+    prepped = (events.map_batches(_lag_prep(key_col, ts_col, id_col,
+                                            val_col, scale),
+                                  batch_format="pyarrow")
+               .map_batches(add_bucket, batch_format="pyarrow"))
+    local = (prepped.groupby([key_col, "__bucket"])
+             .map_groups(local_roll, batch_format="pandas")
+             .materialize())
+
+    def split(kinds: list[int]):
+        vs = pa.array(kinds, pa.int64())
+
+        def flt(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["__kind"], value_set=vs))
+        return flt
+
+    complete = (local.map_batches(split([0]), batch_format="pyarrow")
+                .select_columns(final_cols))
+
+    def patch(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["t", id_col], kind="mergesort")
+        tails = g[g["__kind"] == 2]
+        firsts = g[g["__kind"] == 1]
+        tb = tails["__bucket"].to_numpy(np.int64)
+        tv = tails["value_units"].to_numpy(np.int64)
+        csum = np.concatenate(([0], np.cumsum(tv)))
+        fb = firsts["__bucket"].to_numpy(np.int64)
+        fp = firsts["__pos"].to_numpy(np.int64)
+        # tails are (t, id)-sorted and buckets are monotone in t:
+        # predecessors of bucket b = tail rows with bucket < b
+        idx = np.searchsorted(tb, fb, side="left")
+        want = w - 1 - fp
+        lo = np.maximum(0, idx - want)
+        out = firsts.copy()
+        out["win_units"] = (out["win_units"].to_numpy(np.int64)
+                            + csum[idx] - csum[lo])
+        out["win_n"] = out["win_n"].to_numpy(np.int64) + (idx - lo)
+        return out[final_cols]
+
+    patched = (local.map_batches(split([1, 2]), batch_format="pyarrow")
+               .groupby(key_col).map_groups(patch, batch_format="pandas"))
+    return complete.union(patched)
 
 
 def grouped_first_last(events: ray.data.Dataset, *, key_col: str,

@@ -236,3 +236,35 @@ def test_running_sum_salted_equals_plain(ray_session):
     a = plain[cols].sort_values(["user_id", "t", "event_id"]).reset_index(drop=True)
     b = salted[cols].sort_values(["user_id", "t", "event_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_rolling_window_salted_equals_plain(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from entity_linking_ray.stages.windows import grouped_rolling_window
+
+    rng = np.random.default_rng(29)
+    n_hot, n_cold = 2500, 200
+    user = np.concatenate([np.zeros(n_hot, np.int64),
+                           rng.integers(1, 7, n_cold)])
+    n = len(user)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(user),
+        "ts": pa.array(rng.integers(0, 10**7, n), pa.timestamp("us")),
+        "value": pa.array(rng.normal(5, 2, n), pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    kw = dict(key_col="user_id", ts_col="ts", id_col="event_id",
+              val_col="value", window_rows=5)
+    plain = grouped_rolling_window(ds, **kw).to_pandas()
+    # tiny salt bucket: many buckets hold FEWER than window_rows-1 rows,
+    # forcing the multi-bucket lookback in the patch pass
+    salted = grouped_rolling_window(ds, **kw, salt_bucket_us=2_000,
+                                    hot_key_rows=1000).to_pandas()
+    cols = ["user_id", "event_id", "t", "value_units", "win_units", "win_n"]
+    a = plain[cols].sort_values(["user_id", "t", "event_id"]).reset_index(drop=True)
+    b = salted[cols].sort_values(["user_id", "t", "event_id"]).reset_index(drop=True)
+    assert a.equals(b)
