@@ -1881,3 +1881,50 @@ def _q_asof_value(sf_dir: str):
     return asof_join_value(left, right, key="user_id", ts="ts",
                            left_id="event_id", right_id="event_id",
                            right_val="v", out_col="prev_click_units")
+
+
+@register(
+    "error_click_range_sum",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'error'),
+    c AS (SELECT user_id, epoch_us(ts) AS t,
+                 cast(round(value * 100) as bigint) AS v
+          FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, e.t,
+           coalesce(cv.s, 0) AS click_units_1h,
+           coalesce(cv.n, 0) AS n_clicks_1h
+    FROM e LEFT JOIN LATERAL (
+      SELECT cast(sum(v) as bigint) AS s, count(*) AS n FROM c
+      WHERE c.user_id = e.user_id
+        AND c.t BETWEEN e.t - 3600000000 AND e.t) cv ON true
+    """,
+)
+def _q_range_sum(sf_dir: str):
+    """Windowed aggregate over a temporal range join: for each error,
+    the fixed-point SUM (and count) of click values in the preceding
+    hour — two searchsorted probes against a per-key cumsum, no pair
+    explosion (stages/joins.py ``range_join_sum``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.joins import range_join_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    left = ev.filter(expr="event_type == 'error'")
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "v": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                  round_mode="half_towards_infinity"),
+                         pa.int64()),
+        })
+
+    right = (ev.filter(expr="event_type == 'click'")
+             .map_batches(cents, batch_format="pyarrow"))
+    return range_join_sum(left, right, key="user_id", ts="ts",
+                          left_id="event_id", right_val="v",
+                          before_us=3_600_000_000, after_us=0,
+                          out_col="click_units_1h", n_col="n_clicks_1h")

@@ -601,3 +601,84 @@ def asof_join_value(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     return (tagged.map_batches(add_kb, batch_format="pyarrow")
             .groupby("__kb").map_groups(match, batch_format="pandas"))
+
+
+def range_join_sum(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                   key: str, ts: str, left_id: str, right_val: str,
+                   before_us: int, after_us: int,
+                   out_col: str = "sum_in_range",
+                   n_col: str = "n_in_range") -> ray.data.Dataset:
+    """→ (left_id, key, t, out_col, n_col) — for every left row, the SUM
+    of ``right_val`` (int64; callers fixed-point-encode) plus the count
+    over right rows with __t in [t - before_us, t + after_us] per key.
+    Completes :func:`range_join_count` into the windowed-aggregate form
+    — still two searchsorted probes against a per-key cumsum, never a
+    pair explosion. Same coarse key-hash-bucket co-group."""
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            key: b[key],
+            "__t": pc.cast(b[ts], pa.int64()),
+            "__id": pc.cast(b[left_id], pa.int64()),
+            "__v": pa.array(np.zeros(n, np.int64)),
+            "__side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            key: b[key],
+            "__t": pc.cast(b[ts], pa.int64()),
+            "__id": pa.array(np.full(n, _NO_MATCH, np.int64)),
+            "__v": pc.cast(b[right_val], pa.int64()),
+            "__side": pa.array(np.ones(n, np.int8)),
+        })
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def add_kb(b: pa.Table) -> pa.Table:
+        kb = pd.util.hash_array(
+            b[key].to_numpy(zero_copy_only=False)) % 64
+        return b.append_column("__kb", pa.array(kb.astype(np.int64),
+                                                pa.int64()))
+
+    def match(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, "__t"], kind="mergesort")
+        keys = g[key].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], n)
+        sides = g["__side"].to_numpy()
+        ts_ = g["__t"].to_numpy(np.int64)
+        ids = g["__id"].to_numpy(np.int64)
+        vals = g["__v"].to_numpy(np.int64)
+        out = {left_id: [], key: [], "t": [], out_col: [], n_col: []}
+        for s, e in zip(starts, ends):
+            lmask = sides[s:e] == 0
+            lt = ts_[s:e][lmask]
+            if not len(lt):
+                continue
+            rt = ts_[s:e][~lmask]
+            rv = vals[s:e][~lmask]
+            csum = np.concatenate(([0], np.cumsum(rv)))
+            lo = np.searchsorted(rt, lt - before_us, side="left")
+            hi = np.searchsorted(rt, lt + after_us, side="right")
+            out[left_id].append(ids[s:e][lmask])
+            out[key].append(keys[s:e][lmask])
+            out["t"].append(lt)
+            out[out_col].append(csum[hi] - csum[lo])
+            out[n_col].append((hi - lo).astype(np.int64))
+        if not out[left_id]:
+            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
+                                 key: pd.Series([], dtype=group[key].dtype),
+                                 "t": pd.Series([], dtype="int64"),
+                                 out_col: pd.Series([], dtype="int64"),
+                                 n_col: pd.Series([], dtype="int64")})
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    return (tagged.map_batches(add_kb, batch_format="pyarrow")
+            .groupby("__kb").map_groups(match, batch_format="pandas"))
