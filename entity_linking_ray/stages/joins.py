@@ -459,7 +459,12 @@ def _existence_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             # typed-empty result with the left schema
             return absent.map_batches(lambda b: b.slice(0, 0),
                                       batch_format="pyarrow")
-        exact = _existence_join(maybe, right, on=on, right_on=right_on,
+        # an aggressive bloom filter leaves MOSTLY-empty blocks (one per
+        # input block), and a join partition fed only empties hits the
+        # same Ray 2.49 failure — rebuild the residue's blocks from its
+        # real rows before the join
+        exact = _existence_join(maybe.repartition(num_partitions),
+                                right, on=on, right_on=right_on,
                                 num_partitions=num_partitions,
                                 keep_matches=keep_matches)
         return exact if keep_matches else exact.union(absent)
