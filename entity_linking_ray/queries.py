@@ -1928,3 +1928,45 @@ def _q_range_sum(sf_dir: str):
                           left_id="event_id", right_val="v",
                           before_us=3_600_000_000, after_us=0,
                           out_col="click_units_1h", n_col="n_clicks_1h")
+
+
+@register(
+    "props_json_k_stats",
+    """
+    SELECT event_type, count(*) AS n,
+           cast(sum(cast(json_extract_string(props, '$.k') as bigint))
+                as bigint) AS sum_k,
+           cast(max(cast(json_extract_string(props, '$.k') as bigint))
+                as bigint) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def _q_props_json(sf_dir: str):
+    """Semi-structured column extraction: the JSON ``props`` payload is
+    parsed with ONE vectorized Arrow regex kernel (``pc.extract_regex``
+    — no per-row json.loads in the hot path; a full parser drops in for
+    nested payloads), then the usual combiner + groupby. DuckDB's
+    json_extract is the oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], pattern=r'"k":\s*(?P<kval>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "kval"), pa.int64())
+        t = pa.table({"event_type": b["event_type"],
+                      "n": pa.repeat(pa.scalar(1, pa.int64()), b.num_rows),
+                      "sum_k": k, "max_k": k})
+        return (t.group_by("event_type")
+                .aggregate([("n", "sum"), ("sum_k", "sum"),
+                            ("max_k", "max")])
+                .rename_columns(["event_type", "n", "sum_k", "max_k"]))
+
+    return (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Max("max_k", alias_name="max_k")))
