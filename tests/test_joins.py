@@ -82,3 +82,35 @@ def test_asof_join_value_vs_brute(ray_session):
         want.append(int(c.sort_values(["t", "rid"]).iloc[-1]["v"])
                     if len(c) else -1)
     assert out["asof_val"].tolist() == want
+
+
+def test_range_join_sum_vs_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from entity_linking_ray.stages.joins import range_join_sum
+
+    rng = np.random.default_rng(19)
+    nl, nr = 100, 180
+    left = pa.table({
+        "lid": pa.array(np.arange(nl), pa.int64()),
+        "k": pa.array(rng.integers(0, 5, nl), pa.int64()),
+        "ts": pa.array(rng.integers(0, 1000, nl), pa.timestamp("us")),
+    })
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 5, nr), pa.int64()),
+        "ts": pa.array(rng.integers(0, 1000, nr), pa.timestamp("us")),
+        "v": pa.array(rng.integers(-30, 30, nr), pa.int64()),
+    })
+    out = range_join_sum(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        key="k", ts="ts", left_id="lid", right_val="v",
+        before_us=50, after_us=20).to_pandas().set_index("lid").sort_index()
+    lf, rf = left.to_pandas(), right.to_pandas()
+    lf["t"] = lf["ts"].astype("int64")
+    rf["t"] = rf["ts"].astype("int64")
+    for r in lf.itertuples():
+        c = rf[(rf["k"] == r.k) & (rf["t"] >= r.t - 50) & (rf["t"] <= r.t + 20)]
+        assert out.loc[r.lid, "sum_in_range"] == c["v"].sum()
+        assert out.loc[r.lid, "n_in_range"] == len(c)
