@@ -1970,3 +1970,40 @@ def _q_props_json(sf_dir: str):
             .aggregate(Sum("n", alias_name="n"),
                        Sum("sum_k", alias_name="sum_k"),
                        Max("max_k", alias_name="max_k")))
+
+
+@register(
+    "order_price_rank",
+    """
+    WITH o AS (SELECT o_orderkey,
+                      cast(round(o_totalprice * 100) as bigint) AS price_fx
+               FROM orders)
+    SELECT o_orderkey, price_fx,
+           cast(row_number() OVER (ORDER BY price_fx, o_orderkey)
+                as bigint) AS rnk
+    FROM o
+    """,
+)
+def _q_order_rank(sf_dir: str):
+    """Global ordering rank over the whole table (SQL row_number OVER a
+    total order): range-partitioned rank — per-bucket counts give
+    exclusive offsets, each bucket ranks locally and adds its offset —
+    no global merge step (stages/scan.py ``global_rank``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.scan import global_rank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def fx(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "price_fx": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                                         round_mode="half_towards_infinity"),
+                                pa.int64()),
+        })
+
+    return global_rank(orders.map_batches(fx, batch_format="pyarrow"),
+                       val_col="price_fx", id_col="o_orderkey",
+                       out_col="rnk")

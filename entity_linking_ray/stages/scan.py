@@ -110,3 +110,50 @@ def pack_by_token_budget(ds: ray.data.Dataset, *, order_col: str,
         })
 
     return scanned.map_batches(bins, batch_format="pyarrow")
+
+
+def global_rank(ds: ray.data.Dataset, *, val_col: str, id_col: str,
+                out_col: str = "rnk",
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """→ (id_col, val_col, out_col) — the dense global ordering rank:
+    SQL ``row_number() OVER (ORDER BY val, id)`` (int64 ``val_col``;
+    callers fixed-point-encode floats so both sides compare identical
+    integers). The classic range-partitioned sort shape: uniform value
+    buckets from one min/max aggregate, per-bucket counts → exclusive
+    offsets (O(num_buckets) driver rows), then one groupby(bucket) whose
+    kernel sorts locally and adds the offset — a full sort's ordering
+    without ray.data.sort's merge step, and the offsets double as an
+    equi-depth histogram of the value column (skewed buckets are visible,
+    not silent)."""
+    cols = [id_col, val_col]
+    ds = ds.select_columns(cols).materialize()  # three consumers below
+    lo, _, width = _bucket_bounds(ds, val_col, num_buckets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.divide(pc.subtract(b[val_col], pa.scalar(lo)),
+                                   pa.scalar(width)), pa.int64())
+        return b.append_column("__b", bucket)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def part_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["__b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["__b", "__c"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (tagged.map_batches(part_counts, batch_format="pyarrow")
+              .groupby("__b").aggregate(Sum("__c", alias_name="__c"))
+              .to_pandas()).sort_values("__b")
+    offs = dict(zip(counts["__b"].astype(np.int64),
+                    np.concatenate([[0], np.cumsum(
+                        counts["__c"].to_numpy(np.int64))[:-1]])))
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([val_col, id_col],
+                              kind="mergesort").reset_index(drop=True)
+        base = offs[int(g["__b"].iloc[0])]
+        g[out_col] = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        return g.drop(columns="__b")
+
+    return tagged.groupby("__b").map_groups(rank, batch_format="pandas")
