@@ -83,3 +83,40 @@ def test_oversized_doc_occupies_one_bin(ray_session):
                                 capacity=100, num_buckets=2)
            .to_pandas().sort_values("doc_id"))
     assert got["bin_id"].tolist() == [0, 0, 50, 50, 50]
+
+
+def test_global_rank_matches_argsort(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from entity_linking_ray.stages.scan import global_rank
+
+    rng = np.random.default_rng(41)
+    n = 1000
+    t = pa.table({"rid": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(rng.integers(-500, 500, n), pa.int64())})
+    out = global_rank(ray.data.from_arrow(t).repartition(7),
+                      val_col="v", id_col="rid").to_pandas()
+    df = t.to_pandas().sort_values(["v", "rid"]).reset_index(drop=True)
+    df["want"] = np.arange(1, n + 1)
+    got = out.set_index("rid")["rnk"]
+    assert (got.loc[df["rid"]].to_numpy() == df["want"].to_numpy()).all()
+
+
+def test_global_rank_degenerate_single_value(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from entity_linking_ray.stages.scan import global_rank
+
+    # every row the same value: one bucket holds everything (the skew
+    # worst case) — ranks must still be 1..n by id tie-break
+    n = 200
+    t = pa.table({"rid": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(np.full(n, 7), pa.int64())})
+    out = global_rank(ray.data.from_arrow(t).repartition(4),
+                      val_col="v", id_col="rid").to_pandas()
+    got = out.sort_values("rid")["rnk"].to_numpy()
+    assert (got == np.arange(1, n + 1)).all()
