@@ -168,29 +168,57 @@ def heavy_hitter_words(ds: ray.data.Dataset, *, text_col: str = "text",
             "__err": pa.array(np.append(np.zeros(len(w2), np.int64), err)),
         })
 
-    # merge all MG partials (≤ width+1 rows per batch — small enough for
-    # one group): counter addition per word, then one global trim whose
-    # own subtraction joins the bound
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
+    # TWO-LEVEL merge tree (Agarwal et al.: MG summaries merge under any
+    # tree, errors add): level 1 merges batch partials in 64 fan-in
+    # groups, level 2 merges the ≤ 64 width-sized level-1 summaries.
+    # A single flat merge would feed width × num_batches rows into ONE
+    # task — unbounded at corpus scale; the tree caps every merge input
+    # at max(64 × (width+1), num_batches/64 × (width+1)) rows, and
+    # deeper corpora just add O(log) levels of the same shape.
+    def _merge_counters(group: pd.DataFrame) -> tuple:
         err_in = int(group["__err"].sum())
         g = group[group["w"].notna()]
         agg = g.groupby("w", sort=False)["c"].sum().reset_index()
         words = agg["w"].to_numpy(dtype=object)
         counts = agg["c"].to_numpy(np.int64)
         w2, c2, err = _mg_trim(words, counts, width)
+        return w2, c2, err_in + err
+
+    def merge_level1(group: pd.DataFrame) -> pd.DataFrame:
+        w2, c2, err_acc = _merge_counters(group)
+        # same row shape as partial(): counters + one error sentinel
+        return pd.DataFrame({
+            "w": np.concatenate((w2, [None])),
+            "c": np.append(c2, 0).astype(np.int64),
+            "__err": np.append(np.zeros(len(w2), np.int64), err_acc),
+        })
+
+    def merge_final(group: pd.DataFrame) -> pd.DataFrame:
+        w2, c2, bound = _merge_counters(group)
         # leading sentinel row (w = null) so the bound survives even when
         # every counter trims away (the uncertifiable-input case)
         return pd.DataFrame({"w": np.concatenate(([None], w2)),
-                             "__bound": np.full(len(w2) + 1, err_in + err,
+                             "__bound": np.full(len(w2) + 1, bound,
                                                 np.int64)})
+
+    def fanin_key(b: pa.Table) -> pa.Table:
+        # batch-constant bucket (content-derived, deterministic): all of
+        # one batch's rows — counters AND its error sentinel — merge in
+        # the same level-1 group, so each sentinel is counted exactly once
+        g = int(b["c"].to_numpy(zero_copy_only=False).sum()
+                + b.num_rows * 1009) % 64
+        return b.append_column(
+            "__g", pa.array(np.full(b.num_rows, g, np.int64)))
 
     def const_key(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int64)))
+            "__g2", pa.array(np.zeros(b.num_rows, np.int64)))
 
     cand = (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(fanin_key, batch_format="pyarrow")
+            .groupby("__g").map_groups(merge_level1, batch_format="pandas")
             .map_batches(const_key, batch_format="pyarrow")
-            .groupby("__g").map_groups(merge, batch_format="pandas")
+            .groupby("__g2").map_groups(merge_final, batch_format="pandas")
             .to_pandas())
     if not len(cand):  # empty corpus
         return ray.data.from_arrow(pa.table({
