@@ -95,13 +95,28 @@ def weighted_sample(ds: ray.data.Dataset, *, id_col: str, weight_col: str,
             sel = np.arange(len(ids))
         sel = sel[key[sel] >= 0]
         t = b.select(cols).take(pa.array(sel, pa.int64()))
+        # fan-in bucket: the grouping is arbitrary — top-k of per-group
+        # top-ks contains the global top-k whatever the tree shape
         return t.append_column("__key", pa.array(key[sel], pa.float64())) \
-                .append_column("__g", pa.array(np.zeros(len(sel), np.int64)))
+                .append_column("__g", pa.array(
+                    np.arange(len(sel), dtype=np.int64) % 64))
+
+    def level_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values(["__key", id_col],
+                                  ascending=[False, True]).head(k)
+                [[*cols, "__key"]].reset_index(drop=True))
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["__key", id_col],
                               ascending=[False, True]).head(k)
         return g[cols].reset_index(drop=True)
 
+    # TWO-LEVEL tournament: a single flat merge would feed k×num_batches
+    # rows into one task — unbounded at corpus scale; level 1 reduces 64
+    # fan-in groups to k rows each, the final merge sees ≤ 64k rows
     return (ds.map_batches(partial_topk, batch_format="pyarrow")
-            .groupby("__g").map_groups(final, batch_format="pandas"))
+            .groupby("__g").map_groups(level_topk, batch_format="pandas")
+            .map_batches(lambda b: b.append_column(
+                "__g2", pa.array(np.zeros(b.num_rows, np.int64))),
+                batch_format="pyarrow")
+            .groupby("__g2").map_groups(final, batch_format="pandas"))

@@ -104,13 +104,18 @@ def hll_distinct(ds: ray.data.Dataset, *, key_col: str, val_col: str,
         for s, e in zip(bounds, ends):
             keys_out.append(ks[s])
             blobs.append(_hll_registers(hs[s:e], p).tobytes())
+        # arbitrary fan-in bucket: register max is associative,
+        # commutative and idempotent, so any merge tree yields the exact
+        # same final registers
         return pa.table({key_col: pa.array(keys_out),
-                         "__regs": pa.array(blobs, pa.binary())})
+                         "__regs": pa.array(blobs, pa.binary()),
+                         "__f": pa.array(np.arange(len(keys_out),
+                                                   dtype=np.int64) % 64)})
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
+    def _max_regs(group: pd.DataFrame):
         g = group.sort_values(key_col, kind="mergesort")
         keys = g[key_col].to_numpy()
-        out_k, out_n = [], []
+        out_k, out_r = [], []
         i = 0
         while i < len(g):
             j = i
@@ -120,13 +125,31 @@ def hll_distinct(ds: ray.data.Dataset, *, key_col: str, val_col: str,
                     regs, np.frombuffer(g["__regs"].iloc[j], np.uint8))
                 j += 1
             out_k.append(keys[i])
-            out_n.append(_hll_estimate(regs))
+            out_r.append(regs)
             i = j
-        return pd.DataFrame({key_col: out_k,
-                             "approx_distinct": np.array(out_n, np.int64)})
+        return out_k, out_r
 
+    def merge_level1(group: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_r = _max_regs(group)
+        return pd.DataFrame({key_col: out_k,
+                             "__regs": [r.tobytes() for r in out_r]})
+
+    def merge_final(group: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_r = _max_regs(group)
+        return pd.DataFrame({key_col: out_k,
+                             "approx_distinct": np.array(
+                                 [_hll_estimate(r) for r in out_r],
+                                 np.int64)})
+
+    # TWO-LEVEL merge: a flat per-key merge receives one blob per
+    # (batch, key) — unbounded fan-in at corpus scale; level 1 reduces
+    # each (key, fan-in-bucket) slice to ONE blob, the final per-key
+    # merge sees ≤ 64 blobs per key
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(key_col).map_groups(merge, batch_format="pandas"))
+            .groupby([key_col, "__f"])
+            .map_groups(merge_level1, batch_format="pandas")
+            .groupby(key_col).map_groups(merge_final,
+                                         batch_format="pandas"))
 
 
 def _mg_trim(words: np.ndarray, counts: np.ndarray,
