@@ -1089,8 +1089,20 @@ def dedup_new_against_corpus(new_docs: ray.data.Dataset,
                          "id_b": b["id_b"].take(keep)})
 
     pairs = cand.map_batches(prefilter, batch_format="pyarrow").materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return survivors
+    if n_pairs > _BROADCAST_PAIRS_CAP:
+        # the cross band join has no per-bucket cap (a cap would silently
+        # miss true cross dups); a degenerate batch/corpus pair can still
+        # explode the candidate set — fail LOUDLY instead of OOMing the
+        # driver. Remedies: exact-dedup the new batch first, raise
+        # num_planes/num_perm, or tighten jaccard_threshold.
+        raise ValueError(
+            f"dedup_new_against_corpus: {n_pairs} candidate pairs exceed "
+            f"the broadcast cap ({_BROADCAST_PAIRS_CAP}); the batch is "
+            "pathologically similar to the corpus — pre-dedup the batch "
+            "or raise the banding selectivity")
 
     # verify: recompute the two signatures per distinct candidate pair
     # (broadcast texts of the needed docs — bounded by the candidate set)

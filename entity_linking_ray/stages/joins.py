@@ -412,9 +412,25 @@ def _bloom_split(left: ray.data.Dataset, right: ray.data.Dataset,
 
     def partial(b: pa.Table) -> pa.Table:
         words = bloom_build(key_hash(b, right_on), n_bits=bloom_bits)
-        return pa.table({"__bloom": pa.array([words.tobytes()], pa.binary())})
+        # fan-in bucket from the blob content (deterministic; OR is
+        # associative/commutative/idempotent, so any merge tree gives
+        # the identical filter)
+        f = int(words[:8].sum() % np.uint64(64))
+        return pa.table({"__bloom": pa.array([words.tobytes()], pa.binary()),
+                         "__f": pa.array([f], pa.int64())})
 
-    blobs = right.map_batches(partial, batch_format="pyarrow").to_pandas()
+    def or_merge(group: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(bloom_bits // 64, np.uint64)
+        for blob in group["__bloom"]:
+            words |= np.frombuffer(blob, np.uint64)
+        return pd.DataFrame({"__bloom": [words.tobytes()]})
+
+    # tree-OR the per-batch blobs: collecting one n_bits/8 blob per batch
+    # on the driver is unbounded in batch count; after the 64-way merge
+    # the driver sees <= 64 fixed-size blobs
+    blobs = (right.map_batches(partial, batch_format="pyarrow")
+             .groupby("__f").map_groups(or_merge, batch_format="pandas")
+             .to_pandas())
     words = np.zeros(bloom_bits // 64, np.uint64)
     for blob in blobs["__bloom"]:
         words |= np.frombuffer(blob, np.uint64)
