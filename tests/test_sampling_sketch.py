@@ -293,3 +293,23 @@ def test_grouped_ordered_concat_vs_pandas(ray_session):
     assert (out["seq"] == want.sort_index()).all()
     assert (out["n_events"]
             == df.groupby("user_id").size().sort_index()).all()
+
+
+def test_new_window_ops_empty_input(ray_session):
+    from entity_linking_ray.stages.windows import (grouped_first_last,
+                                                   grouped_ordered_concat,
+                                                   grouped_rolling_window)
+
+    t = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+        "event_type": pa.array([], pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    kw = dict(key_col="user_id", ts_col="ts", id_col="event_id")
+    assert grouped_rolling_window(ds, **kw, val_col="value",
+                                  window_rows=3).count() == 0
+    assert grouped_first_last(ds, **kw, val_col="event_type").count() == 0
+    assert grouped_ordered_concat(ds, **kw, val_col="event_type").count() == 0
