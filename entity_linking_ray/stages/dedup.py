@@ -219,24 +219,9 @@ def lsh_candidate_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "
         return _ensure_pair_schema(ray.data.from_arrow(out), "est_jaccard")
 
     # join mode: bucketed distinct over id pairs, then two hash joins
-    # against the slim (id, packed-sig) projection — same shape (and
-    # empty-block repartition scrub) as embedding_dup_pairs' join mode
-    _NB = 64
-
-    def distinct_partial(b: pa.Table) -> pa.Table:
-        part = b.group_by(["id_a", "id_b"]).aggregate([]) if b.num_rows else b
-        if part.num_rows == 0:
-            return part.append_column("__pb", pa.array([], pa.int64()))
-        bk = hash_strings([f"{a}|{x}" for a, x in
-                           zip(part["id_a"].to_pylist(), part["id_b"].to_pylist())])
-        return part.append_column("__pb", pa.array(bk % _NB, pa.int64()))
-
-    def distinct_merge(g: pa.Table) -> pa.Table:
-        return g.select(["id_a", "id_b"]).group_by(["id_a", "id_b"]).aggregate([])
-
-    pairs_d = (cand.map_batches(distinct_partial, batch_format="pyarrow")
-               .groupby("__pb").map_groups(distinct_merge, batch_format="pyarrow")
-               .repartition(num_partitions))
+    # against the slim (id, packed-sig) projection — same shape as
+    # embedding_dup_pairs' join mode
+    pairs_d = _distinct_pairs(cand, num_partitions)
 
     def as_side(side: str):
         def prep(b: pa.Table) -> pa.Table:
@@ -271,6 +256,31 @@ def lsh_candidate_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "
 # pairs above this broadcast-able size switch minhash_dedup to the keyed-join
 # winner path automatically (≈ a few hundred MB of driver state at the cap)
 _BROADCAST_PAIRS_CAP = 10_000_000
+
+
+def _distinct_pairs(cand: ray.data.Dataset,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """Global distinct over (id_a, id_b) rows — bucketed Arrow groupby
+    (Ray's native aggregate is slow at scale); only id-pair rows shuffle.
+    The trailing .repartition scrubs Ray-groupby untyped empty blocks
+    before any downstream hash join (a join partition fed only those
+    fails — see :func:`_drop_losers_keyed`)."""
+    _NB = 64
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        part = b.group_by(["id_a", "id_b"]).aggregate([]) if b.num_rows else b
+        if part.num_rows == 0:
+            return part.append_column("__pb", pa.array([], pa.int64()))
+        bk = hash_strings([f"{a}|{x}" for a, x in
+                           zip(part["id_a"].to_pylist(), part["id_b"].to_pylist())])
+        return part.append_column("__pb", pa.array(bk % _NB, pa.int64()))
+
+    def distinct_merge(g: pa.Table) -> pa.Table:
+        return g.select(["id_a", "id_b"]).group_by(["id_a", "id_b"]).aggregate([])
+
+    return (cand.map_batches(distinct_partial, batch_format="pyarrow")
+            .groupby("__pb").map_groups(distinct_merge, batch_format="pyarrow")
+            .repartition(num_partitions))
 
 
 def minhash_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id",
@@ -473,8 +483,12 @@ def simhash_dup_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "do
     _CB = 256
 
     def coarse(b: pa.Table) -> pa.Table:
-        cb = pc.bit_wise_and(b["bucket"], pa.scalar(_CB - 1, pa.int64()))
-        return b.append_column("__cb", cb)
+        # mix before masking: the raw key is (chunk << 3) | band with band
+        # in 0..3, so the low 8 bits only span 128 values (see the same
+        # fix in embedding_dup_pairs)
+        raw = b["bucket"].to_numpy(zero_copy_only=False).astype(U64)
+        cb = (splitmix64(raw) & U64(_CB - 1)).astype(np.int64)
+        return b.append_column("__cb", pa.array(cb, pa.int64()))
 
     def pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=["bucket", id_col]) \
@@ -507,7 +521,8 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
                             hh_min_df: int | None = None,
                             max_docs_per_token: int = 512,
                             num_partitions: int = 16,
-                            pair_mode: str = "auto") -> ray.data.Dataset:
+                            pair_mode: str = "auto",
+                            on_token_overflow: str = "error") -> ray.data.Dataset:
     """EXACT k-shingle Jaccard similarity self-join via df-ordered prefix
     filtering (Bayardo et al. "Scaling Up All Pairs Similarity Search",
     WWW'07; Xiao et al. PPJoin) — the exact counterpart of the
@@ -548,6 +563,14 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
       joined-back texts. ``pair_mode`` follows the auto protocol of
       :func:`minhash_dedup`: driver broadcast below
       ``_BROADCAST_PAIRS_CAP`` candidates, distributed join above.
+    - recall 1 at the threshold holds ONLY while no prefix token's
+      posting list exceeds ``max_docs_per_token``. When one does, the
+      guarantee would silently degrade, so the default
+      ``on_token_overflow="error"`` fails loudly (same contract as
+      :func:`dedup_new_against_corpus`'s broadcast cap) — remedies:
+      raise ``max_docs_per_token``, lower ``hh_min_df`` so the common
+      token sorts later and leaves the prefixes, or accept approximate
+      recall explicitly with ``on_token_overflow="truncate"``.
 
     Output: (id_a, id_b, n_inter, n_union) with
     ``n_inter >= threshold * n_union`` — integer counts so the DuckDB
@@ -598,6 +621,10 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
              .map_batches(add_hb, batch_format="pyarrow")
              .groupby("__hb").map_groups(df_merge, batch_format="pyarrow")
              .to_pandas())
+    if "__tok" not in hh_pd.columns:  # no token reached hh_min_df —
+        # Ray's all-filtered groupby output is an untyped empty frame
+        hh_pd = pd.DataFrame({"__tok": np.array([], np.int64),
+                              "df": np.array([], np.int64)})
     hh_toks = hh_pd["__tok"].to_numpy(np.int64)
     hh_order = np.argsort(hh_toks)
     hh_ref = ray.put((hh_toks[hh_order], hh_pd["df"].to_numpy(np.int64)[hh_order]))
@@ -650,6 +677,16 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
         # one vectorized self-merge per token hash-bucket — NOT a Python
         # call per token (millions of tiny groups kill map_groups)
         g = group.drop_duplicates(subset=["__tok", id_col])
+        sizes = g.groupby("__tok", sort=False).size()
+        n_over = int((sizes > max_docs_per_token).sum())
+        if n_over and on_token_overflow == "error":
+            raise ValueError(
+                f"ngram_jaccard_dup_pairs: {n_over} prefix token(s) have "
+                f"posting lists over max_docs_per_token="
+                f"{max_docs_per_token} (max {int(sizes.max())}); "
+                "truncating would break the recall-1 guarantee — raise "
+                "the cap, lower hh_min_df, or pass "
+                "on_token_overflow='truncate' to accept approximate recall")
         g = g.groupby("__tok", sort=False).head(max_docs_per_token)
         g = g[["__tok", id_col, "__n"]]
         m = g.merge(g, on="__tok", suffixes=("_a", "_b"))
@@ -747,24 +784,9 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
         return out
 
     # distributed path: bucketed distinct over id pairs, then two hash
-    # joins against the slim (id, text) projection — same shape (and empty-
-    # block repartition scrub) as embedding_dup_pairs' join mode
-    _NB = 64
-
-    def distinct_partial(b: pa.Table) -> pa.Table:
-        part = b.group_by(["id_a", "id_b"]).aggregate([]) if b.num_rows else b
-        if part.num_rows == 0:
-            return part.append_column("__pb", pa.array([], pa.int64()))
-        bk = hash_strings([f"{a}|{x}" for a, x in
-                           zip(part["id_a"].to_pylist(), part["id_b"].to_pylist())])
-        return part.append_column("__pb", pa.array(bk % _NB, pa.int64()))
-
-    def distinct_merge(g: pa.Table) -> pa.Table:
-        return g.select(["id_a", "id_b"]).group_by(["id_a", "id_b"]).aggregate([])
-
-    pairs_d = (cand.map_batches(distinct_partial, batch_format="pyarrow")
-               .groupby("__pb").map_groups(distinct_merge, batch_format="pyarrow")
-               .repartition(num_partitions))
+    # joins against the slim (id, text) projection — same shape as
+    # embedding_dup_pairs' join mode
+    pairs_d = _distinct_pairs(cand, num_partitions)
 
     def as_side(side: str):
         def prep(b: pa.Table) -> pa.Table:
@@ -875,8 +897,16 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
     _CB = 256
 
     def coarse(b: pa.Table) -> pa.Table:
-        cb = pc.bit_wise_and(b["bucket"], pa.scalar(_CB - 1, pa.int64()))
-        return b.append_column("__cb", cb)
+        # splitmix-mix the whole key: the raw key's low 8 bits are the
+        # BAND INDEX ((code << 8) | band above), so masking them directly
+        # yields only num_bands coarse groups — each receiving every row
+        # of the dataset once per band (parallelism capped at num_bands,
+        # one all-rows pandas task per band). Finalizing first spreads
+        # groups across all _CB buckets like the minhash band_key path
+        # (whose keys are already splitmix-finalized in band_keys()).
+        raw = b["bucket"].to_numpy(zero_copy_only=False).astype(U64)
+        cb = (splitmix64(raw) & U64(_CB - 1)).astype(np.int64)
+        return b.append_column("__cb", pa.array(cb, pa.int64()))
 
     def cand_pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=["bucket", id_col]) \
@@ -903,26 +933,8 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
         return _verify_pairs_broadcast(ds, cand, vec_col, id_col,
                                        cosine_threshold)
 
-    # global distinct over (id_a, id_b) — bucketed Arrow groupby (Ray's
-    # native aggregate is slow at scale); still only id-pair rows shuffle
-    _NB = 64
-
-    def distinct_partial(b: pa.Table) -> pa.Table:
-        part = b.group_by(["id_a", "id_b"]).aggregate([]) if b.num_rows else b
-        if part.num_rows == 0:
-            return part.append_column("__pb", pa.array([], pa.int64()))
-        bk = hash_strings([f"{a}|{x}" for a, x in
-                           zip(part["id_a"].to_pylist(), part["id_b"].to_pylist())])
-        return part.append_column("__pb", pa.array(bk % _NB, pa.int64()))
-
-    def distinct_merge(g: pa.Table) -> pa.Table:
-        return g.select(["id_a", "id_b"]).group_by(["id_a", "id_b"]).aggregate([])
-
-    # .repartition scrubs Ray-groupby untyped empty blocks before joins
-    # (a hash-join partition fed only those fails; see _drop_losers_keyed)
-    pairs_d = (cand.map_batches(distinct_partial, batch_format="pyarrow")
-               .groupby("__pb").map_groups(distinct_merge, batch_format="pyarrow")
-               .repartition(num_partitions))
+    # global distinct over (id_a, id_b) — still only id-pair rows shuffle
+    pairs_d = _distinct_pairs(cand, num_partitions)
 
     # join the two vectors back per candidate pair (slim (id, vec) sides);
     # vectors ride as packed float64 bytes — Acero's hash join rejects
@@ -1022,7 +1034,8 @@ def dedup_new_against_corpus(new_docs: ray.data.Dataset,
                              num_perm: int = 64, num_bands: int = 16,
                              shingle_k: int = 5,
                              bloom_bits: int = 1 << 23,
-                             num_partitions: int = 16) -> ray.data.Dataset:
+                             num_partitions: int = 16,
+                             pair_mode: str = "auto") -> ray.data.Dataset:
     """Incremental ingestion dedup: drop new docs that duplicate the
     EXISTING corpus (the nightly-crawl-vs-100-TB-archive shape). Two
     passes, both cross-only — the archive is never self-joined:
@@ -1035,8 +1048,13 @@ def dedup_new_against_corpus(new_docs: ray.data.Dataset,
        are probed against the CORPUS band buckets with a semi-join-style
        match (one hash join of slim band rows, new-side ×num_bands rows
        vs corpus ×num_bands rows), candidate (new, old) pairs verified
-       by the estimated Jaccard exactly as :func:`lsh_candidate_pairs`
-       — but no old-old or new-new pairs are ever generated.
+       by the estimated Jaccard exactly as :func:`lsh_candidate_pairs`.
+       No old-old or new-new pairs are ever generated, and ``pair_mode``
+       follows the same auto protocol: the verify broadcasts candidate
+       texts below ``_BROADCAST_PAIRS_CAP`` pairs and switches to the
+       fully distributed join-back-signatures + anti-join plan above it
+       (no pair-scaled driver state — a degenerate crawl-vs-archive
+       batch degrades to the join, it no longer fails).
 
     Returns the surviving new docs with their original schema."""
     # ---- pass 1: exact content-hash anti join ----
@@ -1092,50 +1110,89 @@ def dedup_new_against_corpus(new_docs: ray.data.Dataset,
     n_pairs = pairs.count()
     if n_pairs == 0:
         return survivors
-    if n_pairs > _BROADCAST_PAIRS_CAP:
-        # the cross band join has no per-bucket cap (a cap would silently
-        # miss true cross dups); a degenerate batch/corpus pair can still
-        # explode the candidate set — fail LOUDLY instead of OOMing the
-        # driver. Remedies: exact-dedup the new batch first, raise
-        # num_planes/num_perm, or tighten jaccard_threshold.
-        raise ValueError(
-            f"dedup_new_against_corpus: {n_pairs} candidate pairs exceed "
-            f"the broadcast cap ({_BROADCAST_PAIRS_CAP}); the batch is "
-            "pathologically similar to the corpus — pre-dedup the batch "
-            "or raise the banding selectivity")
+    if pair_mode == "auto":
+        pair_mode = ("broadcast" if n_pairs <= _BROADCAST_PAIRS_CAP
+                     else "join")
 
-    # verify: recompute the two signatures per distinct candidate pair
-    # (broadcast texts of the needed docs — bounded by the candidate set)
-    pairs_pd = pairs.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
-    need_new = set(pairs_pd["id_a"])
-    need_old = set(pairs_pd["id_b"])
+    def sig_packed(texts: list) -> list[bytes]:
+        return [s.tobytes() for s in
+                signature_matrix(texts, num_perm=num_perm, k=shingle_k)]
 
-    def pick(need):
-        def f(b: pa.Table) -> pa.Table:
-            mask = pa.array([x in need for x in b[id_col].to_pylist()])
-            sel = b.filter(mask)
-            return pa.table({id_col: sel[id_col], "__txt": sel[col]})
-        return f
+    def est_from_packed(pa_bytes, pb_bytes) -> np.ndarray:
+        Sa = np.frombuffer(b"".join(pa_bytes), U64).reshape(-1, num_perm)
+        Sb = np.frombuffer(b"".join(pb_bytes), U64).reshape(-1, num_perm)
+        return (Sa == Sb).mean(axis=1)
 
-    got_new = survivors.map_batches(pick(need_new),
-                                    batch_format="pyarrow").to_pandas()
-    got_old = corpus.map_batches(pick(need_old),
-                                 batch_format="pyarrow").to_pandas()
-    txt = dict(zip(got_new[id_col], got_new["__txt"]))
-    txt.update(zip(got_old[id_col], got_old["__txt"]))
-    Sa = signature_matrix([txt[i] for i in pairs_pd["id_a"]],
-                          num_perm=num_perm, k=shingle_k)
-    Sb = signature_matrix([txt[i] for i in pairs_pd["id_b"]],
-                          num_perm=num_perm, k=shingle_k)
-    est = (Sa == Sb).mean(axis=1)
-    losers = set(pairs_pd["id_a"].to_numpy()[est >= jaccard_threshold])
-    if not losers:
+    if pair_mode == "broadcast":
+        # verify: recompute the two signatures per distinct candidate pair
+        # (broadcast texts of the needed docs — bounded by the candidate
+        # set, which the auto switch keeps under the cap)
+        pairs_pd = pairs.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+        need_new = ray.put(np.unique(pairs_pd["id_a"].to_numpy()))
+        need_old = ray.put(np.unique(pairs_pd["id_b"].to_numpy()))
+
+        def pick(need_ref):
+            def f(b: pa.Table) -> pa.Table:
+                mask = np.isin(np.asarray(b[id_col].to_pylist()),
+                               ray.get(need_ref))
+                sel = b.filter(pa.array(mask))
+                return pa.table({id_col: sel[id_col], "__txt": sel[col]})
+            return f
+
+        got_new = survivors.map_batches(pick(need_new),
+                                        batch_format="pyarrow").to_pandas()
+        got_old = corpus.map_batches(pick(need_old),
+                                     batch_format="pyarrow").to_pandas()
+        txt = dict(zip(got_new[id_col], got_new["__txt"]))
+        txt.update(zip(got_old[id_col], got_old["__txt"]))
+        Sa = signature_matrix([txt[i] for i in pairs_pd["id_a"]],
+                              num_perm=num_perm, k=shingle_k)
+        Sb = signature_matrix([txt[i] for i in pairs_pd["id_b"]],
+                              num_perm=num_perm, k=shingle_k)
+        est = (Sa == Sb).mean(axis=1)
+        losers = np.unique(pairs_pd["id_a"].to_numpy()[est >= jaccard_threshold])
+        if not len(losers):
+            return survivors
+        losers_ref = ray.put(losers)
+
+        def drop(b: pa.Table) -> pa.Table:
+            mask = ~np.isin(np.asarray(b[id_col].to_pylist()),
+                            ray.get(losers_ref))
+            return b.filter(pa.array(mask))
+
+        return survivors.map_batches(drop, batch_format="pyarrow")
+
+    # join mode — the 100-TB path when the candidate set outgrows the
+    # broadcast cap: distinct pairs join back their two packed signatures
+    # (new side from the exact survivors, old side from the corpus — the
+    # same two-hash-join shape as lsh_candidate_pairs' join mode), losers
+    # verify distributed, and an anti join removes them from the
+    # survivors. No pair- or corpus-scaled driver state anywhere.
+    pairs_d = _distinct_pairs(pairs, num_partitions)
+
+    def as_side(side: str, source_id: str):
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": b[source_id],
+                             f"__sig_{side}": pa.array(
+                                 sig_packed(b[col].to_pylist()), pa.binary())})
+        return prep
+
+    sig_a = survivors.map_batches(as_side("a", id_col), batch_format="pyarrow")
+    sig_b = corpus.map_batches(as_side("b", id_col), batch_format="pyarrow")
+    withs = (pairs_d.join(sig_a, "inner", num_partitions,
+                          on=("id_a",), right_on=("id_a",))
+             .join(sig_b, "inner", num_partitions,
+                   on=("id_b",), right_on=("id_b",)))
+
+    def to_losers(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: b["id_a"]})
+        est = est_from_packed(b["__sig_a"].to_pylist(), b["__sig_b"].to_pylist())
+        keep = pa.array(np.nonzero(est >= jaccard_threshold)[0], pa.int64())
+        return pa.table({id_col: b["id_a"].take(keep)})
+
+    losers_ds = withs.map_batches(to_losers, batch_format="pyarrow").materialize()
+    if losers_ds.count() == 0:
         return survivors
-    losers_ref = ray.put(losers)
-
-    def drop(b: pa.Table) -> pa.Table:
-        lose = ray.get(losers_ref)
-        return b.filter(pa.array([x not in lose
-                                  for x in b[id_col].to_pylist()]))
-
-    return survivors.map_batches(drop, batch_format="pyarrow")
+    return anti_join(survivors, losers_ds, on=(id_col,),
+                     num_partitions=num_partitions)

@@ -291,3 +291,64 @@ def test_dedup_new_against_corpus(ray_session):
     assert "n_near" in set(out2.to_pandas()["doc_id"])
     # old-old dups never appear anywhere: output only contains new ids
     assert all(k.startswith("n") for k in kept)
+
+
+def test_dedup_new_against_corpus_join_mode_matches_broadcast(ray_session):
+    """pair_mode='join' (the 100-TB path that replaced the hard cap
+    failure) must keep exactly the same new docs as the broadcast verify."""
+    import numpy as np
+
+    from entity_linking_ray.stages.dedup import dedup_new_against_corpus
+
+    rng = np.random.default_rng(77)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = ["".join(rng.choice(letters, 8)) for _ in range(500)]
+
+    def doc(seed, n=40):
+        r = np.random.default_rng(seed)
+        return " ".join(vocab[i] for i in r.integers(0, len(vocab), n))
+
+    corpus_texts = [doc(i) for i in range(25)]
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([f"old{i}" for i in range(25)]),
+        "text": pa.array(corpus_texts),
+    })).repartition(4)
+
+    words = corpus_texts[5].split()
+    words[1] = vocab[1]
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["n_exact", "n_near", "n_fresh0", "n_fresh1"]),
+        "text": pa.array([corpus_texts[2], " ".join(words),
+                          doc(2000), doc(2001)]),
+    })).repartition(2)
+
+    kept_b = sorted(dedup_new_against_corpus(
+        new, corpus, jaccard_threshold=0.7,
+        pair_mode="broadcast").to_pandas()["doc_id"])
+    kept_j = sorted(dedup_new_against_corpus(
+        new, corpus, jaccard_threshold=0.7,
+        pair_mode="join", num_partitions=4).to_pandas()["doc_id"])
+    assert kept_b == kept_j == ["n_fresh0", "n_fresh1"]
+
+
+def test_ngram_jaccard_token_overflow_fails_loudly(ray_session):
+    """A prefix token shared by more docs than max_docs_per_token must
+    raise (recall-1 contract), and 'truncate' must run through."""
+    import pytest as _pytest
+
+    from entity_linking_ray.stages.dedup import ngram_jaccard_dup_pairs
+
+    # every doc shares the same three words -> one prefix token in all of
+    # them; hh_min_df high so no df reordering rescues selectivity
+    rows = [{"doc_id": i, "text": f"alpha beta gamma tail{i} end{i}"}
+            for i in range(8)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    # threshold 0.1 -> every shingle is a prefix token, so the shared
+    # "alpha beta gamma" gram's posting list is all 8 docs > the cap of 4
+    with _pytest.raises(ValueError, match="posting lists over"):
+        ngram_jaccard_dup_pairs(ds, threshold=0.1, shingle_k=3,
+                                hh_min_df=100, max_docs_per_token=4).count()
+    out = ngram_jaccard_dup_pairs(ds, threshold=0.1, shingle_k=3,
+                                  hh_min_df=100, max_docs_per_token=4,
+                                  on_token_overflow="truncate")
+    out.count()  # runs; recall claim is explicitly waived
