@@ -81,7 +81,12 @@ def recall_at_gen(mentions_by_dataset: dict[str, ray.data.Dataset],
     """{dataset: recall@gen} + "overall" (evaluator.py:62-84). Each input
     dataset is tagged and unioned; one small groupby computes the table."""
     counts = _recall_counts(mentions_by_dataset, max_rank)
-    out = {name: h / t for name, (h, t) in counts.items()}
+    # a dataset that parses to zero mentions produces no groupby row —
+    # report recall 0.0 / support 0 instead of dropping (or KeyError-ing
+    # on) the name
+    out = {name: (counts[name][0] / counts[name][1]
+                  if counts.get(name, (0, 0))[1] else 0.0)
+           for name in mentions_by_dataset}
     hits = sum(h for h, _ in counts.values())
     total = sum(t for _, t in counts.values())
     out["overall"] = hits / total if total else 0.0
@@ -103,10 +108,12 @@ def benchmark_report(dataset_paths: dict[str, "list[str] | str"],
     dsets = {name: read_benchmark_mentions(p)
              for name, p in dataset_paths.items()}
     counts = _recall_counts(dsets, max_rank)
+    # empty datasets (zero parsed mentions) get recall 0.0 / support 0
     rows = [{"dataset": name,
-             "recall_at_gen": round(counts[name][0] / counts[name][1], 4),
-             "support": counts[name][1]}
-            for name in dataset_paths]
+             "recall_at_gen": (round(h / t, 4) if t else 0.0),
+             "support": t}
+            for name in dataset_paths
+            for h, t in [counts.get(name, (0, 0))]]
     hits = sum(h for h, _ in counts.values())
     total = sum(t for _, t in counts.values())
     rows.append({"dataset": "overall",

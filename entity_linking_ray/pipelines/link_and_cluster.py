@@ -612,7 +612,9 @@ def near_dup_mention_edges(scored: ray.data.Dataset,
                            jaccard_threshold: float = 0.75,
                            cosine_threshold: float = 0.8,
                            num_perm: int = 32, num_bands: int = 8,
-                           max_pairs_per_bucket: int = 5_000) -> ray.data.Dataset:
+                           max_pairs_per_bucket: int = 5_000,
+                           num_partitions: int = 8,
+                           pair_mode: str = "auto") -> ray.data.Dataset:
     """Second blocking family feeding clustering: MinHash-LSH over the
     normalized mention surface, verified by signature Jaccard AND context
     cosine. Accepted pairs become mention↔mention edges for the GENERAL
@@ -623,68 +625,194 @@ def near_dup_mention_edges(scored: ray.data.Dataset,
     in the reference, mandated by the north-star contract); the cosine
     check keeps same-surface-different-entity mentions apart (hot-alias
     precision guard — surface similarity alone would merge every "alpha
-    prime" mention)."""
+    prime" mention).
+
+    TWO-PHASE SHUFFLE (the same 100-TB shape as
+    ``stages/dedup.lsh_candidate_pairs``): the band stage ships only
+    (band_key, node, 16-byte b-bit minhash sketch, 8-byte SRP context
+    sketch) rows — the full signature and the context VECTOR, which the
+    round-3 version replicated ×num_bands through the shuffle, never
+    ride it. In-bucket candidate pairs are prefiltered by BOTH sketch
+    Hamming distances (each cut at +4σ above its threshold's expected
+    distance), then the surviving pairs join back their two full
+    (signature, vector) payloads for the exact Jaccard+cosine verify —
+    broadcast below ``_BROADCAST_PAIRS_CAP`` candidates, distributed
+    two-hash-join above (``pair_mode`` auto protocol)."""
+    import math
+
     import pandas as pd
 
     from ..functions.embed import embed_texts
     from ..functions.minhash import band_keys, signature_matrix
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        surf = batch["norm_mention"].to_pylist()
-        sigs = signature_matrix(surf, num_perm=num_perm, k=3)
-        bks = band_keys(sigs, num_bands=num_bands)
-        node = batch["node"].to_numpy(zero_copy_only=False)
-        ctx = [f"{l} {r}" for l, r in zip(batch["context_left"].to_pylist(),
-                                          batch["context_right"].to_pylist())]
-        vecs = embed_texts(ctx)
-        n = batch.num_rows
-        return pa.table({
-            "band_key": pa.array(bks.reshape(-1), pa.int64()),
-            "node": pa.array(np.repeat(node, num_bands), pa.int64()),
-            "sig": pa.array(list(np.repeat(sigs.astype(np.int64), num_bands, axis=0))),
-            "vec": pa.array(list(np.repeat(vecs, num_bands, axis=0))),
-        })
-
+    from ..stages.dedup import (_BROADCAST_PAIRS_CAP, _distinct_pairs,
+                                _pack_bbit_sketch, _popcount64_2d, _sketch_cut)
     from ..stages.pairwise import mention_node_hashes
+
+    U64 = np.uint64
+    _VBITS = 64
+    p_cos = math.acos(min(max(cosine_threshold, -1.0), 1.0)) / math.pi
+    vcut = int(np.ceil(_VBITS * p_cos
+                       + 4.0 * math.sqrt(_VBITS * p_cos * (1.0 - p_cos)))) + 2
+    jcut = _sketch_cut(jaccard_threshold, num_perm)
+
+    def vec_sketch(vecs: np.ndarray) -> np.ndarray:
+        """64-plane SRP sign code of each context vector (fixed planes —
+        deterministic across workers)."""
+        d = vecs.shape[1]
+        rng = np.random.default_rng(4242)
+        planes = rng.normal(size=(d, _VBITS)).astype(np.float32)
+        bits = (vecs @ planes) > 0
+        w = (U64(1) << np.arange(_VBITS, dtype=U64))
+        return (bits.astype(U64) * w).sum(axis=1).view(np.int64)
 
     def with_node(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "node", pa.array(mention_node_hashes(batch), pa.int64()))
 
-    rows = scored.select_columns(
-        ["doc_id", "span_idx", "offset", "norm_mention", "context_left", "context_right"]
-    ).map_batches(with_node, batch_format="pyarrow").map_batches(
-        band_rows, batch_format="pyarrow")
+    mcols = scored.select_columns(
+        ["doc_id", "span_idx", "offset", "norm_mention",
+         "context_left", "context_right"]
+    ).map_batches(with_node, batch_format="pyarrow")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["node"]).sort_values("node")
-        if len(g) < 2:
-            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
-                                 "dst": pd.Series([], dtype="int64")})
-        nodes = g["node"].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        vecs = np.stack(g["vec"].to_numpy())
-        out_a, out_b = [], []
-        budget = max_pairs_per_bucket
-        for i in range(len(g)):
-            if budget <= 0:
-                break
-            jac = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            cos = vecs[i + 1:] @ vecs[i]
-            keep = np.nonzero((jac >= jaccard_threshold) & (cos >= cosine_threshold))[0]
-            keep = keep[:budget]
-            out_a.extend([int(nodes[i])] * len(keep))
-            out_b.extend(int(nodes[i + 1 + j]) for j in keep)
-            budget -= len(keep)
-        return pd.DataFrame({"src": pd.Series(out_a, dtype="int64"),
-                             "dst": pd.Series(out_b, dtype="int64")})
+    def ctx_of(batch: pa.Table) -> list[str]:
+        return [f"{l} {r}" for l, r in zip(batch["context_left"].to_pylist(),
+                                           batch["context_right"].to_pylist())]
 
-    cand = rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
-    from ray.data.aggregate import Count
+    def band_rows(batch: pa.Table) -> pa.Table:
+        surf = batch["norm_mention"].to_pylist()
+        sigs = signature_matrix(surf, num_perm=num_perm, k=3)
+        bks = band_keys(sigs, num_bands=num_bands)
+        sk0, sk1 = _pack_bbit_sketch(sigs)
+        vsk = vec_sketch(embed_texts(ctx_of(batch)))
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table({
+            "band_key": pa.array(bks.reshape(-1), pa.int64()),
+            "node": pa.array(np.repeat(node, num_bands), pa.int64()),
+            "__sk0": pa.array(np.repeat(sk0, num_bands), pa.int64()),
+            "__sk1": pa.array(np.repeat(sk1, num_bands), pa.int64()),
+            "__vsk": pa.array(np.repeat(vsk, num_bands), pa.int64()),
+        })
 
-    distinct = cand.groupby(["src", "dst"]).count()
+    rows = mcols.map_batches(band_rows, batch_format="pyarrow")
 
-    def clean(batch: pa.Table) -> pa.Table:
-        return pa.table({"src": batch["src"], "dst": batch["dst"]})
+    # coarse-bucket the band shuffle (band_keys are splitmix-finalized, so
+    # the low bits are uniform) + per-key row cap (quadratic skew guard)
+    max_rows_per_key = int((1 + np.sqrt(1 + 8 * max_pairs_per_bucket)) // 2)
+    _CB = 256
 
-    return distinct.map_batches(clean, batch_format="pyarrow")
+    def coarse(b: pa.Table) -> pa.Table:
+        cb = pc.bit_wise_and(b["band_key"], pa.scalar(_CB - 1, pa.int64()))
+        return b.append_column("__cb", cb)
+
+    def cand_pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["band_key", "node"]) \
+                 .sort_values(["band_key", "node"], kind="mergesort")
+        g = g[g.groupby("band_key").cumcount() < max_rows_per_key]
+        m = g.merge(g, on="band_key", suffixes=("_a", "_b"))
+        m = m[m["node_a"] < m["node_b"]]
+        if not len(m):
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        hj = (_popcount64_2d(m["__sk0_a"].to_numpy().astype(np.int64).view(U64)
+                             ^ m["__sk0_b"].to_numpy().astype(np.int64).view(U64))
+              + _popcount64_2d(m["__sk1_a"].to_numpy().astype(np.int64).view(U64)
+                               ^ m["__sk1_b"].to_numpy().astype(np.int64).view(U64)))
+        hv = _popcount64_2d(m["__vsk_a"].to_numpy().astype(np.int64).view(U64)
+                            ^ m["__vsk_b"].to_numpy().astype(np.int64).view(U64))
+        m = m[(hj <= jcut) & (hv <= vcut)]
+        return pd.DataFrame({"id_a": m["node_a"].to_numpy(),
+                             "id_b": m["node_b"].to_numpy()})
+
+    cand = (rows.map_batches(coarse, batch_format="pyarrow")
+            .groupby("__cb").map_groups(cand_pairs_bulk, batch_format="pandas")
+            .materialize())
+
+    def _typed_empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
+
+    n_cand = cand.count()
+    if n_cand == 0:
+        return _typed_empty()
+    if pair_mode == "auto":
+        pair_mode = "broadcast" if n_cand <= _BROADCAST_PAIRS_CAP else "join"
+
+    def payload(batch: pa.Table) -> pa.Table:
+        """(node, packed signature, packed unit context vector) — built
+        only for verify; joins/scans by node, never ×num_bands."""
+        surf = batch["norm_mention"].to_pylist()
+        sigs = signature_matrix(surf, num_perm=num_perm, k=3)
+        vecs = embed_texts(ctx_of(batch))
+        return pa.table({
+            "node": batch["node"],
+            "__sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+            "__vec": pa.array([v.tobytes() for v in vecs], pa.binary()),
+        })
+
+    def verified(ids_a: pa.Array, ids_b: pa.Array, sig_a, sig_b,
+                 vec_a, vec_b) -> pa.Table:
+        Sa = np.frombuffer(b"".join(sig_a), U64).reshape(-1, num_perm)
+        Sb = np.frombuffer(b"".join(sig_b), U64).reshape(-1, num_perm)
+        est = (Sa == Sb).mean(axis=1)
+        Va = np.frombuffer(b"".join(vec_a), np.float32).reshape(len(sig_a), -1)
+        Vb = np.frombuffer(b"".join(vec_b), np.float32).reshape(len(sig_b), -1)
+        cos = np.einsum("ij,ij->i", Va, Vb)
+        keep = pa.array(np.nonzero(
+            (est >= jaccard_threshold) & (cos >= cosine_threshold))[0],
+            pa.int64())
+        return pa.table({"src": ids_a.take(keep), "dst": ids_b.take(keep)})
+
+    if pair_mode == "broadcast":
+        pairs_pd = cand.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+        need_ref = ray.put(np.unique(np.concatenate(
+            [pairs_pd["id_a"].to_numpy(), pairs_pd["id_b"].to_numpy()])))
+
+        def pick(b: pa.Table) -> pa.Table:
+            mask = np.isin(b["node"].to_numpy(zero_copy_only=False),
+                           ray.get(need_ref))
+            return payload(b.filter(pa.array(mask)))
+
+        got = mcols.map_batches(pick, batch_format="pyarrow").to_pandas()
+        sig = dict(zip(got["node"], got["__sig"]))
+        vec = dict(zip(got["node"], got["__vec"]))
+        out = verified(pa.array(pairs_pd["id_a"].to_numpy(), pa.int64()),
+                       pa.array(pairs_pd["id_b"].to_numpy(), pa.int64()),
+                       [sig[i] for i in pairs_pd["id_a"]],
+                       [sig[i] for i in pairs_pd["id_b"]],
+                       [vec[i] for i in pairs_pd["id_a"]],
+                       [vec[i] for i in pairs_pd["id_b"]])
+        if out.num_rows == 0:
+            return _typed_empty()
+        return ray.data.from_arrow(out)
+
+    # join mode: distinct pairs join their two payloads back — no
+    # pair-scaled driver state (the 100-TB path)
+    pairs_d = _distinct_pairs(cand, num_partitions)
+
+    def as_side(side: str):
+        def prep(b: pa.Table) -> pa.Table:
+            t = payload(b)
+            return t.rename_columns([f"id_{side}", f"__sig_{side}",
+                                     f"__vec_{side}"])
+        return prep
+
+    side_a = mcols.map_batches(as_side("a"), batch_format="pyarrow")
+    side_b = mcols.map_batches(as_side("b"), batch_format="pyarrow")
+    withp = (pairs_d.join(side_a, "inner", num_partitions,
+                          on=("id_a",), right_on=("id_a",))
+             .join(side_b, "inner", num_partitions,
+                   on=("id_b",), right_on=("id_b",)))
+
+    def verify_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return verified(b["id_a"].combine_chunks(), b["id_b"].combine_chunks(),
+                        b["__sig_a"].to_pylist(), b["__sig_b"].to_pylist(),
+                        b["__vec_a"].to_pylist(), b["__vec_b"].to_pylist())
+
+    out = withp.map_batches(verify_batch, batch_format="pyarrow")
+    if out.count() == 0:
+        return _typed_empty()
+    return out

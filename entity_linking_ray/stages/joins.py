@@ -110,26 +110,35 @@ def asof_join_latest(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      key: str, ts: str, left_id: str,
                      out_col: str = "asof_t",
                      salt_bucket_us: int | None = None,
-                     hot_key_rows: int = 200_000) -> ray.data.Dataset:
+                     hot_key_rows: int = 200_000,
+                     hot: list | None = None) -> ray.data.Dataset:
     """→ (left_id, key, t, out_col) with out_col = max right __t ≤ t per
     key, or -1 when no right row precedes the left row.
 
     With ``salt_bucket_us`` set, keys holding >= ``hot_key_rows`` rows
     (left+right, exact combiner count) route through the salted two-phase
     plan (module docstring); all other keys take the plain co-group.
-    Identical output either way — routing is purely a skew guard."""
+    Identical output either way — routing is purely a skew guard.
+
+    The slim tagged union is materialized ONCE when salting is on: the
+    hot-key detection pass, the cold co-group, and the salted plan all
+    read the materialized 4-column projection instead of re-executing
+    the upstream — one upstream scan, not three. Callers sharing a key
+    column across several salted operators can pass a precomputed
+    ``hot`` list to skip detection entirely."""
     tagged = _tagged_union(left, right, key, ts, left_id)
     if salt_bucket_us is None:
         return _asof_match(tagged, key=key, left_id=left_id, out_col=out_col)
-    hot = hot_keys(tagged, key, hot_key_rows)
+    tagged = tagged.materialize()
+    if hot is None:
+        hot = hot_keys(tagged, key, hot_key_rows)
     if not hot:
         return _asof_match(tagged, key=key, left_id=left_id, out_col=out_col)
     cold = _asof_match(_key_filter(tagged, key, hot, keep=False),
                        key=key, left_id=left_id, out_col=out_col)
-    salted = _asof_join_salted(
-        _key_filter(left, key, hot, keep=True),
-        _key_filter(right, key, hot, keep=True),
-        key=key, ts=ts, left_id=left_id, out_col=out_col,
+    salted = _asof_salted_tagged(
+        _key_filter(tagged, key, hot, keep=True),
+        key=key, left_id=left_id, out_col=out_col,
         salt_bucket_us=salt_bucket_us)
     return cold.union(salted)
 
@@ -202,7 +211,8 @@ def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      before_us: int, after_us: int,
                      out_col: str = "n_in_range",
                      salt_bucket_us: int | None = None,
-                     hot_key_rows: int = 200_000) -> ray.data.Dataset:
+                     hot_key_rows: int = 200_000,
+                     hot: list | None = None) -> ray.data.Dataset:
     """→ (left_id, key, t, out_col) with out_col = |{right rows with
     __t in [t - before_us, t + after_us]}| per key.
 
@@ -210,13 +220,18 @@ def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset, *,
     route through the salted single-phase plan (module docstring: right
     rows replicate to the buckets they can serve, each left counts inside
     its own (key, bucket) group); all other keys take the plain co-group.
-    Identical output either way."""
+    Identical output either way. As in :func:`asof_join_latest`, the slim
+    tagged union materializes once so detection + cold + salted all read
+    it (one upstream scan); pass a precomputed ``hot`` list to skip
+    detection."""
     tagged = _tagged_union(left, right, key, ts, left_id)
     if salt_bucket_us is None:
         return _range_match(tagged, key=key, left_id=left_id,
                             before_us=before_us, after_us=after_us,
                             out_col=out_col)
-    hot = hot_keys(tagged, key, hot_key_rows)
+    tagged = tagged.materialize()
+    if hot is None:
+        hot = hot_keys(tagged, key, hot_key_rows)
     if not hot:
         return _range_match(tagged, key=key, left_id=left_id,
                             before_us=before_us, after_us=after_us,
@@ -224,10 +239,9 @@ def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset, *,
     cold = _range_match(_key_filter(tagged, key, hot, keep=False),
                         key=key, left_id=left_id, before_us=before_us,
                         after_us=after_us, out_col=out_col)
-    salted = _range_join_salted(
-        _key_filter(left, key, hot, keep=True),
-        _key_filter(right, key, hot, keep=True),
-        key=key, ts=ts, left_id=left_id, before_us=before_us,
+    salted = _range_salted_tagged(
+        _key_filter(tagged, key, hot, keep=True),
+        key=key, left_id=left_id, before_us=before_us,
         after_us=after_us, out_col=out_col, salt_bucket_us=salt_bucket_us)
     return cold.union(salted)
 
@@ -252,17 +266,18 @@ def _add_bucket(tagged: ray.data.Dataset, width_us: int) -> ray.data.Dataset:
     return tagged.map_batches(bucketize, batch_format="pyarrow")
 
 
-def _asof_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
-                      key: str, ts: str, left_id: str, out_col: str,
-                      salt_bucket_us: int) -> ray.data.Dataset:
-    """Two-phase salted as-of (module docstring): phase A resolves lefts
-    with an in-bucket predecessor inside (key, time-bucket) groups and
-    emits one max-timestamp SUMMARY row per non-empty right bucket; phase
-    B co-groups only the unresolved lefts with the summaries per key and
+def _asof_salted_tagged(tagged_rows: ray.data.Dataset, *,
+                        key: str, left_id: str, out_col: str,
+                        salt_bucket_us: int) -> ray.data.Dataset:
+    """Two-phase salted as-of (module docstring) over ALREADY-TAGGED rows
+    (key, __t, __id, __side): phase A resolves lefts with an in-bucket
+    predecessor inside (key, time-bucket) groups and emits one
+    max-timestamp SUMMARY row per non-empty right bucket; phase B
+    co-groups only the unresolved lefts with the summaries per key and
     takes a prefix max over strictly earlier buckets. Output is identical
     to the unsalted plan (property-tested on a skewed fixture)."""
     W = salt_bucket_us
-    tagged = _add_bucket(_tagged_union(left, right, key, ts, left_id), W)
+    tagged = _add_bucket(tagged_rows, W)
 
     def match_a(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]
@@ -330,43 +345,39 @@ def _asof_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return resolved.union(fallback)
 
 
-def _range_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
-                       key: str, ts: str, left_id: str,
-                       before_us: int, after_us: int, out_col: str,
-                       salt_bucket_us: int) -> ray.data.Dataset:
-    """Single-phase salted range count (module docstring): each right row
+def _range_salted_tagged(tagged_rows: ray.data.Dataset, *,
+                         key: str, left_id: str,
+                         before_us: int, after_us: int, out_col: str,
+                         salt_bucket_us: int) -> ray.data.Dataset:
+    """Single-phase salted range count (module docstring) over
+    ALREADY-TAGGED rows (key, __t, __id, __side): each right row
     replicates to every time bucket whose lefts it can serve; each left
     row counts inside its own (key, bucket) group. Exact — a qualifying
     right appears exactly once in the left's group."""
     W = salt_bucket_us
 
-    def tag_left(b: pa.Table) -> pa.Table:
-        t = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table({
-            key: b[key], "__t": pa.array(t, pa.int64()),
-            "__id": pc.cast(b[left_id], pa.int64()),
-            "__side": pa.array(np.zeros(len(t), np.int8)),
-            "__bucket": pa.array(t // W, pa.int64()),
-        })
-
-    def tag_right(b: pa.Table) -> pa.Table:
-        t = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
-        lob = (t - after_us) // W
-        hib = (t + before_us) // W
+    def retag(b: pa.Table) -> pa.Table:
+        t = b["__t"].to_numpy(zero_copy_only=False)
+        side = b["__side"].to_numpy(zero_copy_only=False)
+        is_l = side == 0
+        # lefts land in their own bucket; rights replicate across every
+        # bucket that can hold a left within [t-before, t+after]
+        lob = np.where(is_l, t // W, (t - after_us) // W)
+        hib = np.where(is_l, t // W, (t + before_us) // W)
         reps = (hib - lob + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(t), dtype=np.int64), reps)
         within = np.arange(reps.sum(), dtype=np.int64) - \
             np.repeat(np.cumsum(reps) - reps, reps)
+        take = pa.array(idx, pa.int64())
         return pa.table({
-            key: b[key].take(pa.array(idx, pa.int64())),
+            key: b[key].take(take),
             "__t": pa.array(t[idx], pa.int64()),
-            "__id": pa.array(np.full(len(idx), _NO_MATCH, np.int64)),
-            "__side": pa.array(np.ones(len(idx), np.int8)),
+            "__id": b["__id"].take(take),
+            "__side": b["__side"].take(take),
             "__bucket": pa.array(lob[idx] + within, pa.int64()),
         })
 
-    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.map_batches(tag_right, batch_format="pyarrow"))
+    tagged = tagged_rows.map_batches(retag, batch_format="pyarrow")
 
     def match(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]

@@ -34,13 +34,31 @@ import ray.data
 def _bucket_bounds(ds: ray.data.Dataset, order_col: str,
                    num_buckets: int) -> tuple[int, int, int]:
     """(lo, hi, width) for uniform range buckets over ``order_col`` —
-    one cheap min/max aggregate, no sort."""
+    one cheap min/max aggregate, no sort. Degenerates to (0, 0, 1) on an
+    empty input (the aggregate yields None) — callers short-circuit the
+    empty case themselves, this is belt-and-braces."""
     from ray.data.aggregate import Max, Min
 
     agg = ds.aggregate(Min(order_col), Max(order_col))
-    lo, hi = int(agg[f"min({order_col})"]), int(agg[f"max({order_col})"])
+    mn = agg.get(f"min({order_col})") if agg else None
+    mx = agg.get(f"max({order_col})") if agg else None
+    if mn is None or mx is None:
+        return 0, 0, 1
+    lo, hi = int(mn), int(mx)
     width = max(1, (hi - lo) // num_buckets + 1)
     return lo, hi, width
+
+
+def _typed_empty_like(ds: ray.data.Dataset,
+                      extra: "dict[str, pa.DataType]") -> ray.data.Dataset:
+    """Empty dataset with ``ds``'s schema plus typed extra columns —
+    the pinned empty-input behavior of the scan family (matches the
+    window operators': typed empty out for empty in, never a crash)."""
+    sch = ds.schema()
+    cols = {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+    for n, t in extra.items():
+        cols[n] = pa.array([], t)
+    return ray.data.from_arrow(pa.table(cols))
 
 
 def prefix_sum(ds: ray.data.Dataset, *, order_col: str, val_col: str,
@@ -54,6 +72,8 @@ def prefix_sum(ds: ray.data.Dataset, *, order_col: str, val_col: str,
     # replays lineage per consumer — without this the upstream derivation
     # (e.g. the tokenize behind n_tokens) runs three times
     ds = ds.select_columns(cols).materialize()
+    if ds.count() == 0:  # typed empty out for empty in (pinned behavior)
+        return _typed_empty_like(ds, {out_col: pa.int64()})
     lo, _, width = _bucket_bounds(ds, order_col, num_buckets)
 
     def tag(b: pa.Table) -> pa.Table:
@@ -96,6 +116,16 @@ def pack_by_token_budget(ds: ray.data.Dataset, *, order_col: str,
     bin_id = exclusive-prefix-sum // capacity. A document larger than
     ``capacity`` still lands in exactly one bin (its exclusive prefix
     decides), matching the SQL window formulation."""
+    ds = ds.select_columns([order_col, tokens_col]).materialize()
+    if ds.count() == 0:  # typed empty out for empty in (pinned behavior)
+        sch = ds.schema()
+        otype = dict(zip(sch.names, sch.types))[order_col]
+        return ray.data.from_arrow(pa.table({
+            order_col: pa.array([], otype),
+            tokens_col: pa.array([], pa.int64()),
+            "cum_tokens": pa.array([], pa.int64()),
+            "bin_id": pa.array([], pa.int64()),
+        }))
     scanned = prefix_sum(ds, order_col=order_col, val_col=tokens_col,
                          out_col="cum_tokens", num_buckets=num_buckets)
 
@@ -127,6 +157,8 @@ def global_rank(ds: ray.data.Dataset, *, val_col: str, id_col: str,
     not silent)."""
     cols = [id_col, val_col]
     ds = ds.select_columns(cols).materialize()  # three consumers below
+    if ds.count() == 0:  # typed empty out for empty in (pinned behavior)
+        return _typed_empty_like(ds, {out_col: pa.int64()})
     lo, _, width = _bucket_bounds(ds, val_col, num_buckets)
 
     def tag(b: pa.Table) -> pa.Table:

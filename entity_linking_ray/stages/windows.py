@@ -85,7 +85,8 @@ def session_windows(events: ray.data.Dataset, *, gap_us: int,
                     key_col: str = "user_id",
                     ts_col: str = "ts",
                     salt_bucket_us: int | None = None,
-                    hot_key_rows: int = 200_000) -> ray.data.Dataset:
+                    hot_key_rows: int = 200_000,
+                    hot: list | None = None) -> ray.data.Dataset:
     """→ (key, session_start: int64 epoch-us, n_events: int64,
     duration_us: int64) — one row per (key, session), sessions split where
     the sorted inter-event gap exceeds ``gap_us``.
@@ -100,12 +101,18 @@ def session_windows(events: ray.data.Dataset, *, gap_us: int,
     the bucket count (measured 1.4 s → 15.9 s on the sf0.1 sessions
     query). Identical output either way — sessions are contiguous time
     intervals, so per-bucket segmentation plus boundary merging is exact
-    (property-tested on a skewed fixture)."""
+    (property-tested on a skewed fixture).
+
+    When salting is on the slim (key, ts) projection materializes ONCE:
+    hot-key detection, the cold segmenter and the salted plan all read
+    it instead of re-executing the upstream (one scan, not three); a
+    precomputed ``hot`` list skips detection entirely."""
     if salt_bucket_us is not None:
         from .joins import _key_filter, hot_keys
 
-        hot = hot_keys(events.select_columns([key_col]), key_col,
-                       hot_key_rows)
+        events = events.select_columns([key_col, ts_col]).materialize()
+        if hot is None:
+            hot = hot_keys(events, key_col, hot_key_rows)
         if hot:
             cold = session_windows(
                 _key_filter(events, key_col, hot, keep=False),
@@ -243,7 +250,8 @@ def grouped_lag_delta(events: ray.data.Dataset, *, key_col: str,
                       ts_col: str, id_col: str, val_col: str,
                       scale: int = 100,
                       salt_bucket_us: int | None = None,
-                      hot_key_rows: int = 200_000) -> ray.data.Dataset:
+                      hot_key_rows: int = 200_000,
+                      hot: list | None = None) -> ray.data.Dataset:
     """→ (key, id, t: epoch-us, value_units, prev_units, delta_units) —
     SQL ``lag(value) OVER (PARTITION BY key ORDER BY ts, id)`` with the
     first row of each key dropped (its lag is NULL). Values are
@@ -261,12 +269,17 @@ def grouped_lag_delta(events: ray.data.Dataset, *, key_col: str,
     take the plain per-key shape (same routing rationale as
     :func:`session_windows`). Identical output either way — equal
     timestamps share a bucket, so the (t, id) sort order never splits
-    across buckets (property-tested on a skewed fixture)."""
+    across buckets (property-tested on a skewed fixture). When salting
+    is on, the slim 4-column projection materializes once and feeds
+    detection + cold + salted (one upstream scan; ``hot`` skips
+    detection)."""
     if salt_bucket_us is not None:
         from .joins import _key_filter, hot_keys
 
-        hot = hot_keys(events.select_columns([key_col]), key_col,
-                       hot_key_rows)
+        events = events.select_columns(
+            [key_col, ts_col, id_col, val_col]).materialize()
+        if hot is None:
+            hot = hot_keys(events, key_col, hot_key_rows)
         if hot:
             cold = grouped_lag_delta(
                 _key_filter(events, key_col, hot, keep=False),
@@ -377,7 +390,8 @@ def grouped_rolling_window(events: ray.data.Dataset, *, key_col: str,
                            ts_col: str, id_col: str, val_col: str,
                            window_rows: int, scale: int = 100,
                            salt_bucket_us: int | None = None,
-                           hot_key_rows: int = 200_000) -> ray.data.Dataset:
+                           hot_key_rows: int = 200_000,
+                           hot: list | None = None) -> ray.data.Dataset:
     """→ (key, id, t: epoch-us, value_units, win_units, win_n) — the
     bounded ROWS frame: SQL ``sum(value) OVER (PARTITION BY key ORDER BY
     ts, id ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` plus
@@ -403,8 +417,12 @@ def grouped_rolling_window(events: ray.data.Dataset, *, key_col: str,
     if salt_bucket_us is not None:
         from .joins import _key_filter, hot_keys
 
-        hot = hot_keys(events.select_columns([key_col]), key_col,
-                       hot_key_rows)
+        # one upstream scan: detection + cold + salted read the
+        # materialized slim projection (see grouped_lag_delta)
+        events = events.select_columns(
+            [key_col, ts_col, id_col, val_col]).materialize()
+        if hot is None:
+            hot = hot_keys(events, key_col, hot_key_rows)
         if hot:
             cold = grouped_rolling_window(
                 _key_filter(events, key_col, hot, keep=False),
@@ -609,7 +627,8 @@ def grouped_running_sum(events: ray.data.Dataset, *, key_col: str,
                         ts_col: str, id_col: str, val_col: str,
                         scale: int = 100,
                         salt_bucket_us: int | None = None,
-                        hot_key_rows: int = 200_000) -> ray.data.Dataset:
+                        hot_key_rows: int = 200_000,
+                        hot: list | None = None) -> ray.data.Dataset:
     """→ (key, id, t: epoch-us, value_units, run_units, run_n) — the
     expanding-window running total: SQL
     ``sum(value) OVER (PARTITION BY key ORDER BY ts, id)`` plus the
@@ -629,8 +648,12 @@ def grouped_running_sum(events: ray.data.Dataset, *, key_col: str,
     if salt_bucket_us is not None:
         from .joins import _key_filter, hot_keys
 
-        hot = hot_keys(events.select_columns([key_col]), key_col,
-                       hot_key_rows)
+        # one upstream scan: detection + cold + salted read the
+        # materialized slim projection (see grouped_lag_delta)
+        events = events.select_columns(
+            [key_col, ts_col, id_col, val_col]).materialize()
+        if hot is None:
+            hot = hot_keys(events, key_col, hot_key_rows)
         if hot:
             cold = grouped_running_sum(
                 _key_filter(events, key_col, hot, keep=False),
@@ -702,6 +725,9 @@ def _grouped_running_salted(events: ray.data.Dataset, *, key_col: str,
     local = (prepped.groupby([key_col, "__bucket"])
              .map_groups(local_cumsum, batch_format="pandas")
              .materialize())  # feeds both splits below
+    # offsets-join width from the (materialized — count is metadata) hot
+    # row volume, like every other wide op — not a fixed literal
+    num_partitions = max(2, min(64, local.count() // 500_000 + 2))
 
     def split(kind: int):
         def flt(b: pa.Table) -> pa.Table:
@@ -726,12 +752,12 @@ def _grouped_running_salted(events: ray.data.Dataset, *, key_col: str,
                 [key_col, "__bucket", "run_units", "run_n"]),
                 batch_format="pyarrow")
             .groupby(key_col).map_groups(offsets, batch_format="pandas")
-            .repartition(8))
+            .repartition(num_partitions))
 
     rows = (local.map_batches(split(0), batch_format="pyarrow")
             .map_batches(lambda b: b.drop_columns(["__kind"]),
                          batch_format="pyarrow"))
-    joined = rows.join(offs, "inner", 8,
+    joined = rows.join(offs, "inner", num_partitions,
                        on=(key_col, "__bucket"),
                        right_on=(key_col, "__bucket"))
 

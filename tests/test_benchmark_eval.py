@@ -72,3 +72,20 @@ def test_benchmark_report_golden(ray_session):
     got1 = {r["dataset"]: r["recall_at_gen"] for _, r in df1.iterrows()}
     assert got1 == {"AIDA-YAGO2 testa": 0.6, "AIDA-YAGO2 testb": 0.25,
                     "ACE 2004": 1.0, "msnbc": 0.25, "overall": 0.5}
+
+
+def test_benchmark_report_zero_mention_dataset(tmp_path, ray_session):
+    """A dataset whose CSV parses to zero mentions must report recall 0.0
+    / support 0 instead of raising KeyError."""
+    import pandas as pd
+
+    from entity_linking_ray.pipelines.benchmark import benchmark_report
+
+    good = tmp_path / "good.csv"
+    good.write_text(CSV_B, encoding="utf8")
+    empty = tmp_path / "empty.csv"
+    empty.write_text("\n", encoding="utf8")  # parses to zero mentions
+    rep = benchmark_report({"good": str(good), "none": str(empty)})
+    row = rep.set_index("dataset").loc["none"]
+    assert row["support"] == 0 and row["recall_at_gen"] == 0.0
+    assert rep.set_index("dataset").loc["overall"]["support"] == 1

@@ -68,3 +68,22 @@ def test_chain_via_entity_and_near_dup(corpus):
     clusters = out["clusters"].to_pandas()
     f1 = ev.pairwise_f1(clusters, corpus["mentions_gold"].to_pandas())
     assert f1["f1"] >= 0.99, f1
+
+
+def test_near_dup_edges_join_mode_matches_broadcast():
+    """The distributed join-back verify (100-TB path) must produce exactly
+    the broadcast verify's edge set."""
+    ctx = "solar panel quarterly report energy output"
+    rows = [("d%d" % i, 10 * i, "acme corp", ctx, "installation megawatt")
+            for i in range(6)]
+    rows += [("x1", 5, "zenith ltd", "cooking pasta recipe", "tomato basil"),
+             ("x2", 15, "zenith ltd", "cooking pasta recipe", "tomato basil")]
+    scored = _scored(rows)
+    b = near_dup_mention_edges(scored, cosine_threshold=0.7,
+                               pair_mode="broadcast").to_pandas()
+    j = near_dup_mention_edges(scored, cosine_threshold=0.7,
+                               pair_mode="join", num_partitions=4).to_pandas()
+    eb = {tuple(sorted(p)) for p in zip(b["src"], b["dst"])}
+    ej = {tuple(sorted(p)) for p in zip(j["src"], j["dst"])}
+    assert eb == ej
+    assert len(eb) >= 15 + 1  # the 6-clique plus the zenith pair

@@ -120,3 +120,32 @@ def test_global_rank_degenerate_single_value(ray_session):
                       val_col="v", id_col="rid").to_pandas()
     got = out.sort_values("rid")["rnk"].to_numpy()
     assert (got == np.arange(1, n + 1)).all()
+
+
+def test_scan_family_empty_input_returns_typed_empty(ray_session):
+    """Empty in -> typed empty out for prefix_sum / pack / global_rank
+    (the behavior pinned for the window family; previously an opaque
+    TypeError from int(None) in the bounds aggregate)."""
+    import pyarrow as pa
+
+    import ray.data
+    from entity_linking_ray.stages.scan import (global_rank,
+                                                pack_by_token_budget,
+                                                prefix_sum)
+
+    empty = ray.data.from_arrow(pa.table({
+        "rid": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64()),
+    }))
+    ps = prefix_sum(empty, order_col="rid", val_col="v", out_col="running")
+    assert ps.count() == 0
+    assert set(ps.schema().names) == {"rid", "v", "running"}
+
+    pk = pack_by_token_budget(empty, order_col="rid", tokens_col="v",
+                              capacity=10)
+    assert pk.count() == 0
+    assert set(pk.schema().names) == {"rid", "v", "cum_tokens", "bin_id"}
+
+    gr = global_rank(empty, val_col="v", id_col="rid")
+    assert gr.count() == 0
+    assert set(gr.schema().names) == {"rid", "v", "rnk"}
