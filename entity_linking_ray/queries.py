@@ -2007,3 +2007,235 @@ def _q_order_rank(sf_dir: str):
     return global_rank(orders.map_batches(fx, batch_format="pyarrow"),
                        val_col="price_fx", id_col="o_orderkey",
                        out_col="rnk")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: funnel analysis, fuzzy blocked similarity join, grouped
+# mode, NTILE, GROUP BY CUBE, and SQL set operations (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_funnel",
+    """
+    WITH m AS (SELECT user_id,
+                      min(ts) FILTER (event_type = 'view')     AS tv,
+                      min(ts) FILTER (event_type = 'click')    AS tc,
+                      min(ts) FILTER (event_type = 'purchase') AS tp
+               FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')
+               GROUP BY user_id)
+    SELECT user_id,
+           cast((tv IS NOT NULL) as bigint) + cast((tc IS NOT NULL) as bigint)
+             + cast((tp IS NOT NULL) as bigint)              AS n_steps,
+           cast(coalesce(tv < tc AND tc < tp, FALSE) as bigint) AS converted
+    FROM m
+    """,
+)
+def _q_user_funnel(sf_dir: str):
+    """Ordered funnel conversion (view → click → purchase) per user: a
+    batch-local (user, step, min-ts) Arrow combiner then one coarse
+    key-bucket groupby whose kernel pivots and checks the strict
+    min-ts ordering — the event stream never shuffles
+    (stages/windows.py ``funnel_conversion``)."""
+    from .stages.windows import funnel_conversion
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_conversion(events, steps=["view", "click", "purchase"],
+                             key_col="user_id", ts_col="ts",
+                             type_col="event_type")
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    r"""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           cast(levenshtein(a.p_name, b.p_name) as bigint) AS dist
+    FROM n a JOIN n b
+      ON regexp_extract(a.p_name, '(\S+)$', 1)
+           = regexp_extract(b.p_name, '(\S+)$', 1)
+     AND a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def _q_part_fuzzy(sf_dir: str):
+    """Blocked edit-distance similarity self-join — the ER fuzzy-match
+    shape (reference scores candidates with Levenshtein after exact
+    blocking; SURVEY.md §2.8) as a standalone operator: distinct part
+    names, blocked on the trailing word, verified by Levenshtein <= 2
+    (stages/fuzzy.py ``fuzzy_value_pairs``)."""
+    from .stages.fuzzy import fuzzy_value_pairs
+
+    part = _read(sf_dir, "part", ["p_name"])
+    return fuzzy_value_pairs(part, col="p_name", max_dist=2,
+                             block="last_token")
+
+
+@register(
+    "user_top_event_type",
+    """
+    SELECT user_id, event_type AS mode_val, cast(cnt as bigint) AS n
+    FROM (SELECT user_id, event_type, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+)
+def _q_user_mode(sf_dir: str):
+    """Per-key MODE (most frequent event type, ties → smallest value):
+    batch-local (key, val, count) combiner partials, one coarse
+    key-bucket groupby with a vectorized argmax kernel — raw events
+    never shuffle (stages/sketch.py ``grouped_mode``)."""
+    from .stages.sketch import grouped_mode
+
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(events, key_col="user_id", val_col="event_type")
+
+
+@register(
+    "order_price_ntile",
+    """
+    WITH o AS (SELECT o_orderkey,
+                      cast(round(o_totalprice * 100) as bigint) AS price_fx
+               FROM orders)
+    SELECT o_orderkey, price_fx,
+           cast(ntile(8) OVER (ORDER BY price_fx, o_orderkey) as bigint)
+             AS tile
+    FROM o
+    """,
+)
+def _q_order_ntile(sf_dir: str):
+    """SQL NTILE over a global ordering (including the remainder rule:
+    the first total%k buckets get one extra row) — the same
+    range-partitioned shape as order_price_rank, with the tile a pure
+    function of rank and total (stages/scan.py ``global_ntile``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.scan import global_ntile
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def fx(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "price_fx": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                                         round_mode="half_towards_infinity"),
+                                pa.int64()),
+        })
+
+    return global_ntile(orders.map_batches(fx, batch_format="pyarrow"),
+                        val_col="price_fx", id_col="o_orderkey", k=8)
+
+
+@register(
+    "customer_balance_cube",
+    """
+    WITH c AS (SELECT n_name, c_mktsegment,
+                      cast(round(c_acctbal * 100) as bigint) AS cents
+               FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT coalesce(n_name, 'ALL')       AS nation,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           cast(sum(cents) as bigint)    AS sum_cents,
+           count(*)                      AS n_cust
+    FROM c GROUP BY CUBE(n_name, c_mktsegment)
+    """,
+)
+def _q_balance_cube(sf_dir: str):
+    """GROUP BY CUBE as hierarchical re-aggregation (the 2-dim sibling of
+    supplier_balance_rollup): ONE scan computes the finest (nation,
+    segment) partials via a broadcast dim lookup; each fine row explodes
+    into its 4 cube cells and a second, partial-sized groupby sums them —
+    the corpus is read once, every coarser cell reuses the fine
+    partials."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lut_ref = ray.put(dict(zip(nation["n_nationkey"].astype(int),
+                               nation["n_name"])))
+
+    cust = _read(sf_dir, "customer",
+                 ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def part(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        names = [lut[int(kk)] for kk in
+                 b["c_nationkey"].to_numpy(zero_copy_only=False)]
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({
+            "nation": pa.array(names, pa.string()),
+            "segment": b["c_mktsegment"],
+            "sum_cents": cents,
+            "n_cust": pa.repeat(pa.scalar(1, pa.int64()), b.num_rows),
+        })
+        return (t.group_by(["nation", "segment"])
+                .aggregate([("sum_cents", "sum"), ("n_cust", "sum")])
+                .rename_columns(["nation", "segment", "sum_cents", "n_cust"]))
+
+    def explode_cells(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        cells = [df,
+                 df.assign(segment="ALL"),
+                 df.assign(nation="ALL"),
+                 df.assign(nation="ALL", segment="ALL")]
+        return pa.Table.from_pandas(pd.concat(cells, ignore_index=True),
+                                    preserve_index=False)
+
+    return (cust.map_batches(part, batch_format="pyarrow")
+            .map_batches(explode_cells, batch_format="pyarrow")
+            .groupby(["nation", "segment"])
+            .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                       Sum("n_cust", alias_name="n_cust")))
+
+
+@register(
+    "urgent_not_low_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def _q_except_custkeys(sf_dir: str):
+    """SQL EXCEPT as distinct-then-Bloom-prefiltered-anti-join: both
+    sides reduce to key rows before any shuffle, and left keys the Bloom
+    filter rules out bypass the join entirely (stages/joins.py
+    ``except_distinct``)."""
+    from .stages.joins import except_distinct
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'")
+    low = orders.filter(expr="o_orderpriority == '5-LOW'")
+    return except_distinct(urgent, low, on=("o_custkey",),
+                           num_partitions=_table_partitions(sf_dir, "orders"),
+                           bloom_bits=1 << 20)
+
+
+@register(
+    "urgent_and_low_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def _q_intersect_custkeys(sf_dir: str):
+    """SQL INTERSECT as distinct-then-semi-join (stages/joins.py
+    ``intersect_distinct``) — the set-op twin of
+    urgent_not_low_custkeys."""
+    from .stages.joins import intersect_distinct
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'")
+    low = orders.filter(expr="o_orderpriority == '5-LOW'")
+    return intersect_distinct(urgent, low, on=("o_custkey",),
+                              num_partitions=_table_partitions(sf_dir, "orders"))

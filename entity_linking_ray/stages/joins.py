@@ -714,3 +714,58 @@ def range_join_sum(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     return (tagged.map_batches(add_kb, batch_format="pyarrow")
             .groupby("__kb").map_groups(match, batch_format="pandas"))
+
+
+def _distinct_keys(ds: ray.data.Dataset, on: tuple,
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """Distinct key rows via batch-local Arrow combiner + one bucketed
+    groupby (the same shape as dedup._distinct_pairs, generalized to any
+    key tuple); only key rows shuffle."""
+    cols = list(on)
+    _NB = 64
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.select(cols).group_by(cols).aggregate([])
+        if t.num_rows == 0:
+            return t.append_column("__db", pa.array([], pa.int64()))
+        h = pd.util.hash_array(
+            t[cols[0]].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        for c in cols[1:]:
+            h = h * np.uint64(0x100000001B3) ^ pd.util.hash_array(
+                t[c].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return t.append_column(
+            "__db", pa.array((h % np.uint64(_NB)).astype(np.int64),
+                             pa.int64()))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return g.select(cols).group_by(cols).aggregate([])
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("__db").map_groups(merge, batch_format="pyarrow")
+            .repartition(num_partitions))  # scrub untyped empty blocks
+
+
+def intersect_distinct(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                       on: tuple, right_on: tuple | None = None,
+                       num_partitions: int = 16,
+                       bloom_bits: int | None = None) -> ray.data.Dataset:
+    """SQL ``INTERSECT``: the distinct ``on`` rows of ``left`` that also
+    appear in ``right`` — distinct-then-semi-join, so both sides reduce
+    to key rows before any shuffle. ``bloom_bits`` prefilters like
+    :func:`semi_join`."""
+    return semi_join(_distinct_keys(left, tuple(on), num_partitions),
+                     right, on=on, right_on=right_on,
+                     num_partitions=num_partitions, bloom_bits=bloom_bits)
+
+
+def except_distinct(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                    on: tuple, right_on: tuple | None = None,
+                    num_partitions: int = 16,
+                    bloom_bits: int | None = None) -> ray.data.Dataset:
+    """SQL ``EXCEPT``: the distinct ``on`` rows of ``left`` with no match
+    in ``right`` — distinct-then-anti-join. ``bloom_bits`` lets the
+    definitely-absent majority (the usual EXCEPT result at scale) bypass
+    the join shuffle entirely."""
+    return anti_join(_distinct_keys(left, tuple(on), num_partitions),
+                     right, on=on, right_on=right_on,
+                     num_partitions=num_partitions, bloom_bits=bloom_bits)

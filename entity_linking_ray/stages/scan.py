@@ -189,3 +189,63 @@ def global_rank(ds: ray.data.Dataset, *, val_col: str, id_col: str,
         return g.drop(columns="__b")
 
     return tagged.groupby("__b").map_groups(rank, batch_format="pandas")
+
+
+def global_ntile(ds: ray.data.Dataset, *, val_col: str, id_col: str,
+                 k: int, out_col: str = "tile",
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """→ (id_col, val_col, out_col) — SQL ``NTILE(k) OVER (ORDER BY val,
+    id)``: rows split into k buckets as equal as possible, the first
+    ``total % k`` buckets one row larger (the SQL remainder rule).
+
+    Same range-partitioned shape as :func:`global_rank` (uniform value
+    buckets from one min/max aggregate, per-bucket counts → exclusive
+    offsets, per-bucket local sort + offset); the tile is a pure function
+    of the global rank and the total, both known once the O(num_buckets)
+    offsets table is on the driver — no extra pass."""
+    cols = [id_col, val_col]
+    ds = ds.select_columns(cols).materialize()
+    if ds.count() == 0:  # typed empty out for empty in (pinned behavior)
+        return _typed_empty_like(ds, {out_col: pa.int64()})
+    lo, _, width = _bucket_bounds(ds, val_col, num_buckets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.divide(pc.subtract(b[val_col], pa.scalar(lo)),
+                                   pa.scalar(width)), pa.int64())
+        return b.append_column("__b", bucket)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def part_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["__b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["__b", "__c"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (tagged.map_batches(part_counts, batch_format="pyarrow")
+              .groupby("__b").aggregate(Sum("__c", alias_name="__c"))
+              .to_pandas()).sort_values("__b")
+    cvals = counts["__c"].to_numpy(np.int64)
+    offs = dict(zip(counts["__b"].astype(np.int64),
+                    np.concatenate([[0], np.cumsum(cvals)[:-1]])))
+    total = int(cvals.sum())
+    q, r = divmod(total, k)
+    boundary = r * (q + 1)  # rows before it land in the larger buckets
+
+    def tile_of(rank0: np.ndarray) -> np.ndarray:
+        big = rank0 < boundary
+        t = np.empty(len(rank0), np.int64)
+        t[big] = rank0[big] // (q + 1) + 1
+        if q:  # q == 0 only when k >= total: every row is in a big bucket
+            t[~big] = r + (rank0[~big] - boundary) // q + 1
+        return t
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([val_col, id_col],
+                              kind="mergesort").reset_index(drop=True)
+        base = offs[int(g["__b"].iloc[0])]
+        rank0 = base + np.arange(len(g), dtype=np.int64)
+        g[out_col] = tile_of(rank0)
+        return g.drop(columns="__b")
+
+    return tagged.groupby("__b").map_groups(rank, batch_format="pandas")

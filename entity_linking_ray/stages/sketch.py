@@ -283,3 +283,46 @@ def heavy_hitter_words(ds: ray.data.Dataset, *, text_col: str = "text",
             f"top-{k} (k-th count {kth} <= error bound {bound}); "
             f"increase width")
     return top
+
+
+def grouped_mode(ds: "ray.data.Dataset", *, key_col: str, val_col: str,
+                 num_buckets: int = 64) -> "ray.data.Dataset":
+    """→ (key, mode_val, n) — the per-key MODE (most frequent value,
+    ties broken by the smallest value): SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY count(*) DESC, val)``
+    = 1. The per-key companion of the global Misra-Gries top-k above,
+    exact because the combiner keeps full (key, val) counts (the value
+    domain per key is the cardinality bound — event-type-like columns,
+    not free text).
+
+    Scale shape: batch-local (key, val, count) Arrow combiner partials →
+    one coarse key-bucket groupby whose kernel merges counts and takes
+    the per-key argmax vectorized — the raw rows never shuffle."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (b.select([key_col, val_col])
+             .group_by([key_col, val_col]).aggregate([([], "count_all")])
+             .rename_columns([key_col, val_col, "__c"]))
+        return t
+
+    def argmax_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby([key_col, val_col], sort=False)["__c"].sum()
+             .reset_index())
+        # sort so the first row per key is (max count, min value)
+        g = g.sort_values([key_col, "__c", val_col],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.drop_duplicates(subset=[key_col], keep="first")
+        return pd.DataFrame({
+            key_col: top[key_col].to_numpy(),
+            "mode_val": top[val_col].to_numpy(),
+            "n": top["__c"].to_numpy(np.int64),
+        })
+
+    from .windows import _add_key_bucket
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(_add_key_bucket(key_col, num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__kb").map_groups(argmax_bulk, batch_format="pandas"))

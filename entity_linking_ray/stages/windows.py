@@ -805,3 +805,56 @@ def grouped_ordered_concat(events: ray.data.Dataset, *, key_col: str,
     return (events.map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
             .groupby("__kb").map_groups(concat_bulk, batch_format="pandas"))
+
+
+def funnel_conversion(events: ray.data.Dataset, *, steps: "list[str]",
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> ray.data.Dataset:
+    """→ (key, n_steps: int64, converted: int64) — per-key funnel
+    analysis over an ordered step list (the behavioral-analytics shape:
+    did the user view → click → purchase IN ORDER?). ``n_steps`` counts
+    funnel steps with at least one event; ``converted`` is 1 when every
+    step is present and the per-step FIRST occurrences are strictly
+    increasing (min_ts(step_i) < min_ts(step_{i+1}) for all i) — the SQL
+    ``min(ts) FILTER (WHERE type = step)`` comparison chain.
+
+    Scale shape: a batch-local Arrow combiner reduces each block to one
+    (key, step, min_t) row per pair — the event stream itself never
+    shuffles; the groupby moves at most |keys| × |steps| partial rows,
+    and the per-bucket kernel is one pandas pivot over many keys."""
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n_steps_total = len(steps)
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[type_col], value_set=pa.array(steps))
+        sel = b.filter(mask)
+        t = pc.cast(pc.cast(sel[ts_col], pa.timestamp("us")), pa.int64())
+        si = pa.array([step_idx[s] for s in sel[type_col].to_pylist()],
+                      pa.int64())
+        part = pa.table({key_col: sel[key_col], "__s": si, "__t": t})
+        return (part.group_by([key_col, "__s"]).aggregate([("__t", "min")])
+                .rename_columns([key_col, "__s", "__t"]))
+
+    def fin_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        # merge cross-block partials, then one pivot over every key in
+        # the bucket: columns 0..n_steps-1 hold each step's min ts
+        g = (group.groupby([key_col, "__s"], sort=False)["__t"].min()
+             .reset_index())
+        piv = g.pivot_table(index=key_col, columns="__s", values="__t",
+                            aggfunc="min")
+        piv = piv.reindex(columns=range(n_steps_total))
+        m = piv.to_numpy(dtype="float64", na_value=np.nan)
+        present = ~np.isnan(m)
+        n_present = present.sum(axis=1).astype(np.int64)
+        conv = (n_present == n_steps_total)
+        if n_steps_total > 1:
+            conv &= (np.diff(m, axis=1) > 0).all(axis=1)
+        return pd.DataFrame({
+            key_col: piv.index.to_numpy(),
+            "n_steps": n_present,
+            "converted": conv.astype(np.int64),
+        })
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
+            .groupby("__kb").map_groups(fin_bulk, batch_format="pandas"))

@@ -1,0 +1,123 @@
+"""Round-4 operators: fuzzy blocked similarity join, funnel conversion,
+grouped mode, global NTILE, and SQL set operations."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+
+def test_fuzzy_value_pairs_blocked_levenshtein(ray_session):
+    from entity_linking_ray.stages.fuzzy import fuzzy_value_pairs
+
+    names = ["cold ring", "old ring", "red ring", "cold bolt", "old bolt",
+             "blue widget", "blue widget", "cold ring"]  # dups collapse
+    ds = ray.data.from_arrow(pa.table({"p_name": pa.array(names)})).repartition(3)
+    out = fuzzy_value_pairs(ds, col="p_name", max_dist=2).to_pandas()
+    got = {(r.name_a, r.name_b): r.dist for r in out.itertuples()}
+    # within-block (last token) pairs at distance <= 2
+    assert got[("cold ring", "old ring")] == 1
+    assert got[("old ring", "red ring")] == 2
+    assert got[("cold bolt", "old bolt")] == 1
+    # cross-block (ring vs bolt) and distance-3 (cold vs red) never pair
+    assert ("cold ring", "red ring") not in got  # dist 3 > max_dist
+    assert not any("bolt" in a and "ring" in b for a, b in got)
+    # distinct: the duplicated names produce each pair once
+    assert len(out) == len(got)
+
+
+def test_fuzzy_value_pairs_block_cap_fails_loudly(ray_session):
+    from entity_linking_ray.stages.fuzzy import fuzzy_value_pairs
+
+    names = [f"x{i} same" for i in range(30)]
+    ds = ray.data.from_arrow(pa.table({"n": pa.array(names)}))
+    with pytest.raises(ValueError, match="max_block_values"):
+        fuzzy_value_pairs(ds, col="n", max_dist=2,
+                          max_block_values=10).count()
+
+
+def test_funnel_conversion_strict_order(ray_session):
+    from entity_linking_ray.stages.windows import funnel_conversion
+
+    rows = []
+    # u1 converts: view(10) < click(20) < purchase(30); extra later view
+    for t, ty in [(10, "view"), (20, "click"), (30, "purchase"),
+                  (40, "view")]:
+        rows.append(("u1", t, ty))
+    # u2 out of order: click before view
+    for t, ty in [(10, "click"), (20, "view"), (30, "purchase")]:
+        rows.append(("u2", t, ty))
+    # u3 incomplete: no purchase
+    for t, ty in [(10, "view"), (20, "click"), (25, "error")]:
+        rows.append(("u3", t, ty))
+    # u4 ties: view and click at the same instant -> NOT strictly ordered
+    for t, ty in [(10, "view"), (10, "click"), (30, "purchase")]:
+        rows.append(("u4", t, ty))
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    out = funnel_conversion(
+        ray.data.from_arrow(tbl).repartition(3),
+        steps=["view", "click", "purchase"]).to_pandas()
+    got = out.set_index("user_id")
+    assert got.loc["u1", "converted"] == 1 and got.loc["u1", "n_steps"] == 3
+    assert got.loc["u2", "converted"] == 0 and got.loc["u2", "n_steps"] == 3
+    assert got.loc["u3", "converted"] == 0 and got.loc["u3", "n_steps"] == 2
+    assert got.loc["u4", "converted"] == 0
+
+
+def test_grouped_mode_ties_take_smallest(ray_session):
+    from entity_linking_ray.stages.sketch import grouped_mode
+
+    rows = [("a", "x")] * 3 + [("a", "y")] * 2 + \
+           [("b", "p")] * 2 + [("b", "q")] * 2 + [("c", "z")]
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows]),
+        "v": pa.array([r[1] for r in rows]),
+    })).repartition(4)
+    out = grouped_mode(ds, key_col="k", val_col="v").to_pandas()
+    got = out.set_index("k")
+    assert got.loc["a", "mode_val"] == "x" and got.loc["a", "n"] == 3
+    assert got.loc["b", "mode_val"] == "p" and got.loc["b", "n"] == 2  # tie
+    assert got.loc["c", "mode_val"] == "z" and got.loc["c", "n"] == 1
+
+
+def test_global_ntile_matches_sql_remainder_rule(ray_session):
+    import duckdb
+
+    from entity_linking_ray.stages.scan import global_ntile
+
+    rng = np.random.default_rng(5)
+    n, k = 103, 8  # 103 % 8 = 7 big buckets of 13, one of 12
+    t = pa.table({"rid": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(rng.integers(0, 50, n), pa.int64())})
+    out = global_ntile(ray.data.from_arrow(t).repartition(4),
+                       val_col="v", id_col="rid", k=k).to_pandas()
+    want = duckdb.connect().execute(
+        "SELECT rid, ntile(8) OVER (ORDER BY v, rid) AS tile FROM t"
+    ).df()
+    got = out.set_index("rid")["tile"]
+    w = want.set_index("rid")["tile"]
+    assert (got.loc[w.index].to_numpy() == w.to_numpy()).all()
+
+
+def test_set_ops_match_sql(ray_session):
+    from entity_linking_ray.stages.joins import (except_distinct,
+                                                 intersect_distinct)
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3, 5, 5, 7], pa.int64())})).repartition(3)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 2, 3, 8], pa.int64())})).repartition(2)
+    inter = sorted(intersect_distinct(left, right, on=("k",),
+                                      num_partitions=2).to_pandas()["k"])
+    exc = sorted(except_distinct(left, right, on=("k",), num_partitions=2,
+                                 bloom_bits=1 << 12).to_pandas()["k"])
+    assert inter == [2, 3]
+    assert exc == [1, 5, 7]
