@@ -120,3 +120,31 @@ def rolling_fingerprint(text: str, window: int = 16) -> int:
     from .hashing import splitmix64
 
     return int(splitmix64(acc).min())
+
+
+def repetition_stats(table: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """→ (id, n_tokens, n_distinct, max_tok_freq) — the Gopher-style
+    repetition quality signals (type/token ratio and the hottest token's
+    count) per document, computed batch-locally: one whitespace split +
+    np.unique per doc, no shuffle anywhere. A doc with
+    n_distinct/n_tokens near 0 or max_tok_freq/n_tokens near 1 is
+    boilerplate/template spam — the standard pre-training filter."""
+    texts = table[text_col].to_pylist()
+    n_tok = np.zeros(len(texts), np.int64)
+    n_dis = np.zeros(len(texts), np.int64)
+    mx = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        w = t.split()
+        if not w:
+            continue
+        _, counts = np.unique(w, return_counts=True)
+        n_tok[i] = len(w)
+        n_dis[i] = len(counts)
+        mx[i] = counts.max()
+    return pa.table({
+        id_col: table[id_col],
+        "n_tokens": pa.array(n_tok),
+        "n_distinct": pa.array(n_dis),
+        "max_tok_freq": pa.array(mx),
+    })

@@ -2239,3 +2239,56 @@ def _q_intersect_custkeys(sf_dir: str):
     low = orders.filter(expr="o_orderpriority == '5-LOW'")
     return intersect_distinct(urgent, low, on=("o_custkey",),
                               num_partitions=_table_partitions(sf_dir, "orders"))
+
+
+@register(
+    "doc_repetition_stats",
+    """
+    SELECT doc_id, cast(sum(c) as bigint) AS n_tokens,
+           count(*) AS n_distinct, cast(max(c) as bigint) AS max_tok_freq
+    FROM (SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY doc_id, tok)
+    GROUP BY doc_id
+    """,
+)
+def _q_repetition(sf_dir: str):
+    """Per-doc repetition quality signals (type/token ratio + hottest
+    token count — the Gopher boilerplate filters): pure batch-local
+    kernels, zero shuffle (functions/textstats.py ``repetition_stats``)."""
+    from .functions.textstats import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+@register(
+    "docs_contaminated_4gram",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 1)),
+                    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS g
+      FROM toks WHERE len(w) >= 4)
+    SELECT DISTINCT t.doc_id
+    FROM grams t
+    JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < 20) b USING (g)
+    WHERE t.doc_id >= 20
+    """,
+)
+def _q_contaminated(sf_dir: str):
+    """Benchmark decontamination: training docs (doc_id >= 20) sharing
+    any 4-word shingle with the held-out set (doc_id < 20). Eval grams
+    broadcast once as a sorted hash array; the training corpus streams
+    through one searchsorted probe pass — it never shuffles
+    (stages/decontam.py ``contaminated_doc_ids``; a distributed
+    semi-join plan takes over past the broadcast cap)."""
+    from .stages.decontam import contaminated_doc_ids
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    train = docs.filter(expr="doc_id >= 20")
+    test = docs.filter(expr="doc_id < 20")
+    return contaminated_doc_ids(train, test, ngram=4)

@@ -121,3 +121,41 @@ def test_set_ops_match_sql(ray_session):
                                  bloom_bits=1 << 12).to_pandas()["k"])
     assert inter == [2, 3]
     assert exc == [1, 5, 7]
+
+
+def test_contaminated_doc_ids_modes_agree(ray_session):
+    from entity_linking_ray.stages.decontam import contaminated_doc_ids
+
+    test_docs = [
+        ("t1", "alpha beta gamma delta epsilon zeta"),
+        ("t2", "one two three four five"),
+    ]
+    train_docs = [
+        ("d1", "prefix alpha beta gamma delta suffix"),      # 4-gram hit
+        ("d2", "completely unrelated words about pasta sauce"),
+        ("d3", "one two three four banana"),                  # hit via t2
+        ("d4", "alpha beta delta gamma epsilon"),             # reordered: no 4-gram
+        ("d5", ""),
+    ]
+    mk = lambda rows: ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows]),
+        "text": pa.array([r[1] for r in rows]),
+    })).repartition(2)
+    for mode in ("broadcast", "join"):
+        got = sorted(contaminated_doc_ids(
+            mk(train_docs), mk(test_docs), ngram=4, mode=mode,
+            num_partitions=2).to_pandas()["doc_id"])
+        assert got == ["d1", "d3"], (mode, got)
+
+
+def test_repetition_stats_values(ray_session):
+    from entity_linking_ray.functions.textstats import repetition_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a a a b", "x y z", ""]),
+    })
+    out = repetition_stats(t).to_pandas().set_index("doc_id")
+    assert tuple(out.loc[1]) == (4, 2, 3)
+    assert tuple(out.loc[2]) == (3, 3, 1)
+    assert tuple(out.loc[3]) == (0, 0, 0)
