@@ -2292,3 +2292,27 @@ def _q_contaminated(sf_dir: str):
     train = docs.filter(expr="doc_id >= 20")
     test = docs.filter(expr="doc_id < 20")
     return contaminated_doc_ids(train, test, ngram=4)
+
+
+@register(
+    "user_value_quartile",
+    """
+    WITH e AS (SELECT user_id, event_id,
+                      cast(round(value * 100) as bigint) AS value_units
+               FROM events)
+    SELECT user_id, event_id, value_units,
+           cast(ntile(4) OVER (PARTITION BY user_id
+                               ORDER BY value_units, event_id) as bigint)
+             AS tile
+    FROM e
+    """,
+)
+def _q_user_quartile(sf_dir: str):
+    """Per-key NTILE (user value quartiles, SQL remainder rule included):
+    one coarse key-bucket shuffle, segmented vectorized kernel across
+    every key in the bucket (stages/windows.py ``grouped_ntile``)."""
+    from .stages.windows import grouped_ntile
+
+    events = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    return grouped_ntile(events, key_col="user_id", id_col="event_id",
+                         val_col="value", k=4)

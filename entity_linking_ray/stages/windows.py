@@ -858,3 +858,57 @@ def funnel_conversion(events: ray.data.Dataset, *, steps: "list[str]",
     return (events.map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
             .groupby("__kb").map_groups(fin_bulk, batch_format="pandas"))
+
+
+def grouped_ntile(events: ray.data.Dataset, *, key_col: str, id_col: str,
+                  val_col: str, k: int, scale: int = 100,
+                  out_col: str = "tile") -> ray.data.Dataset:
+    """→ (key, id, value_units, out_col) — per-key quantile bucketing:
+    SQL ``NTILE(k) OVER (PARTITION BY key ORDER BY value, id)`` including
+    the remainder rule (the first cnt%k buckets of each key get one extra
+    row). The feature-engineering shape: per-user value quartiles /
+    deciles. Values are fixed-point int64 units so the oracle hash has no
+    float surface.
+
+    Same coarse key-hash-bucket shuffle as the other per-key kernels;
+    the kernel is one segmented vectorized pass over every key in the
+    bucket (sort + per-segment rank + the NTILE formula). Per-key rows
+    must fit a task — the inherent NTILE requirement (the full key order
+    defines the tile); cap upstream for degenerate keys."""
+    def prep(b: pa.Table) -> pa.Table:
+        units = pc.cast(pc.round(
+            pc.multiply(pc.cast(b[val_col], pa.float64()),
+                        pa.scalar(float(scale))),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({key_col: b[key_col],
+                         id_col: pc.cast(b[id_col], pa.int64()),
+                         "value_units": units})
+
+    def ntile_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "value_units", id_col],
+                              kind="mergesort")
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        cnt = np.diff(np.append(starts, n))          # rows per key
+        pos0 = np.arange(n, dtype=np.int64) - starts[seg]
+        q, r = cnt // k, cnt % k                      # per-key split
+        qs, rs = q[seg], r[seg]
+        boundary = rs * (qs + 1)
+        big = pos0 < boundary
+        tile = np.empty(n, np.int64)
+        tile[big] = pos0[big] // (qs[big] + 1) + 1
+        small = ~big                                  # qs>0 here: pos0 >=
+        # boundary implies cnt > r*(q+1), impossible when q == 0
+        tile[small] = rs[small] + (pos0[small] - boundary[small]) // qs[small] + 1
+        out = g.drop(columns="__kb").copy()
+        out[out_col] = tile
+        return out
+
+    return (events.map_batches(prep, batch_format="pyarrow")
+            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
+            .groupby("__kb").map_groups(ntile_bulk, batch_format="pandas"))

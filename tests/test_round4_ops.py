@@ -159,3 +159,26 @@ def test_repetition_stats_values(ray_session):
     assert tuple(out.loc[1]) == (4, 2, 3)
     assert tuple(out.loc[2]) == (3, 3, 1)
     assert tuple(out.loc[3]) == (0, 0, 0)
+
+
+def test_grouped_ntile_matches_sql(ray_session):
+    import duckdb
+
+    from entity_linking_ray.stages.windows import grouped_ntile
+
+    rng = np.random.default_rng(9)
+    n = 97
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 7, n).astype(str)),
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.uniform(0, 10, n).round(2)),
+    })
+    out = grouped_ntile(ray.data.from_arrow(t).repartition(4),
+                        key_col="u", id_col="eid", val_col="v",
+                        k=4).to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT eid, ntile(4) OVER (PARTITION BY u
+            ORDER BY cast(round(v*100) as bigint), eid) AS tile FROM t
+    """).df().set_index("eid")["tile"]
+    got = out.set_index("eid")["tile"]
+    assert (got.loc[want.index].to_numpy() == want.to_numpy()).all()
