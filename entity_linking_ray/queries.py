@@ -2316,3 +2316,26 @@ def _q_user_quartile(sf_dir: str):
     events = _read(sf_dir, "events", ["user_id", "event_id", "value"])
     return grouped_ntile(events, key_col="user_id", id_col="event_id",
                          val_col="value", k=4)
+
+
+@register(
+    "mixed_corpus_by_lang",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang <> 'en'
+      AND ((doc_id * 48271 + 11 + 1) % 2147483647) % 4 < 1
+    """,
+)
+def _q_mixed_corpus(sf_dir: str):
+    """Deterministic training-data source mixing: keep all English docs,
+    thin every other language to 25% with the RNG-free affine draw —
+    pure streaming filter + union, no shuffle, partition-independent and
+    SQL-replayable (stages/sampling.py ``mix_corpora`` / ``rate_thin``)."""
+    from .stages.sampling import mix_corpora
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    en = docs.filter(expr="lang == 'en'")
+    rest = docs.filter(expr="lang != 'en'")
+    return mix_corpora([(en, 1, 1), (rest, 1, 4)], id_col="doc_id")

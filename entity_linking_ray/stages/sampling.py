@@ -120,3 +120,44 @@ def weighted_sample(ds: ray.data.Dataset, *, id_col: str, weight_col: str,
                 "__g2", pa.array(np.zeros(b.num_rows, np.int64))),
                 batch_format="pyarrow")
             .groupby("__g2").map_groups(final, batch_format="pandas"))
+
+
+def rate_thin(ds: ray.data.Dataset, *, id_col: str,
+              keep_num: int, keep_den: int,
+              salt: int = 0) -> ray.data.Dataset:
+    """Deterministic rate thinning: keep a row iff
+    ``((id*48271 + 11 + salt) % (2^31-1)) % keep_den < keep_num`` —
+    i.e. keep_num/keep_den of the rows, chosen by the same RNG-free
+    affine draw as the samplers above (partition-independent, resumable,
+    SQL-replayable). ``salt`` decorrelates independent thinning passes
+    over the same ids."""
+    if not (0 < keep_num <= keep_den):
+        raise ValueError("need 0 < keep_num <= keep_den")
+
+    def flt(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = (ids * _A + _B + salt) % _M
+        return b.filter(pa.array((r % keep_den) < keep_num))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def mix_corpora(sources: "list[tuple[ray.data.Dataset, int, int]]", *,
+                id_col: str) -> ray.data.Dataset:
+    """Training-data source mixing: union the sources, each thinned to
+    its (keep_num, keep_den) rate — the "re-weight corpus A to 25%, keep
+    corpus B whole" pre-training mix, as a pure streaming filter + union
+    (no shuffle, no RNG state; every partition of every source thins
+    independently and reproducibly). Schemas must align (Dataset.union
+    semantics); per-source salt = source index, so the same id in two
+    sources draws independently."""
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    thinned = [ds if (num, den) == (1, 1)
+               else rate_thin(ds, id_col=id_col, keep_num=num,
+                              keep_den=den, salt=i)
+               for i, (ds, num, den) in enumerate(sources)]
+    out = thinned[0]
+    for t in thinned[1:]:
+        out = out.union(t)
+    return out

@@ -182,3 +182,29 @@ def test_grouped_ntile_matches_sql(ray_session):
     """).df().set_index("eid")["tile"]
     got = out.set_index("eid")["tile"]
     assert (got.loc[want.index].to_numpy() == want.to_numpy()).all()
+
+
+def test_rate_thin_and_mix_deterministic(ray_session):
+    from entity_linking_ray.stages.sampling import mix_corpora, rate_thin
+
+    ids = np.arange(1000, dtype=np.int64)
+    full = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "src": pa.array(["a"] * 1000)}))
+    thin = rate_thin(full, id_col="doc_id", keep_num=1, keep_den=4)
+    got = sorted(thin.to_pandas()["doc_id"])
+    # exact replay of the affine rule
+    want = sorted(i for i in ids
+                  if ((int(i) * 48271 + 11) % 2147483647) % 4 < 1)
+    assert got == want
+    assert 150 < len(got) < 350  # ~25%
+    # re-running (any partitioning) gives the identical selection
+    again = sorted(rate_thin(full.repartition(7), id_col="doc_id",
+                             keep_num=1, keep_den=4).to_pandas()["doc_id"])
+    assert again == got
+
+    b = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids + 5000), "src": pa.array(["b"] * 1000)}))
+    mixed = mix_corpora([(full, 1, 1), (b, 1, 2)], id_col="doc_id")
+    df = mixed.to_pandas()
+    assert (df["src"] == "a").sum() == 1000          # kept whole
+    assert 350 < (df["src"] == "b").sum() < 650      # ~half
