@@ -2339,3 +2339,43 @@ def _q_mixed_corpus(sf_dir: str):
     en = docs.filter(expr="lang == 'en'")
     rest = docs.filter(expr="lang != 'en'")
     return mix_corpora([(en, 1, 1), (rest, 1, 4)], id_col="doc_id")
+
+
+@register(
+    "part_attrs_unpivot",
+    """
+    SELECT p_partkey, 'size' AS attr, cast(p_size as bigint) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail_cents' AS attr,
+           cast(round(p_retailprice * 100) as bigint) AS val
+    FROM part
+    """,
+)
+def _q_part_unpivot(sf_dir: str):
+    """UNPIVOT / melt (wide → long): per batch, stack the K attribute
+    columns into (key, attr, val) rows with one vectorized concat — a
+    pure map, no shuffle; the long form feeds generic per-attr
+    aggregates downstream."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cents = pc.cast(pc.round(pc.multiply(b["p_retailprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        keys = b["p_partkey"].combine_chunks()
+        return pa.table({
+            "p_partkey": pa.concat_arrays([keys, keys]),
+            "attr": pa.array(["size"] * n + ["retail_cents"] * n,
+                             pa.string()),
+            "val": pa.concat_arrays([
+                pc.cast(b["p_size"], pa.int64()).combine_chunks(),
+                cents.combine_chunks()]),
+        })
+
+    return part.map_batches(melt, batch_format="pyarrow")
