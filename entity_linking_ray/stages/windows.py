@@ -822,15 +822,14 @@ def funnel_conversion(events: ray.data.Dataset, *, steps: "list[str]",
     (key, step, min_t) row per pair — the event stream itself never
     shuffles; the groupby moves at most |keys| × |steps| partial rows,
     and the per-bucket kernel is one pandas pivot over many keys."""
-    step_idx = {s: i for i, s in enumerate(steps)}
     n_steps_total = len(steps)
 
     def partial(b: pa.Table) -> pa.Table:
         mask = pc.is_in(b[type_col], value_set=pa.array(steps))
         sel = b.filter(mask)
         t = pc.cast(pc.cast(sel[ts_col], pa.timestamp("us")), pa.int64())
-        si = pa.array([step_idx[s] for s in sel[type_col].to_pylist()],
-                      pa.int64())
+        si = pc.cast(pc.index_in(sel[type_col], value_set=pa.array(steps)),
+                     pa.int64())  # vectorized step index (list order)
         part = pa.table({key_col: sel[key_col], "__s": si, "__t": t})
         return (part.group_by([key_col, "__s"]).aggregate([("__t", "min")])
                 .rename_columns([key_col, "__s", "__t"]))
