@@ -23,12 +23,63 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
 from ..functions.hashing import hash_strings, splitmix64
 
 FEATURE_DIM = 32
+
+
+def _explode_media_spans(batch: pa.Table, kinds: "tuple[str, ...] | None"):
+    """Vectorized explode of the interleaved ``spans`` list<struct> column:
+    Arrow list-flatten + kind filter, so the per-item decode loops below
+    only ever touch media rows (reference stores spans the same way —
+    this is the Ray-side flatten of that layout).
+
+    Returns ``(doc_id: pa.Array, span_idx: np.int32[], kind: pa.Array,
+    media_ref: pa.Array)`` for the spans whose kind is in ``kinds``
+    (``None`` = every non-text span).
+    """
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    lens = pc.list_value_length(spans).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        empty_s = pa.array([], pa.string())
+        return empty_s, np.array([], np.int32), empty_s, empty_s
+    parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    span_idx = (np.arange(total, dtype=np.int64)
+                - np.repeat(starts, lens)).astype(np.int32)
+    flat = pc.list_flatten(spans)  # struct rows, aligned with parent/span_idx
+    kind = pc.struct_field(flat, "kind")
+    ref = pc.struct_field(flat, "media_ref")
+    if kinds is None:
+        mask = pc.invert(pc.equal(kind, "text"))
+    else:
+        mask = pc.is_in(kind, value_set=pa.array(list(kinds)))
+    sel = np.flatnonzero(
+        pc.fill_null(mask, False).to_numpy(zero_copy_only=False))
+    doc_col = batch["doc_id"]
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    idx = pa.array(sel)
+    return (doc_col.take(pa.array(parent[sel])), span_idx[sel],
+            kind.take(idx), ref.take(idx))
+
+
+def _binary_from_matrix(rows: np.ndarray) -> pa.Array:
+    """(n, w) uint8 matrix → Arrow binary array of n w-byte values,
+    zero-copy except the single ravel — no per-row bytes() loop."""
+    n, w = rows.shape
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * w)
+    data = pa.py_buffer(np.ascontiguousarray(rows).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n,
+                                 [None, offsets.buffers()[1], data])
 
 
 class MediaFeatureExtractor:
@@ -59,25 +110,37 @@ class MediaFeatureExtractor:
             return v / n if n > 0 else v
         raise NotImplementedError  # pragma: no cover
 
+    def _decode_many(self, kinds: list, refs: list) -> np.ndarray:
+        """Batched fake decode: one splitmix broadcast for every media
+        span in the batch (row-identical to per-span ``_decode``). A real
+        decoder replaces this with a batched model/codec call."""
+        if self.decoder != "fake":  # pragma: no cover - libs not in sandbox
+            return np.stack([self._decode(k, r) for k, r in zip(kinds, refs)])
+        h = hash_strings([f"{k}|{r}" for k, r in zip(kinds, refs)]) \
+            .astype(np.uint64)
+        seeds = splitmix64(np.arange(self.feature_dim, dtype=np.uint64)[None, :]
+                           + h[:, None])
+        v = (seeds.astype(np.float64) / 2**64 - 0.5).astype(np.float32)
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return v / nrm
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "span_idx": [], "kind": [], "media_ref": [], "feature": []}
-        for doc_id, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
-            for si, sp in enumerate(spans or []):
-                if sp["kind"] == "text":
-                    continue
-                out["doc_id"].append(doc_id)
-                out["span_idx"].append(si)
-                out["kind"].append(sp["kind"])
-                out["media_ref"].append(sp["media_ref"])
-                out["feature"].append(self._decode(sp["kind"], sp["media_ref"]))
+        doc_id, span_idx, kind, ref = _explode_media_spans(batch, None)
+        n = len(doc_id)
+        if n:
+            feats = self._decode_many(kind.to_pylist(), ref.to_pylist())
+        else:
+            feats = np.zeros((0, self.feature_dim), np.float32)
+        feature = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * self.feature_dim),
+            pa.array(feats.ravel(), pa.float32()))
         return pa.table({
-            "doc_id": pa.array(out["doc_id"], pa.string()),
-            "span_idx": pa.array(out["span_idx"], pa.int32()),
-            "kind": pa.array(out["kind"], pa.string()),
-            "media_ref": pa.array(out["media_ref"], pa.string()),
-            "feature": pa.array(
-                [v.tolist() for v in out["feature"]], pa.list_(pa.float32())
-            ),
+            "doc_id": pc.cast(doc_id, pa.string()),
+            "span_idx": pa.array(span_idx, pa.int32()),
+            "kind": pc.cast(kind, pa.string()),
+            "media_ref": pc.cast(ref, pa.string()),
+            "feature": feature,
         })
 
 
@@ -128,30 +191,29 @@ class MediaResizer:
         return src_w, src_h, (seeds & np.uint64(0xFF)).astype(np.uint8).tobytes()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {k: [] for k in ("doc_id", "span_idx", "media_ref",
-                               "src_width", "src_height", "pixels")}
-        for doc_id, spans in zip(batch["doc_id"].to_pylist(),
-                                 batch["spans"].to_pylist()):
-            for si, sp in enumerate(spans or []):
-                if sp["kind"] != "image":
-                    continue
-                sw, sh, px = self._decode_resize(sp["media_ref"])
-                out["doc_id"].append(doc_id)
-                out["span_idx"].append(si)
-                out["media_ref"].append(sp["media_ref"])
-                out["src_width"].append(sw)
-                out["src_height"].append(sh)
-                out["pixels"].append(px)
-        n = len(out["doc_id"])
+        doc_id, span_idx, _, ref = _explode_media_spans(batch, ("image",))
+        n = len(doc_id)
+        if n:
+            h = hash_strings(ref.to_pylist()).astype(np.uint64)
+            src_w = 16 + (h % np.uint64(4096)).astype(np.int32)
+            src_h = 16 + ((h >> np.uint64(12)) % np.uint64(4096)).astype(np.int32)
+            npx = self.width * self.height
+            seeds = splitmix64(np.arange(npx, dtype=np.uint64)[None, :]
+                               + h[:, None])
+            pixels = _binary_from_matrix(
+                (seeds & np.uint64(0xFF)).astype(np.uint8))
+        else:
+            src_w = src_h = np.array([], np.int32)
+            pixels = pa.array([], pa.binary())
         return pa.table({
-            "doc_id": pa.array(out["doc_id"], pa.string()),
-            "span_idx": pa.array(out["span_idx"], pa.int32()),
-            "media_ref": pa.array(out["media_ref"], pa.string()),
-            "src_width": pa.array(out["src_width"], pa.int32()),
-            "src_height": pa.array(out["src_height"], pa.int32()),
+            "doc_id": pc.cast(doc_id, pa.string()),
+            "span_idx": pa.array(span_idx, pa.int32()),
+            "media_ref": pc.cast(ref, pa.string()),
+            "src_width": pa.array(src_w, pa.int32()),
+            "src_height": pa.array(src_h, pa.int32()),
             "width": pa.array(np.full(n, self.width, np.int32)),
             "height": pa.array(np.full(n, self.height, np.int32)),
-            "pixels": pa.array(out["pixels"], pa.binary()),
+            "pixels": pixels,
         })
 
 
@@ -175,41 +237,43 @@ class FrameSampler:
                 "real frame decoding needs av/ffmpeg, not available in "
                 "this container; use decoder='fake'")
 
-    def _meta(self, media_ref: str) -> tuple[int, float]:
-        h = np.uint64(int(hash_strings([media_ref])[0]))
-        n_frames = 1 + int(h % np.uint64(600))
-        fps = 10.0 + float((h >> np.uint64(10)) % np.uint64(50))
-        return n_frames, fps
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {k: [] for k in ("doc_id", "span_idx", "media_ref",
-                               "frame_idx", "frame_ts_us", "frame")}
-        for doc_id, spans in zip(batch["doc_id"].to_pylist(),
-                                 batch["spans"].to_pylist()):
-            for si, sp in enumerate(spans or []):
-                if sp["kind"] not in ("audio", "video"):
-                    continue
-                n_frames, fps = self._meta(sp["media_ref"])
-                idxs = np.arange(0, n_frames, self.stride)[:self.max_frames]
-                h = np.uint64(int(hash_strings([sp["media_ref"]])[0]))
-                for fi in idxs:
-                    seeds = splitmix64(
-                        np.arange(self.frame_bytes, dtype=np.uint64)
-                        + h + np.uint64(int(fi)))
-                    out["doc_id"].append(doc_id)
-                    out["span_idx"].append(si)
-                    out["media_ref"].append(sp["media_ref"])
-                    out["frame_idx"].append(int(fi))
-                    out["frame_ts_us"].append(int(fi / fps * 1e6))
-                    out["frame"].append(
-                        (seeds & np.uint64(0xFF)).astype(np.uint8).tobytes())
+        doc_id, span_idx, _, ref = _explode_media_spans(
+            batch, ("audio", "video"))
+        n = len(doc_id)
+        if n == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "span_idx": pa.array([], pa.int32()),
+                "media_ref": pa.array([], pa.string()),
+                "frame_idx": pa.array([], pa.int32()),
+                "frame_ts_us": pa.array([], pa.int64()),
+                "frame": pa.array([], pa.binary()),
+            })
+        h = hash_strings(ref.to_pylist()).astype(np.uint64)
+        n_frames = 1 + (h % np.uint64(600)).astype(np.int64)
+        fps = 10.0 + ((h >> np.uint64(10)) % np.uint64(50)).astype(np.float64)
+        # frames per span: every stride-th frame, capped at max_frames
+        counts = np.minimum((n_frames + self.stride - 1) // self.stride,
+                            self.max_frames).astype(np.int64)
+        total = int(counts.sum())
+        rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]),
+                              counts))
+        frame_idx = within * self.stride
+        ts_us = (frame_idx / fps[rep] * 1e6).astype(np.int64)
+        seeds = splitmix64(np.arange(self.frame_bytes, dtype=np.uint64)[None, :]
+                           + (h[rep] + frame_idx.astype(np.uint64))[:, None])
+        frames = _binary_from_matrix((seeds & np.uint64(0xFF)).astype(np.uint8))
+        take = pa.array(rep)
         return pa.table({
-            "doc_id": pa.array(out["doc_id"], pa.string()),
-            "span_idx": pa.array(out["span_idx"], pa.int32()),
-            "media_ref": pa.array(out["media_ref"], pa.string()),
-            "frame_idx": pa.array(out["frame_idx"], pa.int32()),
-            "frame_ts_us": pa.array(out["frame_ts_us"], pa.int64()),
-            "frame": pa.array(out["frame"], pa.binary()),
+            "doc_id": pc.cast(doc_id.take(take), pa.string()),
+            "span_idx": pa.array(span_idx[rep], pa.int32()),
+            "media_ref": pc.cast(ref.take(take), pa.string()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "frame_ts_us": pa.array(ts_us, pa.int64()),
+            "frame": frames,
         })
 
 

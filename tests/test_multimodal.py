@@ -31,6 +31,43 @@ def test_fake_decode_deterministic():
     assert not np.array_equal(a, c)
 
 
+def test_vectorized_explode_matches_scalar(corpus):
+    """The Arrow-kernel span explode + batched fake decode must be
+    row-identical to the scalar per-span reference (order, values,
+    features, frame bytes)."""
+    from entity_linking_ray.stages.multimodal import sample_frames
+    from entity_linking_ray.functions.hashing import hash_strings, splitmix64
+
+    docs = ray.data.from_arrow(corpus["documents"])
+    out = extract_media_features(docs, concurrency=1).to_pandas()
+    out = out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+    # scalar reference: python loop over every span
+    ex = MediaFeatureExtractor()
+    ref_rows = []
+    for doc_id, spans in zip(corpus["documents"]["doc_id"].to_pylist(),
+                             corpus["documents"]["spans"].to_pylist()):
+        for si, sp in enumerate(spans or []):
+            if sp["kind"] == "text":
+                continue
+            ref_rows.append((doc_id, si, sp["kind"], sp["media_ref"],
+                             ex._decode(sp["kind"], sp["media_ref"])))
+    ref_rows.sort(key=lambda r: (r[0], r[1]))
+    assert len(out) == len(ref_rows)
+    for (_, row), (doc_id, si, kind, mref, feat) in zip(out.iterrows(), ref_rows):
+        assert (row["doc_id"], row["span_idx"], row["kind"],
+                row["media_ref"]) == (doc_id, si, kind, mref)
+        assert np.allclose(np.asarray(row["feature"]), feat)
+
+    # frame sampler: spot-check one span's frame bytes vs the scalar recipe
+    fr = sample_frames(docs, stride=7, max_frames=3).to_pandas()
+    row = fr.sort_values(["doc_id", "span_idx", "frame_idx"]).iloc[0]
+    h = np.uint64(int(hash_strings([row["media_ref"]])[0]))
+    seeds = splitmix64(np.arange(256, dtype=np.uint64) + h
+                       + np.uint64(int(row["frame_idx"])))
+    assert row["frame"] == (seeds & np.uint64(0xFF)).astype(np.uint8).tobytes()
+
+
 def test_real_decoder_raises_clearly():
     with pytest.raises(NotImplementedError, match="image/audio library"):
         MediaFeatureExtractor(decoder="real")
