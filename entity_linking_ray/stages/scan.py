@@ -4,8 +4,8 @@ A prefix sum over a global ordering is the classic distributed SCAN: it
 cannot ride a plain groupby (every row's value depends on all preceding
 rows). The scale shape used here is range-bucketed two-phase scan:
 
-1. bucket each row by a range partition of the order column (bucket
-   boundaries from a cheap min/max aggregate — NOT a sort);
+1. bucket each row by a range partition of the order column (equi-depth
+   boundaries from per-block quantile sketches — NOT a sort);
 2. per-bucket: order rows, cumsum locally, and emit the bucket TOTAL;
 3. the bucket totals (one row per bucket, driver-small by construction)
    cumsum on the driver into per-bucket offsets, broadcast back;
@@ -31,22 +31,47 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def _bucket_bounds(ds: ray.data.Dataset, order_col: str,
-                   num_buckets: int) -> tuple[int, int, int]:
-    """(lo, hi, width) for uniform range buckets over ``order_col`` —
-    one cheap min/max aggregate, no sort. Degenerates to (0, 0, 1) on an
-    empty input (the aggregate yields None) — callers short-circuit the
-    empty case themselves, this is belt-and-braces."""
-    from ray.data.aggregate import Max, Min
+_SKETCH_POINTS = 33  # per-block quantile points shipped to the driver
 
-    agg = ds.aggregate(Min(order_col), Max(order_col))
-    mn = agg.get(f"min({order_col})") if agg else None
-    mx = agg.get(f"max({order_col})") if agg else None
-    if mn is None or mx is None:
-        return 0, 0, 1
-    lo, hi = int(mn), int(mx)
-    width = max(1, (hi - lo) // num_buckets + 1)
-    return lo, hi, width
+
+def _bucket_boundaries(ds: ray.data.Dataset, order_col: str,
+                       num_buckets: int) -> np.ndarray:
+    """Equi-depth range-bucket boundaries over ``order_col``: each block
+    emits a tiny quantile sketch (``_SKETCH_POINTS`` value points + its
+    row count), the driver merges them by weighted rank — O(blocks × 33)
+    driver rows, no sort, no RNG (deterministic for resume/scaling runs).
+
+    Returns a sorted int64 boundary array ``b``; a row's bucket is
+    ``searchsorted(b, v, side="right")``. Equal values always land in
+    the same bucket, so buckets remain value RANGES (cross-bucket
+    ordering — what the two-phase scan/rank needs — is exact regardless
+    of sketch error; sketch error only costs balance, and boundaries
+    track the data distribution instead of uniform min/max width, so a
+    skewed column can no longer pile most rows into one bucket).
+    Empty input → empty boundaries (single bucket 0); callers
+    short-circuit the empty case themselves, this is belt-and-braces."""
+    qs = np.linspace(0.0, 1.0, _SKETCH_POINTS)
+
+    def sketch(b: pa.Table) -> pa.Table:
+        v = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64())})
+        pts = np.quantile(v, qs, method="nearest").astype(np.int64)
+        w = np.full(len(pts), len(v) / len(pts), np.float64)
+        return pa.table({"v": pts, "w": w})
+
+    samp = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    if len(samp) == 0:
+        return np.array([], np.int64)
+    v = samp["v"].to_numpy(np.int64)
+    w = samp["w"].to_numpy(np.float64)
+    order = np.argsort(v, kind="mergesort")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    targets = cw[-1] * np.arange(1, num_buckets) / num_buckets
+    bounds = v[np.minimum(np.searchsorted(cw, targets), len(v) - 1)]
+    return np.unique(bounds)  # low-cardinality columns yield fewer buckets
 
 
 def _typed_empty_like(ds: ray.data.Dataset,
@@ -74,11 +99,12 @@ def prefix_sum(ds: ray.data.Dataset, *, order_col: str, val_col: str,
     ds = ds.select_columns(cols).materialize()
     if ds.count() == 0:  # typed empty out for empty in (pinned behavior)
         return _typed_empty_like(ds, {out_col: pa.int64()})
-    lo, _, width = _bucket_bounds(ds, order_col, num_buckets)
+    bounds = _bucket_boundaries(ds, order_col, num_buckets)
 
     def tag(b: pa.Table) -> pa.Table:
-        bucket = pc.cast(pc.divide(pc.subtract(b[order_col], pa.scalar(lo)),
-                                   pa.scalar(width)), pa.int64())
+        v = b[order_col].to_numpy(zero_copy_only=False)
+        bucket = pa.array(np.searchsorted(bounds, v, side="right")
+                          .astype(np.int64))
         return b.select(cols).append_column("__b", bucket)
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
@@ -148,22 +174,23 @@ def global_rank(ds: ray.data.Dataset, *, val_col: str, id_col: str,
     """→ (id_col, val_col, out_col) — the dense global ordering rank:
     SQL ``row_number() OVER (ORDER BY val, id)`` (int64 ``val_col``;
     callers fixed-point-encode floats so both sides compare identical
-    integers). The classic range-partitioned sort shape: uniform value
-    buckets from one min/max aggregate, per-bucket counts → exclusive
-    offsets (O(num_buckets) driver rows), then one groupby(bucket) whose
-    kernel sorts locally and adds the offset — a full sort's ordering
-    without ray.data.sort's merge step, and the offsets double as an
-    equi-depth histogram of the value column (skewed buckets are visible,
-    not silent)."""
+    integers). The classic range-partitioned sort shape: equi-depth value
+    buckets from per-block quantile sketches, per-bucket counts →
+    exclusive offsets (O(num_buckets) driver rows), then one
+    groupby(bucket) whose kernel sorts locally and adds the offset — a
+    full sort's ordering without ray.data.sort's merge step; boundaries
+    follow the data distribution, so a skewed value column cannot pile
+    most rows into one bucket (only an equal-value run is indivisible)."""
     cols = [id_col, val_col]
     ds = ds.select_columns(cols).materialize()  # three consumers below
     if ds.count() == 0:  # typed empty out for empty in (pinned behavior)
         return _typed_empty_like(ds, {out_col: pa.int64()})
-    lo, _, width = _bucket_bounds(ds, val_col, num_buckets)
+    bounds = _bucket_boundaries(ds, val_col, num_buckets)
 
     def tag(b: pa.Table) -> pa.Table:
-        bucket = pc.cast(pc.divide(pc.subtract(b[val_col], pa.scalar(lo)),
-                                   pa.scalar(width)), pa.int64())
+        v = b[val_col].to_numpy(zero_copy_only=False)
+        bucket = pa.array(np.searchsorted(bounds, v, side="right")
+                          .astype(np.int64))
         return b.append_column("__b", bucket)
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
@@ -198,20 +225,21 @@ def global_ntile(ds: ray.data.Dataset, *, val_col: str, id_col: str,
     id)``: rows split into k buckets as equal as possible, the first
     ``total % k`` buckets one row larger (the SQL remainder rule).
 
-    Same range-partitioned shape as :func:`global_rank` (uniform value
-    buckets from one min/max aggregate, per-bucket counts → exclusive
-    offsets, per-bucket local sort + offset); the tile is a pure function
+    Same range-partitioned shape as :func:`global_rank` (equi-depth value
+    buckets from per-block quantile sketches, per-bucket counts →
+    exclusive offsets, per-bucket local sort + offset); the tile is a pure function
     of the global rank and the total, both known once the O(num_buckets)
     offsets table is on the driver — no extra pass."""
     cols = [id_col, val_col]
     ds = ds.select_columns(cols).materialize()
     if ds.count() == 0:  # typed empty out for empty in (pinned behavior)
         return _typed_empty_like(ds, {out_col: pa.int64()})
-    lo, _, width = _bucket_bounds(ds, val_col, num_buckets)
+    bounds = _bucket_boundaries(ds, val_col, num_buckets)
 
     def tag(b: pa.Table) -> pa.Table:
-        bucket = pc.cast(pc.divide(pc.subtract(b[val_col], pa.scalar(lo)),
-                                   pa.scalar(width)), pa.int64())
+        v = b[val_col].to_numpy(zero_copy_only=False)
+        bucket = pa.array(np.searchsorted(bounds, v, side="right")
+                          .astype(np.int64))
         return b.append_column("__b", bucket)
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")

@@ -149,3 +149,32 @@ def test_scan_family_empty_input_returns_typed_empty(ray_session):
     gr = global_rank(empty, val_col="v", id_col="rid")
     assert gr.count() == 0
     assert set(gr.schema().names) == {"rid", "v", "rnk"}
+
+
+def test_equi_depth_buckets_balance_skewed_values(ray_session):
+    """A heavily skewed (but distinct) value column must still spread
+    across buckets: with uniform min/max-width bounds, v = i**4 piles
+    ~1/3 of the rows into bucket 0; the equi-depth sketch boundaries
+    must keep every bucket under ~2x the mean occupancy — and the
+    global rank over the skewed column stays exact."""
+    import pyarrow as pa
+
+    from entity_linking_ray.stages.scan import (_bucket_boundaries,
+                                                global_rank)
+
+    n, k = 8000, 32
+    vals = (np.arange(n, dtype=np.int64) ** 4)  # long right tail
+    rng = np.random.default_rng(11)
+    perm = rng.permutation(n)
+    t = pa.table({"rid": pa.array(np.arange(n, dtype=np.int64)[perm]),
+                  "v": pa.array(vals[perm])})
+    ds = ray.data.from_arrow(t).repartition(8).materialize()
+
+    bounds = _bucket_boundaries(ds, "v", k)
+    occ = np.bincount(np.searchsorted(bounds, vals, side="right"))
+    assert occ.max() <= 2.0 * occ.mean(), occ.tolist()
+
+    out = global_rank(ds, val_col="v", id_col="rid",
+                      num_buckets=k).to_pandas()
+    got = out.sort_values("v")["rnk"].to_numpy()
+    assert (got == np.arange(1, n + 1)).all()
