@@ -2379,3 +2379,157 @@ def _q_part_unpivot(sf_dir: str):
         })
 
     return part.map_batches(melt, batch_format="pyarrow")
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH hours AS (
+      SELECT unnest(generate_series(
+        date_trunc('hour', (SELECT min(ts) FROM events)),
+        date_trunc('hour', (SELECT max(ts) FROM events)),
+        INTERVAL 1 HOUR)) AS hour),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT t.event_type, h.hour, coalesce(c.n, 0) AS n
+    FROM types t CROSS JOIN hours h
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = h.hour
+    """,
+)
+def _q_events_hourly_gapfill(sf_dir: str):
+    """Time-series densification: hourly counts per event_type with ZERO
+    rows for silent hours (the gap-fill every monitoring/feature pipeline
+    needs before a rolling model sees the series). Combiner groupby for
+    the counts, one Min/Max aggregate for the range, per-key vectorized
+    arange fill — see stages/windows.gap_fill_counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.windows import gap_fill_counts
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    out = gap_fill_counts(ev, key_col="event_type", ts_col="ts",
+                          width_us=3_600_000_000, bucket_col="hour")
+
+    def to_us(b: pa.Table) -> pa.Table:
+        # pandas kernels re-emerge as ns; pin the oracle's us unit
+        return b.set_column(b.schema.get_field_index("hour"), "hour",
+                            pc.cast(b["hour"], pa.timestamp("us")))
+
+    return out.map_batches(to_us, batch_format="pyarrow")
+
+
+@register(
+    "user_median_value",
+    """
+    SELECT user_id,
+           quantile_disc(cast(round(value * 1000000) as bigint), 0.5)
+             AS median_units
+    FROM events GROUP BY user_id
+    """,
+)
+def _q_user_median_value(sf_dir: str):
+    """Per-key exact discrete median (percentile_disc 0.5) — an order
+    statistic, NOT a combinable aggregate: the coarse key-hash-bucket
+    shuffle co-locates each key's values, one segmented vectorized pick
+    per bucket (stages/windows.grouped_quantile_disc; the ceil(q*n)-1
+    index is pinned to DuckDB quantile_disc semantics in pytest)."""
+    from .stages.windows import grouped_quantile_disc
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    return grouped_quantile_disc(ev, key_col="user_id", val_col="value",
+                                 q=0.5, out_col="median_units")
+
+
+@register(
+    "orders_snapshot_diff",
+    """
+    WITH a AS (SELECT o_orderkey,
+                      cast(round(o_totalprice * 100) as bigint) AS cents
+               FROM orders WHERE o_orderkey % 97 <> 0),
+    b AS (SELECT o_orderkey,
+                 cast(round(o_totalprice * 100) as bigint)
+                 + CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END AS cents
+          FROM orders WHERE o_orderkey % 89 <> 0)
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           coalesce(a.cents, -1) AS old_cents,
+           coalesce(b.cents, -1) AS new_cents
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.cents <> b.cents
+    """,
+)
+def _q_orders_snapshot_diff(sf_dir: str):
+    """CDC-style snapshot reconciliation: two deterministic snapshots
+    derived from orders (modulus-keyed deletions on each side + a 1-cent
+    perturbation on every 50th key) diffed by stages/diff.snapshot_diff —
+    the FULL OUTER JOIN + CASE shape as a slim tag-union co-group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.diff import snapshot_diff
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def snap(side: int):
+        mod = 97 if side == 0 else 89
+
+        def f(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            cents = pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            if side == 1:
+                cents = cents + ((k % 50) == 0)
+            keep = (k % mod) != 0
+            return pa.table({"o_orderkey": pa.array(k[keep]),
+                             "cents": pa.array(cents[keep])})
+        return f
+
+    old = orders.map_batches(snap(0), batch_format="pyarrow")
+    new = orders.map_batches(snap(1), batch_format="pyarrow")
+    return snapshot_diff(old, new, key_col="o_orderkey", val_col="cents",
+                         num_buckets=_table_partitions(sf_dir, "orders"))
+
+
+@register(
+    "doc_redaction_stats",
+    r"""
+    SELECT doc_id,
+           length(regexp_replace(text, '\b(key|hash|table)\b', '<x>', 'g'))
+             AS redacted_len,
+           len(regexp_extract_all(text, '\b(key|hash|table)\b')) AS n_hits
+    FROM documents
+    """,
+)
+def _q_doc_redaction_stats(sf_dir: str):
+    """PII-shaped redaction scrub: mask a term list behind word
+    boundaries and report per-doc hit counts + post-redaction length —
+    pure zero-copy Arrow RE2 kernels (replace_substring_regex /
+    count_substring_regex), no Python row loop; both engines run RE2 so
+    \\b semantics agree exactly (verified at build time)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = r"\b(key|hash|table)\b"
+
+    def red(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "redacted_len": pc.cast(pc.utf8_length(
+                pc.replace_substring_regex(b["text"], pattern=pat,
+                                           replacement="<x>")), pa.int64()),
+            "n_hits": pc.cast(pc.count_substring_regex(b["text"],
+                                                       pattern=pat),
+                              pa.int64()),
+        })
+
+    return docs.map_batches(red, batch_format="pyarrow")

@@ -911,3 +911,111 @@ def grouped_ntile(events: ray.data.Dataset, *, key_col: str, id_col: str,
     return (events.map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
             .groupby("__kb").map_groups(ntile_bulk, batch_format="pandas"))
+
+
+def grouped_quantile_disc(events: ray.data.Dataset, *, key_col: str,
+                          val_col: str, q: float, scale: int = 1_000_000,
+                          out_col: str = "q_units") -> ray.data.Dataset:
+    """→ (key, out_col) — per-key DISCRETE quantile: the smallest element
+    whose cumulative proportion ≥ q, i.e. sorted[ceil(q·n) - 1] — exactly
+    SQL ``quantile_disc`` / ``percentile_disc(q) WITHIN GROUP`` (verified
+    against DuckDB for uneven n and q ∉ {0.5}). Unlike a mean/interpolated
+    quantile the result is an actual data value, so fixed-point int64
+    units hash exactly against the oracle.
+
+    Scale shape: same coarse key-hash-bucket shuffle as the other per-key
+    kernels (``__kb`` = hash(key) % buckets); the kernel is ONE segmented
+    vectorized pass over every key in the bucket — sort by (key, units),
+    segment starts via key-change flags, then a single fancy-index pick at
+    start + ceil(q·cnt) - 1 per segment. A discrete quantile inherently
+    needs each key's full value set co-located (it is an order statistic,
+    not a combinable aggregate); per-key rows must fit a task — the same
+    documented cap as grouped_ntile/grouped_ordered_concat."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must be in (0, 1], got {q}")
+
+    def prep(b: pa.Table) -> pa.Table:
+        units = pc.cast(pc.round(
+            pc.multiply(pc.cast(b[val_col], pa.float64()),
+                        pa.scalar(float(scale))),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({key_col: b[key_col], "value_units": units})
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "value_units"], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        units = g["value_units"].to_numpy(np.int64)
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.append(starts, n))
+        idx = starts + np.ceil(q * cnt).astype(np.int64) - 1
+        return pd.DataFrame({key_col: keys[starts], out_col: units[idx]})
+
+    return (events.map_batches(prep, batch_format="pyarrow")
+            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
+            .groupby("__kb").map_groups(pick, batch_format="pandas"))
+
+
+def gap_fill_counts(events: ray.data.Dataset, *, key_col: str, ts_col: str,
+                    width_us: int, out_col: str = "n",
+                    bucket_col: str = "bucket") -> ray.data.Dataset:
+    """→ (key, bucket_col: timestamp[us], out_col: int64) — DENSIFIED
+    tumbling-window counts: every key × every ``width_us`` bucket in the
+    global [min, max] event-time range gets a row, 0 where no events fell
+    (time-series gap fill; SQL shape: generate_series × distinct keys
+    LEFT JOIN the grouped counts).
+
+    Scale shape: the count pass is the two-phase combiner groupby (batch
+    partials → groupby sum — only (key, bucket, n) partials shuffle); the
+    global range is ONE Min/Max aggregate over the already-aggregated
+    counts (two scalars on the driver — the counts' bucket range equals
+    the events' by construction). Densification is a per-key map_groups
+    over the counts table: each group holds a key's OBSERVED buckets and
+    emits the full range via one np.arange + searchsorted fill. Output
+    rows = keys × span-buckets by definition of the operator; a key's
+    densified series must fit a task (span-bounded, not data-bounded —
+    the same documented cap as grouped_ordered_concat)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def bucket(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        w = pc.multiply(pc.cast(pc.divide(us, pa.scalar(width_us)),
+                                pa.int64()), pa.scalar(width_us))
+        t = pa.table({key_col: b[key_col], "__w": w})
+        g = t.group_by([key_col, "__w"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "__w", "__n"])
+
+    counts = (events.map_batches(bucket, batch_format="pyarrow")
+              .groupby([key_col, "__w"])
+              .aggregate(Sum("__n", alias_name="__n"))
+              .materialize())  # two consumers: the range agg + the fill
+    agg = counts.aggregate(Min("__w"), Max("__w"))
+    lo = agg.get("min(__w)") if agg else None
+    hi = agg.get("max(__w)") if agg else None
+    if lo is None or hi is None:  # empty input → typed empty out
+        in_schema = events.schema()  # groupby of empty loses its schema
+        key_type = (dict(zip(in_schema.names, in_schema.types))
+                    .get(key_col, pa.string()) if in_schema is not None
+                    else pa.string())
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], key_type),
+            bucket_col: pa.array([], pa.timestamp("us")),
+            out_col: pa.array([], pa.int64()),
+        }))
+    full = np.arange(int(lo), int(hi) + 1, width_us, dtype=np.int64)
+
+    def fill(group: pd.DataFrame) -> pd.DataFrame:
+        obs_w = group["__w"].to_numpy(np.int64)
+        obs_n = group["__n"].to_numpy(np.int64)
+        n = np.zeros(len(full), np.int64)
+        n[np.searchsorted(full, obs_w)] = obs_n
+        return pd.DataFrame({
+            key_col: np.repeat(group[key_col].iloc[0], len(full)),
+            bucket_col: full.astype("datetime64[us]"),
+            out_col: n,
+        })
+
+    return counts.groupby(key_col).map_groups(fill, batch_format="pandas")

@@ -208,3 +208,83 @@ def test_rate_thin_and_mix_deterministic(ray_session):
     df = mixed.to_pandas()
     assert (df["src"] == "a").sum() == 1000          # kept whole
     assert 350 < (df["src"] == "b").sum() < 650      # ~half
+
+
+def test_grouped_quantile_disc_matches_duckdb_many_q(ray_session):
+    """Pin the ceil(q*n)-1 discrete-quantile index to DuckDB
+    quantile_disc across uneven group sizes and off-median q."""
+    import duckdb
+
+    from entity_linking_ray.stages.windows import grouped_quantile_disc
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, n),          # uneven group sizes
+        "v": rng.normal(0, 100, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    con = duckdb.connect()
+    con.register("t", df)
+    for q in (0.1, 0.25, 0.5, 0.9, 1.0):
+        got = (grouped_quantile_disc(ds, key_col="k", val_col="v", q=q)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        want = con.execute(
+            "SELECT k, quantile_disc(cast(round(v * 1000000) as bigint), "
+            f"{q}) AS q_units FROM t GROUP BY k ORDER BY k").fetchdf()
+        assert (got["k"].values == want["k"].values).all()
+        assert (got["q_units"].values == want["q_units"].values).all(), q
+    with pytest.raises(ValueError):
+        grouped_quantile_disc(ds, key_col="k", val_col="v", q=0.0)
+
+
+def test_snapshot_diff_statuses(ray_session):
+    from entity_linking_ray.stages.diff import snapshot_diff
+
+    old = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64())}))
+    new = ray.data.from_arrow(pa.table({
+        "id": pa.array([2, 3, 4, 5], pa.int64()),
+        "v": pa.array([20, 31, 40, 50], pa.int64())}))
+    out = (snapshot_diff(old, new, key_col="id", val_col="v",
+                         num_buckets=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (1, "removed", 10, -1),
+        (3, "changed", 30, 31),
+        (5, "added", -1, 50),
+    ]
+    # opt-in unchanged rows; sentinel override
+    full = snapshot_diff(old, new, key_col="id", val_col="v",
+                         num_buckets=4, include_unchanged=True,
+                         missing=0).to_pandas()
+    assert len(full) == 5
+    assert set(full["status"]) == {"added", "removed", "changed",
+                                   "unchanged"}
+    assert full.loc[full["id"] == 1, "new_v"].iloc[0] == 0
+
+
+def test_gap_fill_counts_dense_and_empty(ray_session):
+    from entity_linking_ray.stages.windows import gap_fill_counts
+
+    ts = pa.array(np.array([0, 1, 2, 7, 7, 9], dtype="datetime64[s]")
+                  .astype("datetime64[us]"))
+    ev = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", "a"]), "ts": ts}))
+    out = gap_fill_counts(ev, key_col="k", ts_col="ts",
+                          width_us=1_000_000).to_pandas()
+    # every key x every second in [0, 9]: 2 * 10 rows, zeros where silent
+    assert len(out) == 20
+    a = out[out["k"] == "a"].sort_values("bucket")["n"].to_numpy()
+    assert (a == [1, 1, 1, 0, 0, 0, 0, 0, 0, 1]).all()
+    b = out[out["k"] == "b"].sort_values("bucket")["n"].to_numpy()
+    assert (b == [0, 0, 0, 0, 0, 0, 0, 2, 0, 0]).all()
+
+    empty = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us"))}))
+    eo = gap_fill_counts(empty, key_col="k", ts_col="ts",
+                         width_us=1_000_000)
+    assert eo.count() == 0
+    assert set(eo.schema().names) == {"k", "bucket", "n"}
