@@ -2533,3 +2533,105 @@ def _q_doc_redaction_stats(sf_dir: str):
         })
 
     return docs.map_batches(red, batch_format="pyarrow")
+
+
+@register(
+    "user_seq_pattern_count",
+    """
+    SELECT user_id,
+           len(regexp_extract_all(
+               string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id),
+               'view(,click)+,purchase')) AS n_matches
+    FROM events GROUP BY user_id
+    """,
+)
+def _q_user_seq_pattern_count(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: count per user of the behavioral pattern
+    view → click+ → purchase over the time-ordered event-type sequence.
+    Rides grouped_ordered_concat (one coarse-bucket shuffle) and then a
+    pure Arrow RE2 count over the sequence strings — event types are
+    comma-delimited whole tokens, so the regex is anchored by the
+    delimiters; both engines run RE2, so non-overlapping greedy match
+    semantics agree exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.windows import grouped_ordered_concat
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    seq = grouped_ordered_concat(ev, key_col="user_id", ts_col="ts",
+                                 id_col="event_id", val_col="event_type")
+
+    def count(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_matches": pc.cast(
+                pc.count_substring_regex(
+                    b["seq"], pattern=r"view(,click)+,purchase"),
+                pa.int64()),
+        })
+
+    return seq.map_batches(count, batch_format="pyarrow")
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled 5-iteration PageRank as chained CTEs — possible only
+    because the Ray operator runs exact int64 fixed-point arithmetic
+    (stages/graph.py), so an ITERATIVE graph algorithm gets a full
+    value-hash oracle instead of the usual rows-only check."""
+    units = 10**15
+    parts = [f"""
+    WITH e0 AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst
+                FROM lineitem
+                UNION ALL
+                SELECT l_partkey*2+1 AS src, l_orderkey*2 AS dst
+                FROM lineitem),
+    e AS (SELECT DISTINCT src, dst FROM e0),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+    params AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT node, cast({units} // (SELECT n FROM params) AS bigint)
+                  AS r, d
+           FROM deg)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    c{i} AS (SELECT e.dst AS node,
+                    sum((85 * r{i-1}.r) // (100 * r{i-1}.d)) AS s
+             FROM e JOIN r{i-1} ON e.src = r{i-1}.node GROUP BY e.dst),
+    r{i} AS (SELECT r{i-1}.node,
+                    cast((SELECT (15 * {units}) // (100 * n) FROM params)
+                         + coalesce(c{i}.s, 0) AS bigint) AS r,
+                    r{i-1}.d
+             FROM r{i-1} LEFT JOIN c{i} ON c{i}.node = r{i-1}.node)""")
+    parts.append(f"\n    SELECT node, r FROM r{iters}")
+    return "".join(parts)
+
+
+@register("part_order_pagerank", _pagerank_sql(5))
+def _q_part_order_pagerank(sf_dir: str):
+    """Entity-popularity prior via PageRank over the undirected-ized
+    order↔part co-purchase graph (generalizes the reference's
+    incoming-link-count boost, entity_sort/data_process.py). 5 exact
+    fixed-point iterations — two slim co-group shuffles per iteration,
+    per-batch combiners on both; see stages/graph.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def both(b: pa.Table) -> pa.Table:
+        ok = pc.cast(b["l_orderkey"], pa.int64())
+        pk = pc.cast(b["l_partkey"], pa.int64())
+        o2 = pc.multiply(ok, 2).combine_chunks() \
+            if isinstance(ok, pa.ChunkedArray) else pc.multiply(ok, 2)
+        p2 = pc.add(pc.multiply(pk, 2), 1)
+        p2 = p2.combine_chunks() if isinstance(p2, pa.ChunkedArray) else p2
+        return pa.table({
+            "src": pa.concat_arrays([o2, p2]),
+            "dst": pa.concat_arrays([p2, o2]),
+        })
+
+    edges = li.map_batches(both, batch_format="pyarrow")
+    return pagerank(edges, iters=5,
+                    num_buckets=_table_partitions(sf_dir, "lineitem"))

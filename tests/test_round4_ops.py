@@ -288,3 +288,34 @@ def test_gap_fill_counts_dense_and_empty(ray_session):
                          width_us=1_000_000)
     assert eo.count() == 0
     assert set(eo.schema().names) == {"k", "bucket", "n"}
+
+
+def test_pagerank_matches_integer_reference(ray_session):
+    """Fixed-point PageRank vs a pure-python reference running the
+    identical integer arithmetic — exact equality, any partitioning."""
+    from entity_linking_ray.stages.graph import UNITS, pagerank
+
+    raw = [(1, 2), (2, 1), (1, 3), (3, 1), (3, 4), (4, 3), (2, 3),
+           (3, 2), (1, 2)]  # duplicate edge must not double-count
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in raw], pa.int64()),
+        "dst": pa.array([b for _, b in raw], pa.int64()),
+    })).repartition(3)
+    got = (pagerank(ds, iters=4, num_buckets=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+
+    edges = sorted(set(raw))
+    nodes = sorted({x for e in edges for x in e})
+    deg = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+    n = len(nodes)
+    base = (15 * UNITS) // (100 * n)
+    r = {u: UNITS // n for u in nodes}
+    for _ in range(4):
+        inflow = {u: 0 for u in nodes}
+        for s, d in edges:
+            inflow[d] += (85 * r[s]) // (100 * deg[s])
+        r = {u: base + inflow[u] for u in nodes}
+    assert got["node"].tolist() == nodes
+    assert got["r"].tolist() == [r[u] for u in nodes]
+    # node 3 has the highest degree -> highest rank
+    assert max(r, key=r.get) == 3
