@@ -2635,3 +2635,29 @@ def _q_part_order_pagerank(sf_dir: str):
     edges = li.map_batches(both, batch_format="pyarrow")
     return pagerank(edges, iters=5,
                     num_buckets=_table_partitions(sf_dir, "lineitem"))
+
+
+@register("event_value_sketch_quantiles")
+def _q_event_value_sketch_quantiles(sf_dir: str):
+    """APPROXIMATE global quantiles of event value via the mergeable
+    equi-weight summary sketch (stages/sketch.approx_quantiles) — the
+    scale path beside the exact count-histogram quantiles: bounded
+    (sketch_size × 16 B) shuffle payload per block regardless of value
+    cardinality. Rows-only by nature (a sketch estimate has no exact SQL
+    form); the rank-error bound is pytest-gated against the exact
+    quantiles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.sketch import approx_quantiles
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({"cents": pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0),
+                     round_mode="half_towards_infinity"), pa.int64())})
+
+    return approx_quantiles(ev.map_batches(cents, batch_format="pyarrow"),
+                            val_col="cents",
+                            qs=(0.25, 0.5, 0.75, 0.95, 0.99))

@@ -326,3 +326,81 @@ def grouped_mode(ds: "ray.data.Dataset", *, key_col: str, val_col: str,
             .map_batches(_add_key_bucket(key_col, num_buckets),
                          batch_format="pyarrow")
             .groupby("__kb").map_groups(argmax_bulk, batch_format="pandas"))
+
+
+def _compact_weighted(vals: np.ndarray, wts: np.ndarray,
+                      size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Re-compress a weighted value summary to ``size`` equi-weight
+    points (value at weighted rank (j-0.5)/size · W, weight W/size each)
+    — the classic mergeable quantile-summary compaction: each pass adds
+    ≤ W/(2·size) rank error, so a two-level tree stays under ~1.5·N/size
+    total. Deterministic (no RNG) like every sketch in this module."""
+    order = np.argsort(vals, kind="mergesort")
+    v, w = vals[order], wts[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    targets = total * (np.arange(size, dtype=np.float64) + 0.5) / size
+    idx = np.minimum(np.searchsorted(cw, targets), len(v) - 1)
+    return v[idx], np.full(size, total / size, np.float64)
+
+
+def approx_quantiles(ds: "ray.data.Dataset", *, val_col: str,
+                     qs: "tuple[float, ...]", sketch_size: int = 256,
+                     fanin: int = 64) -> "ray.data.Dataset":
+    """→ (q: float64, value: int64) — approximate quantiles of an int64
+    column via a mergeable equi-weight summary sketch (the third classic
+    sketch next to HLL and Misra-Gries: bounded-size, associative merge,
+    rank error ~1.5·N/sketch_size over the two-level tree — the scale
+    path when the exact range-partitioned quantile pass is too heavy or
+    the input is a stream of partials).
+
+    Shuffle payload: one (sketch_size × 16)-byte blob per input block;
+    merge tree mirrors hll_distinct: fan-in buckets → one blob per
+    bucket → final driver-small merge (≤ fanin rows ever co-locate)."""
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) == 0:
+            return pa.table({"__v": pa.array([], pa.binary()),
+                             "__w": pa.array([], pa.binary()),
+                             "__f": pa.array([], pa.int64())})
+        size = min(sketch_size, len(v))
+        pv, pw = _compact_weighted(v.astype(np.float64),
+                                   np.ones(len(v), np.float64), size)
+        # fan-in key from the first value's bits: deterministic, spreads
+        # partials over the level-1 merge buckets
+        f = int(np.uint64(np.float64(pv[0]).view(np.uint64))
+                % np.uint64(fanin))
+        return pa.table({"__v": pa.array([pv.tobytes()], pa.binary()),
+                         "__w": pa.array([pw.tobytes()], pa.binary()),
+                         "__f": pa.array([f], pa.int64())})
+
+    def _merge_blobs(group: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        vs = np.concatenate([np.frombuffer(x, np.float64)
+                             for x in group["__v"]])
+        ws = np.concatenate([np.frombuffer(x, np.float64)
+                             for x in group["__w"]])
+        return _compact_weighted(vs, ws, sketch_size)
+
+    def merge_level1(group: pd.DataFrame) -> pd.DataFrame:
+        v, w = _merge_blobs(group)
+        return pd.DataFrame({"__v": [v.tobytes()], "__w": [w.tobytes()],
+                             "__g": np.zeros(1, np.int64)})
+
+    def merge_final(group: pd.DataFrame) -> pd.DataFrame:
+        vs = np.concatenate([np.frombuffer(x, np.float64)
+                             for x in group["__v"]])
+        ws = np.concatenate([np.frombuffer(x, np.float64)
+                             for x in group["__w"]])
+        order = np.argsort(vs, kind="mergesort")
+        v, w = vs[order], ws[order]
+        cw = np.cumsum(w)
+        qarr = np.asarray(qs, np.float64)
+        idx = np.minimum(np.searchsorted(cw, qarr * cw[-1]), len(v) - 1)
+        return pd.DataFrame({"q": qarr,
+                             "value": v[idx].astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    level1 = parts.groupby("__f").map_groups(merge_level1,
+                                             batch_format="pandas")
+    return level1.groupby("__g").map_groups(merge_final,
+                                            batch_format="pandas")

@@ -313,3 +313,28 @@ def test_new_window_ops_empty_input(ray_session):
                                   window_rows=3).count() == 0
     assert grouped_first_last(ds, **kw, val_col="event_type").count() == 0
     assert grouped_ordered_concat(ds, **kw, val_col="event_type").count() == 0
+
+
+def test_approx_quantiles_rank_error_bound(ray_session):
+    """Sketch quantiles vs exact on 200k skewed values: rank error of
+    every estimate under 1.5 * N / sketch_size (the two-level compaction
+    bound), and the sketch is deterministic across runs."""
+    from entity_linking_ray.stages.sketch import approx_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = (rng.lognormal(3.0, 1.2, 200_000) * 100).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})) \
+        .repartition(32).materialize()
+    qs = (0.1, 0.25, 0.5, 0.9, 0.99)
+    out = (approx_quantiles(ds, val_col="v", qs=qs, sketch_size=256)
+           .to_pandas().sort_values("q").reset_index(drop=True))
+    assert out["q"].tolist() == list(qs)
+    s = np.sort(vals)
+    n = len(s)
+    budget = 1.5 * n / 256
+    for q, est in zip(out["q"], out["value"]):
+        est_rank = np.searchsorted(s, est, side="right")
+        assert abs(est_rank - q * n) <= budget, (q, est_rank, q * n)
+    out2 = (approx_quantiles(ds, val_col="v", qs=qs, sketch_size=256)
+            .to_pandas().sort_values("q").reset_index(drop=True))
+    assert (out2["value"].values == out["value"].values).all()
