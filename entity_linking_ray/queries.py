@@ -2661,3 +2661,105 @@ def _q_event_value_sketch_quantiles(sf_dir: str):
     return approx_quantiles(ev.map_batches(cents, batch_format="pyarrow"),
                             val_col="cents",
                             qs=(0.25, 0.5, 0.75, 0.95, 0.99))
+
+
+@register(
+    "event_share_of_type",
+    """
+    SELECT event_id,
+           cast((cast(round(value * 100) as bigint) * 1000000)
+                // sum(cast(round(value * 100) as bigint))
+                     OVER (PARTITION BY event_type) as bigint) AS share_ppm
+    FROM events
+    """,
+)
+def _q_event_share_of_type(sf_dir: str):
+    """Ratio-to-report window (each event's share of its type's total,
+    ppm fixed-point): the totals are a combiner groupby collapsing to
+    one row per type — driver-small by key cardinality — broadcast back
+    into a pure map; NO per-row shuffle, unlike the naive window-join
+    formulation. Integer division matches DuckDB exactly because every
+    value is positive (floor == trunc); documented, not assumed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        })
+
+    cev = ev.map_batches(cents, batch_format="pyarrow").materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["event_type", "cents"]).group_by("event_type") \
+            .aggregate([("cents", "sum")])
+        return g.rename_columns(["event_type", "__t"])
+
+    totals = dict(
+        (r["event_type"], r["sum(__t)"])
+        for r in (cev.map_batches(partial, batch_format="pyarrow")
+                  .groupby("event_type").aggregate(Sum("__t"))
+                  .take_all()))  # one row per type — driver-small
+
+    def share(b: pa.Table) -> pa.Table:
+        import numpy as np
+        t = np.array([totals[x] for x in b["event_type"].to_pylist()],
+                     np.int64)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "share_ppm": pa.array((c * 1_000_000) // t),
+        })
+
+    return cev.map_batches(share, batch_format="pyarrow")
+
+
+def _zorder_sql() -> str:
+    """Morton interleave as generated SQL bit terms (bit i of user_id →
+    bit 2i, bit i of the hour index → bit 2i+1) — the same key the
+    vectorized numpy ladder computes."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((((user_id) >> {i}) & 1) << {2 * i})")
+        terms.append(
+            f"((((epoch_us(ts) // 3600000000) & 65535) >> {i} & 1)"
+            f" << {2 * i + 1})")
+    return ("SELECT event_id, cast(" + "\n         + ".join(terms)
+            + " as bigint) AS zkey FROM events")
+
+
+@register("events_zorder_key", _zorder_sql())
+def _q_events_zorder_key(sf_dir: str):
+    """Z-order (Morton) clustering key over (user_id, hour): the write-
+    layout op for 100-TB partitioned output — sorting a partition by
+    this key co-locates rows close in BOTH dimensions so row-group
+    min/max pruning serves range predicates on either column. Pure
+    vectorized bit-spreading (functions/layout.morton2); the oracle is
+    the same interleave as 32 generated SQL bit terms."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .functions.layout import morton2
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def key(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) & 0xFFFF
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "zkey": pa.array(morton2(uid, hour)),
+        })
+
+    return ev.map_batches(key, batch_format="pyarrow")

@@ -130,3 +130,26 @@ def test_fingerprint_golden_values():
     for text, (sh, fp) in golden.items():
         assert simhash64(text) == sh, text
         assert rolling_fingerprint(text) & 0x7FFFFFFFFFFFFFFF == fp, text
+
+
+def test_morton2_bit_interleave():
+    import numpy as np
+
+    from entity_linking_ray.functions.layout import morton2
+
+    a = np.array([0, 1, 2, 0xFFFF, 0x1234], np.int64)
+    b = np.array([0, 1, 1, 0xFFFF, 0x00FF], np.int64)
+    got = morton2(a, b)
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got.tolist() == [ref(x, y) for x, y in zip(a, b)]
+    # only the low 16 bits participate; result is always non-negative
+    big = morton2(np.array([0x7FFF_FFFF_FFFF_FFFF], np.int64),
+                  np.array([0x7FFF_FFFF_FFFF_FFFF], np.int64))
+    assert big[0] == ref(0xFFFF, 0xFFFF) and big[0] >= 0
