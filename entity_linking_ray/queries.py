@@ -2763,3 +2763,132 @@ def _q_events_zorder_key(sf_dir: str):
         })
 
     return ev.map_batches(key, batch_format="pyarrow")
+
+
+@register(
+    "daily_new_users_cumulative",
+    """
+    WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d
+               FROM events GROUP BY user_id),
+    c AS (SELECT d, count(*) AS n FROM f GROUP BY d)
+    SELECT d, n, cast(sum(n) OVER (ORDER BY d) as bigint) AS cum_users
+    FROM c
+    """,
+)
+def _q_daily_new_users_cumulative(sf_dir: str):
+    """User-acquisition curve: first-seen day per user (combiner Min
+    groupby), new users per day (count groupby), then the cumulative
+    total via the range-bucketed distributed prefix scan — three
+    composed operators, each already scale-shaped; the scan input is one
+    row per day, so the final stage is trivially small no matter the
+    event volume."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    from .stages.scan import prefix_sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        d = pc.multiply(pc.cast(pc.divide(us, pa.scalar(86_400_000_000)),
+                                pa.int64()), pa.scalar(86_400_000_000))
+        t = pa.table({"user_id": b["user_id"], "__d": d})
+        g = t.group_by("user_id").aggregate([("__d", "min")])
+        return g.rename_columns(["user_id", "__d"])  # per-batch combiner
+
+    first = (ev.map_batches(day, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("__d", alias_name="d_us")))
+
+    def cpart(b: pa.Table) -> pa.Table:
+        g = b.select(["d_us"]).group_by("d_us") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["d_us", "__n"])
+
+    from ray.data.aggregate import Sum
+
+    per_day = (first.map_batches(cpart, batch_format="pyarrow")
+               .groupby("d_us").aggregate(Sum("__n", alias_name="n")))
+    scanned = prefix_sum(per_day, order_col="d_us", val_col="n",
+                         out_col="cum_users", num_buckets=8)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": pc.cast(b["d_us"], pa.timestamp("us")),
+            "n": pc.cast(b["n"], pa.int64()),
+            "cum_users": pc.cast(b["cum_users"], pa.int64()),
+        })
+
+    return scanned.map_batches(fin, batch_format="pyarrow")
+
+
+@register(
+    "event_type_cooccurrence",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def _q_event_type_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered event-type pair,
+    how many users did both. The scale shape: per-batch Arrow distinct
+    collapses (user, type) BEFORE the shuffle (the combiner that makes
+    this survive 100 TB of repeated events), one coarse user-hash
+    co-group builds each user's sorted type set and emits its pairs with
+    ONE vectorized segment kernel (k types → k·(k-1)/2 rows, k bounded
+    by the type vocabulary), and a partial-count combiner feeds the tiny
+    final pair groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from .stages.windows import _add_key_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def dist(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs_src = (ev.map_batches(dist, batch_format="pyarrow")
+                 .groupby(["user_id", "event_type"]).count()
+                 .drop_columns(["count()"])
+                 .map_batches(_add_key_bucket("user_id"),
+                              batch_format="pyarrow"))
+
+    def pair_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "event_type"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        types = g["event_type"].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = users[1:] != users[:-1]
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.append(starts, n))
+        seg = np.cumsum(new) - 1
+        pos = np.arange(n) - starts[seg]
+        # vectorized within-segment pair generation: row i pairs with the
+        # (cnt - pos - 1) rows after it in its segment
+        reps = cnt[seg] - pos - 1
+        ai = np.repeat(np.arange(n), reps)
+        # offset of the partner: 1..reps per anchor
+        off = (np.arange(reps.sum())
+               - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]),
+                           reps) + 1)
+        bi = ai + off
+        out = pd.DataFrame({"type_a": types[ai], "type_b": types[bi]})
+        return out.groupby(["type_a", "type_b"], as_index=False) \
+            .size().rename(columns={"size": "__n"})  # in-bucket combiner
+
+    return (pairs_src.groupby("__kb")
+            .map_groups(pair_kernel, batch_format="pandas")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("__n", alias_name="n_users")))
