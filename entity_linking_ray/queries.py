@@ -2785,7 +2785,7 @@ def _q_daily_new_users_cumulative(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min
 
     from .stages.scan import prefix_sum
 

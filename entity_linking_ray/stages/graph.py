@@ -86,7 +86,7 @@ def pagerank(edges: ray.data.Dataset, *, src_col: str = "src",
               .materialize())
 
     # out-degree per src == per-node degree (both directions present)
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     def deg_partial(b: pa.Table) -> pa.Table:
         g = b.group_by([src_col]).aggregate([([], "count_all")])
