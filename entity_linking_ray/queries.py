@@ -2892,3 +2892,100 @@ def _q_event_type_cooccurrence(sf_dir: str):
             .map_groups(pair_kernel, batch_format="pandas")
             .groupby(["type_a", "type_b"])
             .aggregate(Sum("__n", alias_name="n_users")))
+
+
+@register(
+    "docs_survivorship",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, n_chars - 1 FROM documents
+      WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text, n_chars + 1 FROM documents
+      WHERE doc_id % 13 = 0)
+    SELECT doc_id, n_chars, n_dupes FROM (
+      SELECT doc_id, n_chars,
+             cast(count(*) OVER (PARTITION BY text) as bigint) AS n_dupes,
+             row_number() OVER (PARTITION BY text
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM corpus) t WHERE rn = 1
+    """,
+)
+def _q_docs_survivorship(sf_dir: str):
+    """ER survivorship: canonical record per duplicate group (max
+    n_chars, tie min doc_id) + group size — stages/dedup.survivorship;
+    the text column never shuffles (per-batch combiner collapses each
+    block to one slim row per distinct content). The testdata corpus has
+    no text duplicates, so the query runs over a deterministically
+    AUGMENTED corpus (every 7th doc re-emitted shorter, every 13th
+    longer — exercising both the rank argmax and the id tie-break); the
+    oracle mirrors the augmentation with UNION ALL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .stages.dedup import survivorship
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def variant(offset: int, mod: int, delta: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = (ids % mod) == 0
+            nc = b["n_chars"].to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                "doc_id": pa.array(ids[keep] + offset),
+                "text": b["text"].filter(pa.array(keep)),
+                "n_chars": pa.array(nc + delta),
+            })
+        return f
+
+    corpus = (docs
+              .union(docs.map_batches(variant(100000, 7, -1),
+                                      batch_format="pyarrow"))
+              .union(docs.map_batches(variant(200000, 13, 1),
+                                      batch_format="pyarrow")))
+    return survivorship(corpus)
+
+
+@register(
+    "events_hourly_partitioned_write",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n,
+           sum(cast(round(value * 1000000) as bigint)) / 1000000.0
+             AS sum_value
+    FROM events
+    GROUP BY event_type, hour
+    """,
+)
+def _q_events_hourly_partitioned_write(sf_dir: str):
+    """Resumable partitioned output, exercised inside the oracle battery:
+    the hourly aggregate is written as hive-partitioned parquet (one
+    directory per event_type — the layout a failed 100-TB run resumes
+    by skipping complete partitions) and read back; the value-hash
+    compare proves the write→read round trip is lossless including the
+    partition column."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="elray_hourly_part_")
+    _q_events_hourly(sf_dir).write_parquet(out_dir,
+                                           partition_cols=["event_type"])
+    back = ray.data.read_parquet(out_dir)
+
+    def fix(b: pa.Table) -> pa.Table:
+        # hive partition values come back dictionary-encoded
+        return pa.table({
+            "event_type": pc.cast(b["event_type"], pa.string()),
+            "hour": pc.cast(b["hour"], pa.timestamp("us")),
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_value": pc.cast(b["sum_value"], pa.float64()),
+        })
+
+    return back.map_batches(fix, batch_format="pyarrow")

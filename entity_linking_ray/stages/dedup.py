@@ -1196,3 +1196,56 @@ def dedup_new_against_corpus(new_docs: ray.data.Dataset,
         return survivors
     return anti_join(survivors, losers_ds, on=(id_col,),
                      num_partitions=num_partitions)
+
+
+def survivorship(ds: ray.data.Dataset, *, col: str = "text",
+                 id_col: str = "doc_id", rank_col: str = "n_chars",
+                 out_count: str = "n_dupes") -> ray.data.Dataset:
+    """Canonical-record selection (ER survivorship): one row per distinct
+    ``col`` content — the row with the highest ``rank_col`` (ties → min
+    ``id_col``) — plus the duplicate-group size. SQL shape:
+    ``row_number() OVER (PARTITION BY content ORDER BY rank DESC, id)``
+    filtered to 1, with ``count(*) OVER`` as the group size.
+
+    Scale shape mirrors :func:`exact_dedup`: the content column never
+    shuffles — a per-batch combiner collapses each block to one
+    (content_hash, best_id, best_rank, count) row per distinct content,
+    and a coarse hash-bucket merge re-applies the same argmax + count-sum
+    vectorized over every group in the bucket."""
+    _CB = 256
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = add_content_hash(b.select([id_col, rank_col, col]), col)
+        df = pd.DataFrame({
+            "content_hash": t["content_hash"].to_numpy(zero_copy_only=False),
+            id_col: t[id_col].to_numpy(zero_copy_only=False),
+            rank_col: t[rank_col].to_numpy(zero_copy_only=False),
+        })
+        df[out_count] = np.ones(len(df), np.int64)
+        return pa.Table.from_pandas(_best(df, id_col, rank_col, out_count),
+                                    preserve_index=False)
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__cb", pc.bit_wise_and(b["content_hash"],
+                                    pa.scalar(_CB - 1, pa.int64())))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = _best(group.drop(columns="__cb"), id_col, rank_col, out_count)
+        return out.drop(columns="content_hash")
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__cb").map_groups(merge, batch_format="pandas"))
+
+
+def _best(df: pd.DataFrame, id_col: str, rank_col: str,
+          out_count: str) -> pd.DataFrame:
+    """Vectorized per-group argmax(rank) → min(id) + count sum: one sort
+    + drop_duplicates over every content group in the frame."""
+    g = df.sort_values(["content_hash", rank_col, id_col],
+                       ascending=[True, False, True], kind="mergesort")
+    best = g.drop_duplicates(subset=["content_hash"], keep="first").copy()
+    cnt = df.groupby("content_hash", sort=False)[out_count].sum()
+    best[out_count] = cnt.loc[best["content_hash"]].to_numpy(np.int64)
+    return best[["content_hash", id_col, rank_col, out_count]]
