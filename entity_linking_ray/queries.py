@@ -2989,3 +2989,24 @@ def _q_events_hourly_partitioned_write(sf_dir: str):
         })
 
     return back.map_batches(fix, batch_format="pyarrow")
+
+
+@register("knn_ivf_trained_top5")
+def _q_knn_ivf_trained(sf_dir: str):
+    """IVF k-NN over TRAINED buckets: distributed Lloyd k-means
+    (stages/knn.kmeans_fit — exact int64 fixed-point reduce, so training
+    is bit-reproducible across partitionings) feeds the same
+    assign → prune → partial-top-k → merge dataflow as knn_ivf_top5.
+    Rows-only by nature (k-means has no SQL form); pruned-recall and
+    training determinism/cohesion are pytest-gated."""
+    import numpy as np
+
+    from .stages.knn import ivf_knn, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=16, iters=3)
+    head = ds.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    out = ivf_knn(ds, Q, head["vec_id"].tolist(), k=5, nprobe=4,
+                  centroids=cents)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])

@@ -111,10 +111,13 @@ def sample_centroids(ds: ray.data.Dataset, n_centroids: int,
 def ivf_knn(ds: ray.data.Dataset, queries: np.ndarray, query_ids, k: int = 5,
             n_centroids: int = 16, nprobe: int = 4,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            exclude_self: bool = True) -> ray.data.Dataset:
+            exclude_self: bool = True,
+            centroids: "np.ndarray | None" = None) -> ray.data.Dataset:
     """Bucket-pruned approximate k-NN: per query only rows in its top-nprobe
-    centroid buckets are scanned."""
-    cents = sample_centroids(ds, n_centroids, vec_col, id_col)
+    centroid buckets are scanned. ``centroids`` overrides the hash-sampled
+    default (pass :func:`kmeans_fit` output for trained buckets)."""
+    cents = (centroids if centroids is not None
+             else sample_centroids(ds, n_centroids, vec_col, id_col))
     assigned = ivf_assignments(ds, cents, vec_col, id_col)
     Cn = _normalize(cents)
     Qn = _normalize(np.asarray(queries, dtype=np.float64))
@@ -238,3 +241,67 @@ def cosine_self_join(ds: ray.data.Dataset, *, threshold: float,
 
     return (ds.map_batches(explode, batch_format="pyarrow")
             .groupby("__pair").map_groups(pairs, batch_format="pandas"))
+
+
+_KM_SCALE = 1_000_000  # fixed-point quantization for the k-means reduce
+
+
+def kmeans_fit(ds: ray.data.Dataset, *, k: int, iters: int = 5,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> np.ndarray:
+    """Distributed Lloyd k-means over unit vectors (cosine assignment),
+    BIT-REPRODUCIBLE across partitionings: each block accumulates its
+    per-centroid sums as int64 fixed-point (unit vectors quantized to
+    1e-6), so the groupby reduce is exact integer addition — associative
+    and commutative — and the new centroid is ``sum // count``. The same
+    input always trains the same centroids no matter the block order
+    (the float path would drift in the last bits and flip near-tie
+    assignments between runs — poison for resumable lineage).
+
+    Per iteration: one map_batches (assign + local accumulate → ≤ k slim
+    rows per block: cid, d×8-byte sum blob, count) and one k-row groupby
+    — the classic combiner-shaped k-means step; the k final rows land on
+    the driver (k × d ints, broadcast back as next iteration's model).
+    Empty clusters keep their previous centroid. Init =
+    :func:`sample_centroids` (deterministic hash-min rows)."""
+    cents_fx = np.round(
+        _normalize(sample_centroids(ds, k, vec_col, id_col))
+        * _KM_SCALE).astype(np.int64)
+    slim = ds.select_columns([id_col, vec_col]).materialize()
+
+    for _ in range(iters):
+        c_ref = ray.put(cents_fx)
+
+        def accumulate(b: pa.Table) -> pa.Table:
+            C = ray.get(c_ref).astype(np.float64)
+            Cn = _normalize(C)
+            V = _normalize(_to_matrix(b[vec_col].to_pylist()))
+            cid = np.argmax(V @ Cn.T, axis=1)  # ties → lowest index
+            Q = np.round(V * _KM_SCALE).astype(np.int64)
+            out_c, out_s, out_n = [], [], []
+            for c in np.unique(cid):
+                rows = Q[cid == c]
+                out_c.append(int(c))
+                out_s.append(rows.sum(axis=0, dtype=np.int64).tobytes())
+                out_n.append(len(rows))
+            return pa.table({"cid": pa.array(out_c, pa.int64()),
+                             "s": pa.array(out_s, pa.binary()),
+                             "n": pa.array(out_n, pa.int64())})
+
+        def merge(group: pd.DataFrame) -> pd.DataFrame:
+            s = np.sum([np.frombuffer(x, np.int64) for x in group["s"]],
+                       axis=0, dtype=np.int64)
+            n = int(group["n"].sum())
+            return pd.DataFrame({"cid": [int(group["cid"].iloc[0])],
+                                 "s": [s.tobytes()], "n": [n]})
+
+        rows = (slim.map_batches(accumulate, batch_format="pyarrow")
+                .groupby("cid").map_groups(merge, batch_format="pandas")
+                .take_all())  # ≤ k rows
+        new_fx = cents_fx.copy()  # empty clusters keep their centroid
+        for r in rows:
+            s = np.frombuffer(r["s"], np.int64)
+            new_fx[int(r["cid"])] = s // int(r["n"])
+        cents_fx = new_fx
+
+    return cents_fx.astype(np.float64) / _KM_SCALE

@@ -92,3 +92,33 @@ def test_cosine_self_join_matches_bruteforce():
                            num_tiles=4).to_pandas()
     exp_s = {(f"v{a:03d}", f"v{b:03d}") for a, b in exact}
     assert {(a, b) for a, b in zip(got["id_a"], got["id_b"])} == exp_s
+
+
+def test_kmeans_fit_deterministic_and_improves(ray_session):
+    """Lloyd k-means with the exact int64 fixed-point reduce: identical
+    centroids across different partitionings, and mean max-cosine
+    (cohesion) strictly improves over the hash-sampled init."""
+    from entity_linking_ray.stages.knn import (_normalize, kmeans_fit,
+                                               sample_centroids)
+
+    rng = np.random.default_rng(3)
+    # 4 well-separated direction clusters + noise
+    base = _normalize(rng.normal(0, 1, (4, 32)))
+    V = _normalize(np.repeat(base, 150, axis=0)
+                   + rng.normal(0, 0.15, (600, 32)))
+    t = pa.table({"vec_id": pa.array(np.arange(600), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in V],
+                                        pa.list_(pa.float32()))})
+    ds2 = ray.data.from_arrow(t).repartition(2).materialize()
+    ds7 = ray.data.from_arrow(t).repartition(7).materialize()
+
+    c2 = kmeans_fit(ds2, k=4, iters=4)
+    c7 = kmeans_fit(ds7, k=4, iters=4)
+    assert np.array_equal(c2, c7)  # bit-identical across partitionings
+
+    def cohesion(C):
+        Cn = _normalize(C)
+        return float(np.mean(np.max(V @ Cn.T, axis=1)))
+
+    init = sample_centroids(ds2, 4)
+    assert cohesion(c2) > cohesion(init) + 0.01
