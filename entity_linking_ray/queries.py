@@ -3010,3 +3010,81 @@ def _q_knn_ivf_trained(sf_dir: str):
     out = ivf_knn(ds, Q, head["vec_id"].tolist(), k=5, nprobe=4,
                   centroids=cents)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+@register(
+    "doc_chain_clusters",
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id, n_chars,
+             lag(doc_id) OVER w AS pid,
+             lag(n_chars) OVER w AS pch
+      FROM documents
+      WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+    e AS (SELECT pid AS a, doc_id AS b FROM s
+          WHERE pid IS NOT NULL AND n_chars - pch <= 2),
+    eu AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    rr(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT rr.a, eu.b FROM rr JOIN eu ON rr.b = eu.a)
+    SELECT a AS doc_id, cast(min(b) as bigint) AS cluster_id
+    FROM rr GROUP BY a
+    """,
+)
+def _q_doc_chain_clusters(sf_dir: str):
+    """ORACLED transitive clustering: the flagship's union-find machinery
+    (stages/clustering.connected_components — hash-min label propagation
+    with pointer jumping) value-hash-checked against a recursive-CTE
+    reachability closure in DuckDB. Edges chain documents adjacent in
+    per-lang (n_chars, doc_id) order when their lengths differ by ≤ 2 —
+    deterministic chain components with real multi-hop transitivity, so
+    the min-label has to PROPAGATE, not just copy a direct neighbor.
+    Isolated docs are their own cluster (the contract documented on
+    connected_components)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .stages.clustering import connected_components
+    from .stages.windows import _add_key_bucket
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .materialize()  # two consumers: edge build + singleton join-back
+
+    def chain_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        ids = g["doc_id"].to_numpy(np.int64)
+        nc = g["n_chars"].to_numpy(np.int64)
+        ok = (nc[1:] - nc[:-1]) <= 2
+        return pd.DataFrame({"src": ids[:-1][ok], "dst": ids[1:][ok]})
+
+    edges = docs.groupby("lang").map_groups(chain_edges,
+                                            batch_format="pandas")
+    labels = connected_components(edges)
+
+    # singleton join-back: docs ∪ labels co-grouped by id (slim tag-union)
+    def tag_doc(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b["doc_id"],
+                         "label": pa.array(np.full(len(b), -1, np.int64)),
+                         "__side": pa.array(np.zeros(len(b), np.int8))})
+
+    def tag_label(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b["node"], "label": b["label"],
+                         "__side": pa.array(np.ones(len(b), np.int8))})
+
+    tagged = (docs.map_batches(tag_doc, batch_format="pyarrow")
+              .union(labels.map_batches(tag_label, batch_format="pyarrow"))
+              .map_batches(_add_key_bucket("k"), batch_format="pyarrow"))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        d = group[group["__side"] == 0][["k"]]
+        l = group[group["__side"] == 1][["k", "label"]]
+        m = d.merge(l, on="k", how="left")
+        return pd.DataFrame({
+            "doc_id": m["k"].to_numpy(np.int64),
+            "cluster_id": m["label"].fillna(m["k"]).to_numpy(np.int64),
+        })
+
+    return tagged.groupby("__kb").map_groups(resolve,
+                                             batch_format="pandas")
