@@ -3088,3 +3088,70 @@ def _q_doc_chain_clusters(sf_dir: str):
 
     return tagged.groupby("__kb").map_groups(resolve,
                                              batch_format="pandas")
+
+
+@register(
+    "events_hourly_spikes",
+    """
+    WITH hours AS (
+      SELECT unnest(generate_series(
+        date_trunc('hour', (SELECT min(ts) FROM events)),
+        date_trunc('hour', (SELECT max(ts) FROM events)),
+        INTERVAL 1 HOUR)) AS hour),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT t.event_type, h.hour, coalesce(c.n, 0) AS n
+          FROM types t CROSS JOIN hours h
+          LEFT JOIN counts c ON c.event_type = t.event_type
+                            AND c.hour = h.hour)
+    SELECT event_type, hour, n,
+           cast(coalesce(sum(n) OVER w, 0) as bigint) AS trailing,
+           cast(CASE WHEN n * 24 > 2 * coalesce(sum(n) OVER w, 0)
+                THEN 1 ELSE 0 END as bigint) AS is_spike
+    FROM g
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def _q_events_hourly_spikes(sf_dir: str):
+    """Monitoring-shaped anomaly flags: an hour spikes when its count
+    exceeds 2× its trailing-24h per-type average (integer cross-multiply,
+    no float surface). Composes gap_fill_counts — the trailing frame is
+    over WALL-CLOCK hours, which is exactly why the series must be
+    densified first — with the bounded ROWS rolling window; the
+    exclusive trailing sum is the inclusive 25-row window minus the
+    current row, exact under partial frames too."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.windows import gap_fill_counts, grouped_rolling_window
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    gf = gap_fill_counts(ev, key_col="event_type", ts_col="ts",
+                         width_us=3_600_000_000, bucket_col="hour")
+
+    def prep(b: pa.Table) -> pa.Table:
+        hid = pc.cast(pc.cast(b["hour"], pa.timestamp("us")), pa.int64())
+        return pa.table({"event_type": b["event_type"], "hour": b["hour"],
+                         "hid": hid, "n": b["n"]})
+
+    roll = grouped_rolling_window(
+        gf.map_batches(prep, batch_format="pyarrow"),
+        key_col="event_type", ts_col="hour", id_col="hid", val_col="n",
+        window_rows=25, scale=1)
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["value_units"], pa.int64())
+        trailing = pc.subtract(pc.cast(b["win_units"], pa.int64()), n)
+        spike = pc.cast(pc.greater(pc.multiply(n, pa.scalar(24)),
+                                   pc.multiply(trailing, pa.scalar(2))),
+                        pa.int64())
+        return pa.table({
+            "event_type": b["event_type"],
+            "hour": pc.cast(b["t"], pa.timestamp("us")),
+            "n": n, "trailing": trailing, "is_spike": spike,
+        })
+
+    return roll.map_batches(fin, batch_format="pyarrow")
