@@ -36,11 +36,18 @@ from ..functions.hashing import splitmix64
 
 def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset, *,
                   key_col: str, val_col: str, num_buckets: int = 64,
-                  missing: int = -1,
-                  include_unchanged: bool = False) -> ray.data.Dataset:
+                  missing: int = -1, include_unchanged: bool = False,
+                  strict: bool = True) -> ray.data.Dataset:
     """→ (key_col, status: string, old_<val>, new_<val>) for every key
     whose presence or int64 value differs between the two snapshots.
     ``status`` ∈ {added, removed, changed} (+ unchanged when opted in).
+
+    ``strict`` (default) raises if either side repeats a key — a repeated
+    key would silently cross-multiply in the merge and misreport counts
+    (the same fail-loudly contract as the ngram-Jaccard posting-list
+    cap); pass ``strict=False`` only when the caller has already deduped.
+    The check is per co-group bucket, so it costs one duplicated()
+    scan over rows already co-located — no extra pass.
     """
     old_out, new_out = f"old_{val_col}", f"new_{val_col}"
 
@@ -67,6 +74,14 @@ def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset, *,
         g = group.astype({"__v": "Int64"})
         a = g[g["__side"] == 0][[key_col, "__v"]]
         b = g[g["__side"] == 1][[key_col, "__v"]]
+        if strict:
+            for side, frame in (("old", a), ("new", b)):
+                if frame[key_col].duplicated().any():
+                    dup = frame[key_col][frame[key_col].duplicated()].iloc[0]
+                    raise ValueError(
+                        f"snapshot_diff: duplicate key {dup!r} on the "
+                        f"{side} side — snapshots must be unique per key "
+                        "(dedup upstream or pass strict=False)")
         m = a.merge(b, on=key_col, how="outer", suffixes=("_o", "_n"))
         o, n = m["__v_o"], m["__v_n"]
         only_n, only_o = o.isna().to_numpy(), n.isna().to_numpy()

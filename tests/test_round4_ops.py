@@ -319,3 +319,23 @@ def test_pagerank_matches_integer_reference(ray_session):
     assert got["r"].tolist() == [r[u] for u in nodes]
     # node 3 has the highest degree -> highest rank
     assert max(r, key=r.get) == 3
+
+
+def test_snapshot_diff_strict_rejects_duplicate_keys(ray_session):
+    from entity_linking_ray.stages.diff import snapshot_diff
+
+    old = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array([10, 11, 20], pa.int64())}))
+    new = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "v": pa.array([10, 21], pa.int64())}))
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_diff(old, new, key_col="id", val_col="v",
+                      num_buckets=2).count()
+    # strict=False: caller owns dedup; the merge cross-multiplies as
+    # documented (both old rows of key 1 pair with its one new row)
+    out = snapshot_diff(old, new, key_col="id", val_col="v",
+                        num_buckets=2, strict=False,
+                        include_unchanged=True).to_pandas()
+    assert len(out[out["id"] == 1]) == 2
