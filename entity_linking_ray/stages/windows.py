@@ -961,7 +961,8 @@ def grouped_quantile_disc(events: ray.data.Dataset, *, key_col: str,
 
 def gap_fill_counts(events: ray.data.Dataset, *, key_col: str, ts_col: str,
                     width_us: int, out_col: str = "n",
-                    bucket_col: str = "bucket") -> ray.data.Dataset:
+                    bucket_col: str = "bucket",
+                    max_buckets: int = 2_000_000) -> ray.data.Dataset:
     """→ (key, bucket_col: timestamp[us], out_col: int64) — DENSIFIED
     tumbling-window counts: every key × every ``width_us`` bucket in the
     global [min, max] event-time range gets a row, 0 where no events fell
@@ -1005,6 +1006,13 @@ def gap_fill_counts(events: ray.data.Dataset, *, key_col: str, ts_col: str,
             bucket_col: pa.array([], pa.timestamp("us")),
             out_col: pa.array([], pa.int64()),
         }))
+    n_buckets = (int(hi) - int(lo)) // width_us + 1
+    if n_buckets > max_buckets:
+        raise ValueError(
+            f"gap_fill_counts: densified series spans {n_buckets} buckets "
+            f"(> max_buckets={max_buckets}); each key's full series is "
+            "emitted by one task — widen width_us, filter the time range, "
+            "or raise max_buckets if the span is intentional")
     full = np.arange(int(lo), int(hi) + 1, width_us, dtype=np.int64)
 
     def fill(group: pd.DataFrame) -> pd.DataFrame:
