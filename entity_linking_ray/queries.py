@@ -3155,3 +3155,26 @@ def _q_events_hourly_spikes(sf_dir: str):
         })
 
     return roll.map_batches(fin, batch_format="pyarrow")
+
+
+@register(
+    "top_similar_pairs",
+    """
+    SELECT id_a, id_b, rn FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             cast(row_number() OVER (
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                        DESC, a.vec_id, b.vec_id) as bigint) AS rn
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+    WHERE rn <= 20
+    """,
+)
+def _q_top_similar_pairs(sf_dir: str):
+    """Threshold-free dedup audit: the 20 globally most-similar embedding
+    pairs (stages/knn.top_cosine_pairs) — per-tile-pair local top-k
+    tournament over the exact triangle tile join, final merge over
+    ≤ k·tiles² partials; the n² pair set never materializes."""
+    from .stages.knn import top_cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return top_cosine_pairs(ds, k=20)

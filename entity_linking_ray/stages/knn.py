@@ -162,7 +162,8 @@ def ivf_knn(ds: ray.data.Dataset, queries: np.ndarray, query_ids, k: int = 5,
 
 def cosine_self_join(ds: ray.data.Dataset, *, threshold: float,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     num_tiles: int = 8) -> ray.data.Dataset:
+                     num_tiles: int = 8,
+                     per_group_top_k: "int | None" = None) -> ray.data.Dataset:
     """EXACT all-pairs cosine similarity self-join above ``threshold`` —
     fully distributed triangle tile join (no driver-side collect of the
     embedding table; the LSH variant in stages/dedup.py remains the scale
@@ -236,8 +237,15 @@ def cosine_self_join(ds: ray.data.Dataset, *, threshold: float,
             b_ = np.maximum(ia[ii], ib[jj])
             cos = C[ii, jj]
         order = np.argsort(a, kind="stable")
-        return pd.DataFrame({"id_a": a[order], "id_b": b_[order],
-                             "cosine": cos[order]})
+        out = pd.DataFrame({"id_a": a[order], "id_b": b_[order],
+                            "cosine": cos[order]})
+        if per_group_top_k is not None:
+            # tournament partial: each tile-pair group owns each of its
+            # pairs exactly once, so its local top-k bounds the merge
+            out = out.sort_values(["cosine", "id_a", "id_b"],
+                                  ascending=[False, True, True]) \
+                .head(per_group_top_k)
+        return out
 
     return (ds.map_batches(explode, batch_format="pyarrow")
             .groupby("__pair").map_groups(pairs, batch_format="pandas"))
@@ -305,3 +313,34 @@ def kmeans_fit(ds: ray.data.Dataset, *, k: int, iters: int = 5,
         cents_fx = new_fx
 
     return cents_fx.astype(np.float64) / _KM_SCALE
+
+
+def top_cosine_pairs(ds: ray.data.Dataset, *, k: int,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     num_tiles: int = 8) -> ray.data.Dataset:
+    """→ (id_a, id_b, rn) — the k GLOBALLY most-similar vector pairs
+    (cosine desc, ties by ids), threshold-free: the dedup-audit shape
+    ("show me the 20 closest document pairs" before choosing a near-dup
+    threshold). Reuses the exact triangle tile join; every tile-pair
+    group emits only its LOCAL top-k (each unordered pair is computed in
+    exactly one group, so local top-k is a sound tournament partial) and
+    the final single-group merge sees ≤ k · num_tiles·(num_tiles+1)/2
+    rows — never the n² pair set."""
+    parts = cosine_self_join(ds, threshold=-1.0, vec_col=vec_col,
+                             id_col=id_col, num_tiles=num_tiles,
+                             per_group_top_k=k)
+
+    def const(b: pa.Table) -> pa.Table:
+        return b.append_column("__g", pa.array(np.zeros(len(b), np.int64)))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "id_a", "id_b"],
+                              ascending=[False, True, True]).head(k)
+        return pd.DataFrame({
+            "id_a": g["id_a"].to_numpy(np.int64),
+            "id_b": g["id_b"].to_numpy(np.int64),
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return (parts.map_batches(const, batch_format="pyarrow")
+            .groupby("__g").map_groups(merge, batch_format="pandas"))

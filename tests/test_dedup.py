@@ -352,3 +352,22 @@ def test_ngram_jaccard_token_overflow_fails_loudly(ray_session):
                                   hh_min_df=100, max_docs_per_token=4,
                                   on_token_overflow="truncate")
     out.count()  # runs; recall claim is explicitly waived
+
+
+def test_survivorship_argmax_and_tiebreak(ray_session):
+    """Canonical = max rank, tie -> min id; group size exact across
+    partitions (the combiner must not double-count)."""
+    import pyarrow as pa
+
+    from entity_linking_ray.stages.dedup import survivorship
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["x", "x", "x", "y", "y", "z"]),
+        "n_chars": pa.array([5, 9, 9, 4, 4, 7], pa.int64()),
+    })
+    out = (survivorship(ray.data.from_arrow(t).repartition(4))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # x: max n_chars 9 tie -> doc 2; y: tie at 4 -> doc 4; z singleton
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (2, 9, 3), (4, 4, 2), (6, 7, 1)]
