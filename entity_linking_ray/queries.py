@@ -3178,3 +3178,95 @@ def _q_top_similar_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return top_cosine_pairs(ds, k=20)
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+          FROM events)
+    SELECT f.cohort, datediff('day', f.cohort, a.d) AS day_offset,
+           count(*) AS n_users
+    FROM f JOIN a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def _q_user_retention_cohorts(sf_dir: str):
+    """Retention cohort triangle: users bucketed by first-seen day
+    (cohort), counted per day-offset of later activity — the canonical
+    growth-analytics query. Scale shape: BOTH inputs to the user join
+    are already combiner-collapsed aggregates (first-seen via per-batch
+    Min partials; activity via per-batch distinct (user, day) pairs), so
+    the tag-union co-group on user_id ships one row per user plus one
+    per active user-day — never raw events; a partial-count combiner
+    feeds the tiny final (cohort, offset) groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min, Sum
+
+    from .stages.windows import _add_key_bucket
+
+    DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        d = pc.multiply(pc.cast(pc.divide(us, pa.scalar(DAY)), pa.int64()),
+                        pa.scalar(DAY))
+        t = pa.table({"user_id": b["user_id"], "d": d})
+        return t.group_by(["user_id", "d"]).aggregate([])  # batch distinct
+
+    pairs = (ev.map_batches(day_pairs, batch_format="pyarrow")
+             .groupby(["user_id", "d"]).count()
+             .drop_columns(["count()"])
+             .materialize())  # two consumers: first-seen + activity side
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id").aggregate([("d", "min")])
+        return g.rename_columns(["user_id", "__c"])
+
+    first = (pairs.map_batches(min_partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("__c", alias_name="cohort")))
+
+    def tag_first(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "v": b["cohort"],
+                         "__side": pa.array(np.zeros(len(b), np.int8))})
+
+    def tag_act(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "v": b["d"],
+                         "__side": pa.array(np.ones(len(b), np.int8))})
+
+    tagged = (first.map_batches(tag_first, batch_format="pyarrow")
+              .union(pairs.map_batches(tag_act, batch_format="pyarrow"))
+              .map_batches(_add_key_bucket("user_id"),
+                           batch_format="pyarrow"))
+
+    def offsets(group: pd.DataFrame) -> pd.DataFrame:
+        f = group[group["__side"] == 0][["user_id", "v"]] \
+            .rename(columns={"v": "cohort"})
+        a = group[group["__side"] == 1][["user_id", "v"]]
+        m = a.merge(f, on="user_id", how="inner")
+        off = ((m["v"].to_numpy(np.int64)
+                - m["cohort"].to_numpy(np.int64)) // DAY)
+        out = pd.DataFrame({"cohort": m["cohort"].to_numpy(np.int64),
+                            "day_offset": off})
+        return out.groupby(["cohort", "day_offset"], as_index=False) \
+            .size().rename(columns={"size": "__n"})  # in-bucket combiner
+
+    agg = (tagged.groupby("__kb").map_groups(offsets, batch_format="pandas")
+           .groupby(["cohort", "day_offset"])
+           .aggregate(Sum("__n", alias_name="n_users")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": pc.cast(b["cohort"], pa.timestamp("us")),
+            "day_offset": pc.cast(b["day_offset"], pa.int64()),
+            "n_users": pc.cast(b["n_users"], pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
