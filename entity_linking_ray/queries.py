@@ -3270,3 +3270,70 @@ def _q_user_retention_cohorts(sf_dir: str):
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+@register(
+    "part_copurchase_triangles",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e0 AS (SELECT a.p AS x, b.p AS y FROM lp a
+           JOIN lp b ON a.o = b.o AND a.p < b.p),
+    e AS (SELECT DISTINCT x, y FROM e0)
+    SELECT cast(count(*) as bigint) AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.x = e1.y
+              JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    """,
+)
+def _q_part_copurchase_triangles(sf_dir: str):
+    """Exact triangle count over the part co-purchase graph
+    (stages/graph.triangle_count): degree-ordered orientation bounds
+    wedge volume at O(m^1.5) — the hub-survivable shape — and the whole
+    count is one int64, so the 3-way-self-join oracle value-matches
+    exactly. Edge build is itself distributed: distinct (order, part)
+    combiner, one co-group per order bucket emitting each order's part
+    pairs with the vectorized segment kernel (parts-per-order is
+    catalog-bounded; the pair explode is quadratic only in that small
+    constant)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .stages.graph import triangle_count
+    from .stages.windows import _add_key_bucket
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dist(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    lp = (li.map_batches(dist, batch_format="pyarrow")
+          .groupby(["l_orderkey", "l_partkey"]).count()
+          .drop_columns(["count()"])
+          .map_batches(_add_key_bucket("l_orderkey"),
+                       batch_format="pyarrow"))
+
+    def order_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["l_orderkey", "l_partkey"],
+                              kind="mergesort")
+        o = g["l_orderkey"].to_numpy(np.int64)
+        p = g["l_partkey"].to_numpy(np.int64)
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = o[1:] != o[:-1]
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.append(starts, n))
+        seg = np.cumsum(new) - 1
+        pos = np.arange(n) - starts[seg]
+        reps = cnt[seg] - pos - 1
+        ai = np.repeat(np.arange(n), reps)
+        off = (np.arange(int(reps.sum()))
+               - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]),
+                           reps) + 1)
+        return pd.DataFrame({"x": p[ai], "y": p[ai + off]})
+
+    edges = lp.groupby("__kb").map_groups(order_pairs,
+                                          batch_format="pandas")
+    return triangle_count(edges,
+                          num_buckets=_table_partitions(sf_dir, "lineitem"))

@@ -176,3 +176,179 @@ def pagerank(edges: ray.data.Dataset, *, src_col: str = "src",
         return pa.table({"node": b["node"], "r": b["r"]})
 
     return ranks.map_batches(fin, batch_format="pyarrow")
+
+
+def triangle_count(edges: ray.data.Dataset, *, a_col: str = "x",
+                   b_col: str = "y",
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """→ one row (n_triangles: int64) — exact triangle count via the
+    classic degree-ordered orientation (compact-forward / node-iterator
+    with the (deg, id) total order): orient every edge from the
+    lower-ranked endpoint, generate each vertex's out-neighbor pairs
+    (wedges), and count wedges closed by an oriented edge. Orientation
+    bounds every out-degree by O(√m), so wedge volume is O(m^1.5) —
+    the bound that makes hub vertices survivable at 100 TB where the
+    naive neighbor-join explodes on Σdeg².
+
+    Dataflow (all co-groups on coarse splitmix buckets, slim rows):
+    dedup(min,max) → per-vertex degree (combiner counts) → two
+    attach-degree co-groups (x side, y side) → orient → wedge pairs via
+    ONE vectorized segment kernel per src bucket (with an in-kernel
+    combiner on the wedge key) → existence co-group of wedges against
+    oriented edges → partial sums → one global Sum."""
+    from ray.data.aggregate import Sum
+
+    def norm(b: pa.Table) -> pa.Table:
+        a = b[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"x": pa.array(np.minimum(a, c)),
+                      "y": pa.array(np.maximum(a, c))})
+        t = t.group_by(["x", "y"]).aggregate([])  # batch-local dedup
+        kb = _bucket_of(t["x"].to_numpy(zero_copy_only=False), num_buckets)
+        return t.append_column("__kb", pa.array(kb))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["x", "y"])[["x", "y"]]
+
+    e = (edges.map_batches(norm, batch_format="pyarrow")
+         .groupby("__kb").map_groups(dedup, batch_format="pandas")
+         .materialize())
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        v = np.concatenate([b["x"].to_numpy(zero_copy_only=False),
+                            b["y"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u), "__c": pa.array(c.astype(np.int64))})
+
+    deg = (e.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("v").aggregate(Sum("__c", alias_name="d"))
+           .materialize())
+
+    def _attach(es: ray.data.Dataset, key: str, out: str) -> ray.data.Dataset:
+        """Co-group join: edge rows pick up the degree of endpoint ``key``."""
+        def tag_e(b: pa.Table) -> pa.Table:
+            k = b[key].to_numpy(zero_copy_only=False)
+            other = "y" if key == "x" else "x"
+            cols = {"k": b[key], "o": b[other],
+                    "__side": pa.array(np.ones(len(b), np.int8)),
+                    "__kb": pa.array(_bucket_of(k, num_buckets))}
+            if "dx" in b.schema.names:
+                cols["dx"] = b["dx"]
+            return pa.table(cols)
+
+        carry_dx = "dx" in (es.schema().names or [])
+
+        def tag_d(b: pa.Table) -> pa.Table:
+            k = b["v"].to_numpy(zero_copy_only=False)
+            cols = {"k": b["v"], "o": pc.cast(b["d"], pa.int64()),
+                    "__side": pa.array(np.zeros(len(b), np.int8)),
+                    "__kb": pa.array(_bucket_of(k, num_buckets))}
+            if carry_dx:
+                cols["dx"] = pa.array(np.zeros(len(b), np.int64))
+            return pa.table(cols)
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            dmap = g[g["__side"] == 0][["k", "o"]] \
+                .rename(columns={"o": out})
+            erows = g[g["__side"] == 1]
+            keep = ["k", "o"] + (["dx"] if carry_dx else [])
+            m = erows[keep].merge(dmap, on="k", how="inner")
+            cols = {key: m["k"].to_numpy(np.int64),
+                    ("y" if key == "x" else "x"): m["o"].to_numpy(np.int64),
+                    out: m[out].to_numpy(np.int64)}
+            if carry_dx:
+                cols["dx"] = m["dx"].to_numpy(np.int64)
+            return pd.DataFrame(cols)
+
+        return (es.map_batches(tag_e, batch_format="pyarrow")
+                .union(deg.map_batches(tag_d, batch_format="pyarrow"))
+                .groupby("__kb").map_groups(join, batch_format="pandas"))
+
+    ex = _attach(e, "x", "dx")
+    exy = _attach(ex, "y", "dy").materialize()
+
+    def orient(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        dx = b["dx"].to_numpy(zero_copy_only=False)
+        dy = b["dy"].to_numpy(zero_copy_only=False)
+        # src = lower (deg, id); x<y always, so equal degrees keep x
+        x_first = (dx < dy) | (dx == dy)
+        src = np.where(x_first, x, y)
+        dst = np.where(x_first, y, x)
+        ds_ = np.where(x_first, dx, dy)
+        dd = np.where(x_first, dy, dx)
+        return pa.table({
+            "src": pa.array(src), "dst": pa.array(dst),
+            "dd": pa.array(dd),
+            "__kb": pa.array(_bucket_of(src, num_buckets)),
+        })
+
+    oriented = exy.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(group: pd.DataFrame) -> pd.DataFrame:
+        # out-neighbors per src ordered by (deg, id) — the orientation
+        # order — so every emitted pair (u, w) satisfies rank(u)<rank(w)
+        # and matches the oriented edge (u, w) if it exists
+        g = group.sort_values(["src", "dd", "dst"], kind="mergesort")
+        src = g["src"].to_numpy(np.int64)
+        dst = g["dst"].to_numpy(np.int64)
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = src[1:] != src[:-1]
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.append(starts, n))
+        seg = np.cumsum(new) - 1
+        pos = np.arange(n) - starts[seg]
+        reps = cnt[seg] - pos - 1
+        ai = np.repeat(np.arange(n), reps)
+        off = (np.arange(int(reps.sum()))
+               - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]),
+                           reps) + 1)
+        bi = ai + off
+        out = pd.DataFrame({"u": dst[ai], "w": dst[bi]})
+        out["n"] = np.ones(len(out), np.int64)
+        # in-kernel combiner: wedge multiplicity per (u, w)
+        return out.groupby(["u", "w"], as_index=False)["n"].sum()
+
+    wedge_rows = oriented.groupby("__kb").map_groups(
+        wedges, batch_format="pandas")
+
+    def tag_edge2(b: pa.Table) -> pa.Table:
+        u = b["src"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": b["src"], "w": b["dst"],
+            "n": pa.array(np.zeros(len(b), np.int64)),
+            "__side": pa.array(np.zeros(len(b), np.int8)),
+            "__kb": pa.array(_bucket_of(u, num_buckets)),
+        })
+
+    def tag_wedge(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": b["u"], "w": b["w"], "n": b["n"],
+            "__side": pa.array(np.ones(len(b), np.int8)),
+            "__kb": pa.array(_bucket_of(u, num_buckets)),
+        })
+
+    def close(group: pd.DataFrame) -> pd.DataFrame:
+        es_ = group[group["__side"] == 0][["u", "w"]]
+        ws_ = group[group["__side"] == 1][["u", "w", "n"]]
+        m = ws_.merge(es_, on=["u", "w"], how="inner")
+        return pd.DataFrame({"__g": np.zeros(1, np.int64),
+                             "n": np.array([m["n"].sum()], np.int64)})
+
+    partials = (oriented.map_batches(tag_edge2, batch_format="pyarrow")
+                .union(wedge_rows.map_batches(tag_wedge,
+                                              batch_format="pyarrow"))
+                .groupby("__kb").map_groups(close, batch_format="pandas"))
+
+    total = partials.groupby("__g").aggregate(
+        Sum("n", alias_name="n_triangles"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"n_triangles": pc.cast(b["n_triangles"],
+                                                pa.int64())})
+
+    return total.map_batches(fin, batch_format="pyarrow")
