@@ -3335,5 +3335,8 @@ def _q_part_copurchase_triangles(sf_dir: str):
 
     edges = lp.groupby("__kb").map_groups(order_pairs,
                                           batch_format="pandas")
-    return triangle_count(edges,
-                          num_buckets=_table_partitions(sf_dir, "lineitem"))
+    # wedge volume scales with m^1.5, not input bytes: floor the bucket
+    # count well above the byte-derived width (2 at sf0.1) or the probe
+    # kernels serialize on a couple of tasks
+    return triangle_count(edges, num_buckets=max(
+        32, _table_partitions(sf_dir, "lineitem")))

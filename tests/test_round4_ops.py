@@ -339,3 +339,22 @@ def test_snapshot_diff_strict_rejects_duplicate_keys(ray_session):
                         num_buckets=2, strict=False,
                         include_unchanged=True).to_pandas()
     assert len(out[out["id"] == 1]) == 2
+
+
+def test_triangle_count_paths_equivalent(ray_session):
+    """Broadcast edge-key probe vs the over-cap co-group fallback: same
+    exact count on a graph with known triangles."""
+    from entity_linking_ray.stages.graph import triangle_count
+
+    # K4 on {1..4} (4 triangles) + a pendant chain (0) + duplicate edges
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (0, 1),
+           (2, 1), (3, 1)]
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array([a for a, _ in raw], pa.int64()),
+        "y": pa.array([b for _, b in raw], pa.int64()),
+    })).repartition(3)
+    fast = triangle_count(ds, num_buckets=4).to_pandas()
+    slow = triangle_count(ds, num_buckets=4,
+                          broadcast_edge_cap=0).to_pandas()  # force co-group
+    assert int(fast["n_triangles"].iloc[0]) == 4
+    assert int(slow["n_triangles"].iloc[0]) == 4
