@@ -2633,8 +2633,11 @@ def _q_part_order_pagerank(sf_dir: str):
         })
 
     edges = li.map_batches(both, batch_format="pyarrow")
-    return pagerank(edges, iters=5,
-                    num_buckets=_table_partitions(sf_dir, "lineitem"))
+    # per-iteration co-group work scales with edge count, not input
+    # bytes: floor the bucket width (the byte-derived 2 at sf0.1 would
+    # serialize every contrib/apply kernel)
+    return pagerank(edges, iters=5, num_buckets=max(
+        32, _table_partitions(sf_dir, "lineitem")))
 
 
 @register("event_value_sketch_quantiles")
