@@ -3343,3 +3343,45 @@ def _q_part_copurchase_triangles(sf_dir: str):
     # kernels serialize on a couple of tasks
     return triangle_count(edges, num_buckets=max(
         32, _table_partitions(sf_dir, "lineitem")))
+
+
+@register(
+    "orders_price_date_skyline",
+    """
+    WITH t AS (SELECT o_orderkey,
+                      cast(round(o_totalprice * 100) as bigint) AS cents,
+                      cast(epoch_us(o_orderdate) // 86400000000 as bigint)
+                        AS d
+               FROM orders)
+    SELECT o_orderkey, cents, d FROM t a WHERE NOT EXISTS (
+      SELECT 1 FROM t b WHERE b.cents <= a.cents AND b.d <= a.d
+        AND (b.cents < a.cents OR b.d < a.d))
+    """,
+)
+def _q_orders_price_date_skyline(sf_dir: str):
+    """2-D Pareto frontier (cheapest-earliest orders): each block emits
+    its local skyline via a sort + segmented exclusive cummin (dominance
+    is transitive, so the global frontier survives every local pass),
+    one tiny merge re-applies the kernel — the NOT EXISTS O(n²)
+    formulation never runs on the Ray side (stages/rank.skyline_2d)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.rank import skyline_2d
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+            "d": pc.cast(pc.divide(pc.cast(pc.cast(
+                b["o_orderdate"], pa.timestamp("us")), pa.int64()),
+                pa.scalar(86_400_000_000)), pa.int64()),
+        })
+
+    return skyline_2d(orders.map_batches(prep, batch_format="pyarrow"),
+                      id_col="o_orderkey", x_col="cents", y_col="d")

@@ -112,3 +112,50 @@ def topn_per_group(ds: ray.data.Dataset, *, key_col: str, order_col: str,
     return (ds.map_batches(combiner, batch_format="pandas")
             .groupby("__kb")
             .map_groups(finalize, batch_format="pandas"))
+
+
+def skyline_2d(ds: "ray.data.Dataset", *, id_col: str, x_col: str,
+               y_col: str) -> "ray.data.Dataset":
+    """→ the 2-D Pareto frontier MINIMIZING both columns: rows no other
+    row weakly dominates with at least one strict improvement (identical
+    points all survive — they do not strictly dominate each other). SQL
+    shape: ``NOT EXISTS (b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR
+    b.y < a.y))``.
+
+    The textbook distributive op: dominance is transitive, so the global
+    skyline is a subset of every local skyline — each block emits its
+    OWN frontier (the combiner; a sort + segmented exclusive cummin, no
+    pairwise scan), and one final merge re-applies the same kernel over
+    the surviving points. A random-order 2-D skyline is O(log n) points,
+    so the merge group is tiny; a pathological anti-correlated input can
+    make the frontier large — the merge assumes it fits one task (the
+    same documented cap as grouped_ordered_concat)."""
+    def sky(df: pd.DataFrame) -> pd.DataFrame:
+        if "__g" in df.columns:
+            df = df.drop(columns="__g")
+        g = df.sort_values([x_col, y_col, id_col],
+                           kind="mergesort").reset_index(drop=True)
+        x = g[x_col].to_numpy(np.int64)
+        y = g[y_col].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return g
+        new = np.ones(n, dtype=bool)
+        new[1:] = x[1:] != x[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        gmin = y[starts]                      # min y per x group (sorted)
+        best_prev = np.empty(len(starts), np.int64)
+        best_prev[0] = np.iinfo(np.int64).max  # exclusive running min
+        if len(starts) > 1:
+            best_prev[1:] = np.minimum.accumulate(gmin)[:-1]
+        keep = (y == gmin[seg]) & (gmin[seg] < best_prev[seg])
+        return g[keep]
+
+    def local(b: pa.Table) -> pa.Table:
+        out = sky(b.select([id_col, x_col, y_col]).to_pandas())
+        out["__g"] = np.zeros(len(out), np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby("__g").map_groups(sky, batch_format="pandas"))

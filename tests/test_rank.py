@@ -80,3 +80,37 @@ def test_topn_combiner_bounds_shuffle(skewed_values):
     kept = block_topn(batch, "k", "v", "id", 4)
     assert kept.groupby("k").size().max() <= 4
     assert len(kept) < len(batch)
+
+
+def test_skyline_2d_dominance_semantics(ray_session):
+    """Identical points both survive; weak dominance with one strict
+    improvement removes; matches the brute-force NOT EXISTS filter on a
+    random fixture regardless of partitioning."""
+    import pyarrow as pa
+
+    from entity_linking_ray.stages.rank import skyline_2d
+
+    pts = [(1, 5, 5), (2, 5, 5),      # duplicates: both kept
+           (3, 5, 6),                 # dominated by (5,5)
+           (4, 4, 7), (5, 3, 9), (6, 9, 1), (7, 9, 2)]
+    t = pa.table({"id": pa.array([p[0] for p in pts], pa.int64()),
+                  "x": pa.array([p[1] for p in pts], pa.int64()),
+                  "y": pa.array([p[2] for p in pts], pa.int64())})
+    out = skyline_2d(ray.data.from_arrow(t).repartition(3),
+                     id_col="id", x_col="x", y_col="y").to_pandas()
+    assert sorted(out["id"]) == [1, 2, 4, 5, 6]
+
+    rng = np.random.default_rng(13)
+    xs = rng.integers(0, 60, 400)
+    ys = rng.integers(0, 60, 400)
+    t2 = pa.table({"id": pa.array(np.arange(400), pa.int64()),
+                   "x": pa.array(xs, pa.int64()),
+                   "y": pa.array(ys, pa.int64())})
+    got = sorted(skyline_2d(ray.data.from_arrow(t2).repartition(7),
+                            id_col="id", x_col="x", y_col="y")
+                 .to_pandas()["id"])
+    want = [i for i in range(400)
+            if not any((xs[j] <= xs[i] and ys[j] <= ys[i]
+                        and (xs[j] < xs[i] or ys[j] < ys[i]))
+                       for j in range(400))]
+    assert got == want
