@@ -3385,3 +3385,48 @@ def _q_orders_price_date_skyline(sf_dir: str):
 
     return skyline_2d(orders.map_batches(prep, batch_format="pyarrow"),
                       id_col="o_orderkey", x_col="cents", y_col="d")
+
+
+@register(
+    "part_bfs_hops",
+    """
+    WITH RECURSIVE e AS (
+      SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem
+      UNION
+      SELECT l_partkey*2+1 AS src, l_orderkey*2 AS dst FROM lineitem),
+    b(node, hop) AS (
+      SELECT (SELECT min(l_partkey)*2+1 FROM lineitem) AS node, 0 AS hop
+      UNION
+      SELECT e.dst, b.hop + 1 FROM b JOIN e ON e.src = b.node
+      WHERE b.hop < 4)
+    SELECT node, cast(min(hop) as bigint) AS hop FROM b GROUP BY node
+    """,
+)
+def _q_part_bfs_hops(sf_dir: str):
+    """Synchronous frontier BFS over the order↔part bipartite graph:
+    min hop distance from the lowest-id part, capped at 4 levels —
+    stages/graph.bfs_hops (per-level slim frontier⋈edges co-group +
+    min-combine, early exit on an empty frontier) value-hash-checked
+    against a recursive-CTE reachability program, the second iterative
+    graph algorithm with a full DuckDB oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from .stages.graph import bfs_hops
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def both(b: pa.Table) -> pa.Table:
+        ok = pc.multiply(pc.cast(b["l_orderkey"], pa.int64()), 2)
+        pk = pc.add(pc.multiply(pc.cast(b["l_partkey"], pa.int64()), 2), 1)
+        ok = ok.combine_chunks() if isinstance(ok, pa.ChunkedArray) else ok
+        pk = pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk
+        return pa.table({"src": pa.concat_arrays([ok, pk]),
+                         "dst": pa.concat_arrays([pk, ok])})
+
+    seed = 2 * int(li.aggregate(Min("l_partkey"))["min(l_partkey)"]) + 1
+    edges = li.map_batches(both, batch_format="pyarrow")
+    return bfs_hops(edges, seeds=[seed], max_hops=4, num_buckets=max(
+        32, _table_partitions(sf_dir, "lineitem")))

@@ -444,3 +444,85 @@ def triangle_count(edges: ray.data.Dataset, *, a_col: str = "x",
                                                 pa.int64())})
 
     return total.map_batches(fin, batch_format="pyarrow")
+
+
+def bfs_hops(edges: ray.data.Dataset, *, seeds: "list[int]",
+             max_hops: int = 6, src_col: str = "src",
+             dst_col: str = "dst",
+             num_buckets: int = 64) -> ray.data.Dataset:
+    """→ (node: int64, hop: int64) — minimum hop distance from the seed
+    set over DIRECTED edges (pass both directions for undirected),
+    frontier-capped at ``max_hops``; unreached nodes are absent. The
+    classic synchronous BFS as Dataset shuffles: per level, the frontier
+    co-groups with the edges on src (slim tag-union; only frontier rows
+    and edge rows move) and the discovered (dst, hop+1) candidates
+    min-combine with the labels — min is associative/commutative, so
+    per-batch partials collapse before each shuffle. Early-exits when a
+    level discovers nothing new; labels repartition+materialize per
+    level (the iterative-fragmentation lesson from pagerank)."""
+    from ray.data.aggregate import Min
+
+    def ekey(b: pa.Table) -> pa.Table:
+        src = pc.cast(b[src_col], pa.int64())
+        kb = _bucket_of(src.to_numpy(zero_copy_only=False), num_buckets)
+        return pa.table({"k": src, "dst": pc.cast(b[dst_col], pa.int64()),
+                         "hop": pa.array(np.full(len(b), -1, np.int64)),
+                         "__side": pa.array(np.ones(len(b), np.int8)),
+                         "__kb": pa.array(kb)})
+
+    tagged_edges = (edges.map_batches(ekey, batch_format="pyarrow")
+                    .materialize())
+
+    labels = ray.data.from_arrow(pa.table({
+        "node": pa.array(sorted(set(int(s) for s in seeds)), pa.int64()),
+        "hop": pa.array([0] * len(set(seeds)), pa.int64()),
+    })).materialize()
+
+    for h in range(max_hops):
+        frontier = labels.filter(expr=f"hop == {h}")
+        if frontier.count() == 0:
+            break
+
+        def tag_frontier(b: pa.Table) -> pa.Table:
+            node = b["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "k": b["node"],
+                "dst": pa.array(np.zeros(len(b), np.int64)),
+                "hop": b["hop"],
+                "__side": pa.array(np.zeros(len(b), np.int8)),
+                "__kb": pa.array(_bucket_of(node, num_buckets)),
+            })
+
+        def expand(group: pd.DataFrame) -> pd.DataFrame:
+            f = group[group["__side"] == 0][["k"]]
+            e = group[group["__side"] == 1][["k", "dst"]]
+            m = e.merge(f.drop_duplicates(), on="k", how="inner")
+            if not len(m):
+                return pd.DataFrame({"node": np.array([], np.int64),
+                                     "hop": np.array([], np.int64)})
+            out = pd.DataFrame({"node": m["dst"].to_numpy(np.int64)})
+            out = out.drop_duplicates()  # in-bucket combiner
+            out["hop"] = np.full(len(out), h + 1, np.int64)
+            return out
+
+        discovered = (frontier.map_batches(tag_frontier,
+                                           batch_format="pyarrow")
+                      .union(tagged_edges)
+                      .groupby("__kb").map_groups(expand,
+                                                  batch_format="pandas"))
+
+        def min_partial(b: pa.Table) -> pa.Table:
+            g = b.group_by("node").aggregate([("hop", "min")])
+            return g.rename_columns(["node", "__h"])
+
+        labels = (labels.union(discovered)
+                  .map_batches(min_partial, batch_format="pyarrow")
+                  .groupby("node").aggregate(Min("__h", alias_name="hop"))
+                  .repartition(min(num_buckets, 16))
+                  .materialize())
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(b["node"], pa.int64()),
+                         "hop": pc.cast(b["hop"], pa.int64())})
+
+    return labels.map_batches(fin, batch_format="pyarrow")
