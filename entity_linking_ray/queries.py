@@ -3430,3 +3430,77 @@ def _q_part_bfs_hops(sf_dir: str):
     edges = li.map_batches(both, batch_format="pyarrow")
     return bfs_hops(edges, seeds=[seed], max_hops=4, num_buckets=max(
         32, _table_partitions(sf_dir, "lineitem")))
+
+
+@register(
+    "event_value_winsorized",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_disc(cast(round(value * 100) as bigint), 0.05) AS lo,
+             quantile_disc(cast(round(value * 100) as bigint), 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           cast(sum(least(greatest(
+               cast(round(value * 100) as bigint), lo), hi)) as bigint)
+             AS sum_clipped_cents,
+           cast(sum(CASE WHEN cast(round(value * 100) as bigint) < lo
+                           OR cast(round(value * 100) as bigint) > hi
+                    THEN 1 ELSE 0 END) as bigint) AS n_clipped
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def _q_event_value_winsorized(sf_dir: str):
+    """Per-group winsorization (the ML-preprocessing outlier clip): clip
+    each value to its type's exact [p05, p95] and report clipped sums +
+    clip counts. The per-type bounds come from the count-histogram
+    quantile pass (stages/rank.grouped_quantiles — integer-exact
+    quantile_disc ranks), land as one tiny row per type, and broadcast
+    into a pure clip-and-combine map — the events themselves shuffle
+    once as per-type partials, never row-by-row."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .stages.rank import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]).materialize()
+    bounds = {r["event_type"]: (r["p5_units"], r["p95_units"])
+              for r in grouped_quantiles(ev, key_col="event_type",
+                                         val_col="value",
+                                         qs_pct=(5, 95)).take_all()}
+
+    def clip_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        types = b["event_type"].to_pylist()
+        lo = np.array([bounds[t][0] for t in types], np.int64)
+        hi = np.array([bounds[t][1] for t in types], np.int64)
+        clipped = np.minimum(np.maximum(cents, lo), hi)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "__s": pa.array(clipped),
+            "__k": pa.array(((cents < lo) | (cents > hi))
+                            .astype(np.int64)),
+        })
+        g = t.group_by("event_type").aggregate([("__s", "sum"),
+                                                ("__k", "sum")])
+        return g.rename_columns(["event_type", "__s", "__k"])
+
+    agg = (ev.map_batches(clip_partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("__s", alias_name="sum_clipped_cents"),
+                      Sum("__k", alias_name="n_clipped")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "sum_clipped_cents": pc.cast(b["sum_clipped_cents"], pa.int64()),
+            "n_clipped": pc.cast(b["n_clipped"], pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
