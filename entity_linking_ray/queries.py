@@ -3504,3 +3504,72 @@ def _q_event_value_winsorized(sf_dir: str):
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+@register(
+    "lineitem_fk_violations",
+    """
+    WITH live_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)
+    SELECT l.l_orderkey, count(*) AS n_lines,
+           cast(sum(cast(round(l_extendedprice * 100) as bigint))
+                as bigint) AS orphaned_cents
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM live_orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    GROUP BY l.l_orderkey
+    """,
+)
+def _q_lineitem_fk_violations(sf_dir: str):
+    """Referential-integrity audit (the data-quality gate every ingest
+    pipeline needs): lineitems whose parent order is missing, aggregated
+    per orphaned key with the stranded value. The parent side is thinned
+    deterministically (every 97th order dropped) so the audit has real
+    signal; the probe is the Bloom-prefiltered distributed anti join —
+    at 100 TB almost every healthy child row is ruled out by the filter
+    and never enters the join shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import anti_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def live(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(k[(k % 97) != 0])})
+
+    orphans = anti_join(li, orders.map_batches(live,
+                                               batch_format="pyarrow"),
+                        on=("l_orderkey",), right_on=("o_orderkey",),
+                        num_partitions=_table_partitions(sf_dir,
+                                                         "lineitem"),
+                        bloom_bits=1 << 22)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"], "__c": cents,
+                      "__n": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by("l_orderkey").aggregate([("__n", "sum"),
+                                                ("__c", "sum")])
+        return g.rename_columns(["l_orderkey", "__n", "__c"])
+
+    agg = (orphans.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("__n", alias_name="n_lines"),
+                      Sum("__c", alias_name="orphaned_cents")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "n_lines": pc.cast(b["n_lines"], pa.int64()),
+            "orphaned_cents": pc.cast(b["orphaned_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
