@@ -3573,3 +3573,45 @@ def _q_lineitem_fk_violations(sf_dir: str):
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+@register(
+    "part_price_neighbor_pairs",
+    """
+    WITH r AS (SELECT p_partkey,
+                      row_number() OVER (
+                        ORDER BY cast(round(p_retailprice * 100) as bigint),
+                                 p_partkey) AS rk
+               FROM part)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           cast(b.rk - a.rk as bigint) AS dist
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 2
+    """,
+)
+def _q_part_price_neighbor_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernández-Stolfo) — the third ER
+    blocking family beside hash blocks and LSH bands: candidate pairs
+    within a 3-wide window of the global price order, O(n·w) candidates
+    by construction. Global positions via the range-partitioned rank
+    (no full sort); pair generation is bucket-local with the last w-1
+    ranks replicated across the boundary (stages/blocking.
+    sorted_neighborhood_pairs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.blocking import sorted_neighborhood_pairs
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b["p_partkey"],
+            "cents": pc.cast(pc.round(pc.multiply(b["p_retailprice"],
+                                                  100.0),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        })
+
+    return sorted_neighborhood_pairs(
+        part.map_batches(prep, batch_format="pyarrow"),
+        val_col="cents", id_col="p_partkey", window=3)

@@ -17,6 +17,7 @@ standard blocking trade; per-block metrics record the truncation).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -91,3 +92,70 @@ def add_salted_key(batch: pa.Table, hot: dict[int, int], key: str = "block_key",
     mixed = (mixed & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     salted = np.where(salts > 0, mixed, keys)
     return batch.append_column("salted_key", pa.array(salted, pa.int64()))
+
+
+def sorted_neighborhood_pairs(ds: "ray.data.Dataset", *, val_col: str,
+                              id_col: str, window: int,
+                              num_buckets: int = 64) -> "ray.data.Dataset":
+    """→ (id_a, id_b, dist) — the third blocking family: classic
+    sorted-neighborhood blocking (Hernández & Stolfo 1995): records are
+    globally ordered by an int64 sort key (callers fixed-point-encode;
+    ties by id) and every pair within ``window`` positions is a
+    candidate. Complements the hash and LSH families: it catches near
+    neighbors that straddle a hash-block boundary, with a hard O(n·w)
+    candidate bound instead of a per-block quadratic.
+
+    Scale shape: the global position comes from the range-partitioned
+    rank (stages/scan.global_rank — equi-depth sketch buckets, no full
+    sort); pair generation then needs only LOCAL order, so rows bucket
+    by ``rank // span`` with the last ``window - 1`` ranks of each
+    bucket REPLICATED into the next (the standard boundary-overlap
+    trick) — every pair is generated exactly once, in the bucket where
+    its RIGHT end is native (that bucket provably also holds the left
+    end, native or replicated), so no dedup pass is needed."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    from .scan import global_rank
+
+    ranked = global_rank(ds.select_columns([id_col, val_col]),
+                         val_col=val_col, id_col=id_col, out_col="__r",
+                         num_buckets=num_buckets).materialize()
+    n = ranked.count()
+    span = max(window, -(-n // max(1, num_buckets)))
+
+    def route(b: pa.Table) -> pa.Table:
+        r = b["__r"].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        home = (r - 1) // span
+        # boundary replication: the last window-1 ranks of each span also
+        # serve the next bucket's left edge
+        tail = (r - 1) % span >= span - (window - 1)
+        kb = np.concatenate([home, home[tail] + 1])
+        rr = np.concatenate([r, r[tail]])
+        ii = np.concatenate([ids, ids[tail]])
+        return pa.table({"__kb": pa.array(kb.astype(np.int64)),
+                         "__r": pa.array(rr), id_col: pa.array(ii)})
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        kb = int(group["__kb"].iloc[0])
+        g = group.sort_values("__r", kind="mergesort")
+        r = g["__r"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        lo = kb * span + 1  # own pairs whose RIGHT end is native here
+        out_a, out_b, out_d = [], [], []
+        m = len(g)
+        for j in range(1, window):
+            a = np.arange(0, m - j)
+            ok = (r[a + j] - r[a] <= window - 1) & (r[a + j] >= lo) \
+                & (r[a + j] < lo + span)
+            out_a.append(ids[a[ok]])
+            out_b.append(ids[a[ok] + j])
+            out_d.append(r[a[ok] + j] - r[a[ok]])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+            "id_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+            "dist": np.concatenate(out_d) if out_d else np.array([], np.int64),
+        })
+
+    return (ranked.map_batches(route, batch_format="pyarrow")
+            .groupby("__kb").map_groups(pairs, batch_format="pandas"))

@@ -358,3 +358,28 @@ def test_triangle_count_paths_equivalent(ray_session):
                           broadcast_edge_cap=0).to_pandas()  # force co-group
     assert int(fast["n_triangles"].iloc[0]) == 4
     assert int(slow["n_triangles"].iloc[0]) == 4
+
+
+def test_sorted_neighborhood_pairs_exact(ray_session):
+    """Every window pair exactly once across bucket boundaries (small
+    span forces cross-boundary pairs), vs a brute-force rank window."""
+    from entity_linking_ray.stages.blocking import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(21)
+    n, w = 200, 4
+    vals = rng.integers(0, 500, n)
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    out = sorted_neighborhood_pairs(
+        ray.data.from_arrow(t).repartition(5), val_col="v", id_col="id",
+        window=w, num_buckets=16).to_pandas()
+    got = sorted(map(tuple, out[["id_a", "id_b", "dist"]].to_numpy()))
+
+    order = sorted(range(n), key=lambda i: (vals[i], i))
+    want = []
+    for a in range(n):
+        for j in range(1, w):
+            if a + j < n:
+                want.append((order[a], order[a + j], j))
+    assert got == sorted(want)
+    assert len(got) == len(set((a, b) for a, b, _ in got))  # no dups
