@@ -3615,3 +3615,28 @@ def _q_part_price_neighbor_pairs(sf_dir: str):
     return sorted_neighborhood_pairs(
         part.map_batches(prep, batch_format="pyarrow"),
         val_col="cents", id_col="p_partkey", window=3)
+
+
+@register(
+    "label_embedding_centroids",
+    """
+    WITH d AS (SELECT unnest(range(1, 65)) AS dim)
+    SELECT label, cast(d.dim as bigint) AS dim,
+           cast(sum(cast(round(cast(embedding[d.dim] as double)
+                               * 1000000) as bigint))
+                // count(*) as bigint) AS centroid_units
+    FROM embeddings, d
+    GROUP BY label, d.dim
+    """,
+)
+def _q_label_embedding_centroids(sf_dir: str):
+    """List-column aggregation with a full oracle: per-label embedding
+    centroids in exact fixed point, long-form (label × dim rows). The
+    Ray side reduces d×8-byte integer sum blobs per label (one combiner
+    row per label per block — kmeans_fit's reduce shape); truncating
+    division matches SQL `//` on negative sums
+    (stages/knn.grouped_vector_centroids)."""
+    from .stages.knn import grouped_vector_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return grouped_vector_centroids(ds, key_col="label")

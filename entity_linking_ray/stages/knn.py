@@ -344,3 +344,55 @@ def top_cosine_pairs(ds: ray.data.Dataset, *, k: int,
 
     return (parts.map_batches(const, batch_format="pyarrow")
             .groupby("__g").map_groups(merge, batch_format="pandas"))
+
+
+def grouped_vector_centroids(ds: ray.data.Dataset, *, key_col: str,
+                             vec_col: str = "embedding",
+                             scale: int = 1_000_000) -> ray.data.Dataset:
+    """→ (key, dim: int64 1-based, centroid_units: int64) — per-group
+    vector mean in exact fixed point, long-form (one row per key × dim,
+    the SQL-checkable shape for a list-column aggregate). Sums are int64
+    over quantized components (order-independent), the mean is
+    TRUNCATING division (sign × |sum| // n) to match SQL integer ``//``
+    semantics on negative sums. Per-batch combiner: one (key,
+    d×8-byte sum blob, count) row per key per block — the same exact
+    integer-reduce shape as kmeans_fit."""
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # the repo's proven oracle-parity quantizer: Arrow round
+        # half_towards_infinity over the flattened components (np.round
+        # is half-even; float tricks drift on .5-boundary doubles)
+        import pyarrow.compute as pc
+        flat = pc.cast(pc.round(
+            pc.multiply(pc.cast(pc.list_flatten(col), pa.float64()),
+                        pa.scalar(float(scale))),
+            round_mode="half_towards_infinity"), pa.int64())
+        dim = len(col[0]) if len(col) else 0
+        V = flat.to_numpy(zero_copy_only=False).reshape(len(col), dim)
+        keys = np.asarray(b[key_col].to_pylist())
+        out_k, out_s, out_n = [], [], []
+        for k in np.unique(keys):
+            rows = V[keys == k]
+            out_k.append(k)
+            out_s.append(rows.sum(axis=0, dtype=np.int64).tobytes())
+            out_n.append(len(rows))
+        return pa.table({key_col: pa.array(out_k),
+                         "s": pa.array(out_s, pa.binary()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        s = np.sum([np.frombuffer(x, np.int64) for x in group["s"]],
+                   axis=0, dtype=np.int64)
+        n = int(group["n"].sum())
+        cu = np.sign(s) * (np.abs(s) // n)  # SQL trunc-division parity
+        return pd.DataFrame({
+            key_col: np.repeat(group[key_col].iloc[0], len(s)),
+            "dim": np.arange(1, len(s) + 1, dtype=np.int64),
+            "centroid_units": cu.astype(np.int64),
+        })
+
+    return (ds.select_columns([key_col, vec_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col).map_groups(merge, batch_format="pandas"))
