@@ -3640,3 +3640,55 @@ def _q_label_embedding_centroids(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
     return grouped_vector_centroids(ds, key_col="label")
+
+
+@register(
+    "error_click_value_interp",
+    """
+    WITH err AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                 FROM events WHERE event_type = 'error'),
+    probe AS (
+      SELECT e.event_id, e.t,
+        (SELECT epoch_us(c.ts) FROM events c
+         WHERE c.user_id = e.user_id AND c.event_type = 'click'
+           AND epoch_us(c.ts) <= e.t
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS t0,
+        (SELECT cast(round(c.value * 100) as bigint) FROM events c
+         WHERE c.user_id = e.user_id AND c.event_type = 'click'
+           AND epoch_us(c.ts) <= e.t
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS v0,
+        (SELECT epoch_us(c.ts) FROM events c
+         WHERE c.user_id = e.user_id AND c.event_type = 'click'
+           AND epoch_us(c.ts) > e.t
+         ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS t1,
+        (SELECT cast(round(c.value * 100) as bigint) FROM events c
+         WHERE c.user_id = e.user_id AND c.event_type = 'click'
+           AND epoch_us(c.ts) > e.t
+         ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS v1
+      FROM err e)
+    SELECT event_id,
+           cast(CASE
+             WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+               THEN (v0 * (t1 - t) + v1 * (t - t0)) // (t1 - t0)
+             WHEN t0 IS NOT NULL THEN v0
+             WHEN t1 IS NOT NULL THEN v1
+             ELSE -1 END as bigint) AS v_interp
+    FROM probe
+    """,
+)
+def _q_error_click_value_interp(sf_dir: str):
+    """Time-series alignment/resampling: each error event gets the click
+    value linearly interpolated at its timestamp between the user's
+    surrounding clicks — exact int64 arithmetic over fixed-point cents
+    and epoch-µs, so even the interpolated values hash-match the SQL
+    (stages/joins.interpolate_asof: one slim tag-union co-group,
+    hold-last / backfill / sentinel edge rules)."""
+    from .stages.joins import interpolate_asof
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+    errors = ev.filter(expr="event_type == 'error'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    return interpolate_asof(errors, clicks, key="user_id", ts="ts",
+                            left_id="event_id", right_id="event_id",
+                            right_val="value")

@@ -769,3 +769,93 @@ def except_distinct(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return anti_join(_distinct_keys(left, tuple(on), num_partitions),
                      right, on=on, right_on=right_on,
                      num_partitions=num_partitions, bloom_bits=bloom_bits)
+
+
+def interpolate_asof(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                     key: str, ts: str, left_id: str, right_id: str,
+                     right_val: str, out_col: str = "v_interp",
+                     default: int = -1, scale: int = 100,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """→ (left_id, out_col) — time-series ALIGNMENT: for every left row,
+    the right-side value linearly interpolated at the left timestamp
+    between the latest right row at-or-before (ties → max id) and the
+    earliest strictly-after (ties → min id), per key. All arithmetic is
+    exact int64 — ``(v0·(t1−t) + v1·(t−t0)) // (t1−t0)`` over
+    fixed-point units and epoch-µs — so the SQL oracle value-matches
+    bit-for-bit (non-negative operands: floor ≡ trunc). Edges: only a
+    preceding row → hold-last (v0); only a following → backfill (v1);
+    neither → ``default``; an exact-timestamp match falls out of the
+    formula (t = t0 ⇒ v0).
+
+    Scale shape: the standard slim tag-union co-group on a coarse
+    key-hash bucket (one shuffle; probes carry (key, t, id), values
+    carry (key, t, id, v)); the kernel walks key segments and matches
+    every probe in a segment with two vectorized searchsorteds."""
+    def tag_l(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            key: b[key], "__t": pc.cast(b[ts], pa.int64()),
+            "__id": pc.cast(b[left_id], pa.int64()),
+            "__v": pa.array(np.zeros(n, np.int64)),
+            "__side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def tag_r(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(b[right_val], pa.float64()), float(scale)),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({
+            key: b[key], "__t": pc.cast(b[ts], pa.int64()),
+            "__id": pc.cast(b[right_id], pa.int64()), "__v": v,
+            "__side": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    from ..stages.windows import _add_key_bucket
+
+    tagged = (left.map_batches(tag_l, batch_format="pyarrow")
+              .union(right.map_batches(tag_r, batch_format="pyarrow"))
+              .map_batches(_add_key_bucket(key), batch_format="pyarrow"))
+
+    def interp(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0]
+        r = group[group["__side"] == 1].sort_values(
+            [key, "__t", "__id"], kind="mergesort")
+        out_id, out_v = [], []
+        rk = r[key].to_numpy()
+        rt = r["__t"].to_numpy(np.int64)
+        rv = r["__v"].to_numpy(np.int64)
+        for k, lseg in l.groupby(key, sort=False):
+            s, e = np.searchsorted(rk, k, side="left"), \
+                np.searchsorted(rk, k, side="right")
+            t = lseg["__t"].to_numpy(np.int64)
+            ids = lseg["__id"].to_numpy(np.int64)
+            if s == e:
+                out_id.append(ids)
+                out_v.append(np.full(len(t), default, np.int64))
+                continue
+            kt, kv = rt[s:e], rv[s:e]
+            # prev: last index with kt <= t; next: first with kt > t
+            nxt = np.searchsorted(kt, t, side="right")
+            prv = nxt - 1
+            has0, has1 = prv >= 0, nxt < len(kt)
+            t0 = np.where(has0, kt[np.clip(prv, 0, None)], 0)
+            v0 = np.where(has0, kv[np.clip(prv, 0, None)], 0)
+            t1 = np.where(has1, kt[np.clip(nxt, None, len(kt) - 1)], 0)
+            v1 = np.where(has1, kv[np.clip(nxt, None, len(kt) - 1)], 0)
+            both = has0 & has1
+            vi = np.full(len(t), default, np.int64)
+            den = np.where(both, t1 - t0, 1)
+            vi = np.where(both,
+                          (v0 * (t1 - t) + v1 * (t - t0)) // den, vi)
+            vi = np.where(has0 & ~has1, v0, vi)
+            vi = np.where(~has0 & has1, v1, vi)
+            out_id.append(ids)
+            out_v.append(vi.astype(np.int64))
+        return pd.DataFrame({
+            left_id: np.concatenate(out_id) if out_id
+            else np.array([], np.int64),
+            out_col: np.concatenate(out_v) if out_v
+            else np.array([], np.int64),
+        })
+
+    return tagged.groupby("__kb").map_groups(interp, batch_format="pandas")
