@@ -278,6 +278,7 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
                  num_partitions: int = 16,
                  use_general_cc: bool = False,
                  near_dup_edges: bool = False,
+                 sn_edges: bool = False,
                  pin: str | None = "links",
                  annotate: str | None = "auto") -> dict[str, ray.data.Dataset]:
     """Returns the logical tables {mentions, scored, scored_pairs, links,
@@ -312,8 +313,8 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
     scored = cands.map_batches(
         lambda b: score_and_link(b, threshold=threshold), batch_format="pyarrow"
     )
-    if near_dup_edges and pin == "links":
-        pin = "scored"  # the near-dup channel reads scored a second time
+    if (near_dup_edges or sn_edges) and pin == "links":
+        pin = "scored"  # the edge channels read scored a second time
     if pin == "scored":
         scored = scored.materialize()
     links = link_mentions(scored)
@@ -325,12 +326,16 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
         # on a materialized dataset is metadata, not a new execution)
         n_mentions = (links if pin == "links" else scored).count()
         num_partitions = max(2, min(num_partitions, n_mentions // 500_000 + 2))
-    if use_general_cc or near_dup_edges:
+    if use_general_cc or near_dup_edges or sn_edges:
         edges = build_edges(links, hot_cap=hot_cap)
         if near_dup_edges:
             # second blocking family: MinHash-LSH near-dup mention pairs
             # become mention↔mention edges (degree>1 ⇒ general CC required)
             edges = edges.union(near_dup_mention_edges(scored))
+        if sn_edges:
+            # third blocking family: sorted-neighborhood surface window
+            # pairs, JW + exact-context-cosine verified
+            edges = edges.union(sn_mention_edges(scored))
         labels = connected_components(edges, num_partitions=num_partitions)
         clusters = attach_clusters(links, labels, num_partitions=num_partitions)
     else:
@@ -815,4 +820,144 @@ def near_dup_mention_edges(scored: ray.data.Dataset,
     out = withp.map_batches(verify_batch, batch_format="pyarrow")
     if out.count() == 0:
         return _typed_empty()
+    return out
+
+
+def sn_mention_edges(scored: ray.data.Dataset, *, window: int = 4,
+                     jw_threshold: float = 0.90,
+                     cosine_threshold: float = 0.8,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """THIRD blocking family feeding clustering: sorted-neighborhood
+    over the normalized-surface byte order (Hernández-Stolfo) — candidate
+    pairs within ``window`` positions of the global surface ordering,
+    O(n·w) candidates by construction. Catches typo-variants whose
+    3-shingle overlap is too low for the LSH bands (e.g. one edit in a
+    short surface kills most shingles but not byte-prefix adjacency).
+
+    Precision guards before a pair becomes an edge: exact Jaro-Winkler
+    on the surfaces (≥ ``jw_threshold``) AND EXACT context cosine
+    (≥ ``cosine_threshold``) — adjacency in sort order alone must never
+    merge clusters. Unlike the near-dup channel (whose candidate volume
+    forces a sketch prefilter before the exact verify), SN candidates
+    are O(n·w), so the full context vector rides the pair join directly
+    and the verify is exact from the start.
+
+    Scale shape: candidates via stages/blocking.sorted_neighborhood_pairs
+    (range-partitioned rank, boundary-replicated exactly-once pairs);
+    the verify joins each side's (surface, context-sketch) payload back
+    with two slim co-groups — pairs are O(n·w), so the join-back moves
+    less than one extra copy of the mention table."""
+    from ..functions.embed import embed_texts
+    from ..functions.strsim import jaro_winkler_batch
+    from ..stages.blocking import sorted_neighborhood_pairs
+    from ..stages.pairwise import mention_node_hashes
+    from ..stages.windows import _add_key_bucket
+
+    def prep(batch: pa.Table) -> pa.Table:
+        node = mention_node_hashes(batch)
+        surfs = batch["norm_mention"].to_pylist()
+        okey = np.empty(len(surfs), np.int64)
+        for i, s in enumerate(surfs):  # byte-prefix order key (63-bit)
+            okey[i] = int.from_bytes(
+                s.encode("utf-8")[:8].ljust(8, b"\0"), "big") >> 1
+        ctx = [f"{l} {r}" for l, r in zip(
+            batch["context_left"].to_pylist(),
+            batch["context_right"].to_pylist())]
+        vecs = embed_texts(ctx).astype(np.float32)
+        # binary blob per row: Ray's sort-based groupby rejects plain
+        # list<float> payloads (non-tensor lists), binary passes — the
+        # same trick as the dedup signature blobs
+        from ..stages.multimodal import _binary_from_matrix
+        vec = _binary_from_matrix(
+            np.ascontiguousarray(vecs).view(np.uint8).reshape(
+                len(vecs), -1))
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "okey": pa.array(okey),
+            "surf": batch["norm_mention"],
+            "vec": vec,
+        })
+
+    m = scored.select_columns(
+        ["doc_id", "span_idx", "offset", "norm_mention",
+         "context_left", "context_right"]
+    ).map_batches(prep, batch_format="pyarrow").materialize()
+
+    pairs = sorted_neighborhood_pairs(m, val_col="okey", id_col="node",
+                                      window=window,
+                                      num_buckets=num_buckets)
+
+    _COLS = ("k", "id_a", "id_b", "surf_a", "vec_a", "surf_b", "vec_b")
+
+    def _full(cols: dict, n: int, side_flag: int) -> pa.Table:
+        # one fixed schema for both union sides (placeholders where a
+        # column is not yet known)
+        out = {}
+        for c in _COLS:
+            if c in cols:
+                out[c] = cols[c]
+            elif c.startswith("surf"):
+                out[c] = pa.array([""] * n, pa.string())
+            elif c.startswith("vec"):
+                out[c] = pa.array([b""] * n, pa.binary())
+            else:
+                out[c] = pa.array(np.zeros(n, np.int64))
+        out["__side"] = pa.array(np.full(n, side_flag, np.int8))
+        return pa.table(out)
+
+    def attach(pairs_ds: ray.data.Dataset, side: str) -> ray.data.Dataset:
+        def tag_p(b: pa.Table) -> pa.Table:
+            cols = {"k": b[f"id_{side}"], "id_a": b["id_a"],
+                    "id_b": b["id_b"]}
+            for c in ("surf_a", "vec_a", "surf_b", "vec_b"):
+                if c in b.schema.names and not c.endswith(side):
+                    cols[c] = b[c]
+            return _full(cols, b.num_rows, 1)
+
+        def tag_m(b: pa.Table) -> pa.Table:
+            return _full({"k": b["node"], f"surf_{side}": b["surf"],
+                          f"vec_{side}": b["vec"]}, b.num_rows, 0)
+
+        tagged = (pairs_ds.map_batches(tag_p, batch_format="pyarrow")
+                  .union(m.map_batches(tag_m, batch_format="pyarrow"))
+                  .map_batches(_add_key_bucket("k"),
+                               batch_format="pyarrow"))
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            pm = g[g["__side"] == 0][["k", f"surf_{side}", f"vec_{side}"]]
+            pr = g[g["__side"] == 1].drop(
+                columns=["__side", "__kb", f"surf_{side}", f"vec_{side}"])
+            return pr.merge(pm, on="k", how="inner").drop(columns="k")
+
+        return tagged.groupby("__kb").map_groups(join,
+                                                 batch_format="pandas")
+
+    withp = attach(attach(pairs.drop_columns(["dist"]), "a"), "b")
+    # after both attaches every payload column is real (placeholders only
+    # ever existed on rows that inner-merged them away)
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        jw = jaro_winkler_batch(b["surf_a"].to_pylist(),
+                                b["surf_b"].to_pylist())
+        Va = np.stack([np.frombuffer(v, np.float32)
+                       for v in b["vec_a"].to_pylist()]).astype(np.float64)
+        Vb = np.stack([np.frombuffer(v, np.float32)
+                       for v in b["vec_b"].to_pylist()]).astype(np.float64)
+        na = np.maximum(np.linalg.norm(Va, axis=1), 1e-12)
+        nb = np.maximum(np.linalg.norm(Vb, axis=1), 1e-12)
+        cos = (Va * Vb).sum(axis=1) / (na * nb)
+        keep = (jw >= jw_threshold) & (cos >= cosine_threshold)
+        return pa.table({
+            "src": pc.array_filter(b["id_a"], pa.array(keep)),
+            "dst": pc.array_filter(b["id_b"], pa.array(keep)),
+        })
+
+    out = withp.map_batches(verify, batch_format="pyarrow")
+    if out.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64())}))
     return out

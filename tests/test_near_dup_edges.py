@@ -87,3 +87,47 @@ def test_near_dup_edges_join_mode_matches_broadcast():
     ej = {tuple(sorted(p)) for p in zip(j["src"], j["dst"])}
     assert eb == ej
     assert len(eb) >= 15 + 1  # the 6-clique plus the zenith pair
+
+
+def test_sn_edges_typo_variant_with_context_guard():
+    """Third blocking family: a surface typo-variant adjacent in byte
+    order merges only when BOTH the JW surface guard and the exact
+    context cosine pass."""
+    from entity_linking_ray.pipelines.link_and_cluster import sn_mention_edges
+    from entity_linking_ray.stages.pairwise import mention_node_hashes
+
+    ctx = "solar panel quarterly report energy output"
+    rows = [
+        ("d1", 10, "acme corp", ctx, "installation megawatt"),
+        ("d2", 20, "acme corpx", ctx, "installation megawatt today"),
+        ("d3", 30, "acme corpy", "totally different words about cooking",
+         "pasta recipe"),  # adjacent surface, failing context
+        ("d4", 40, "zzz widget", ctx, "installation megawatt"),  # far surface
+    ]
+    ds = _scored(rows)
+    edges = sn_mention_edges(ds, window=3,
+                             cosine_threshold=0.7).to_pandas()
+    t = _scored(rows).to_pandas()
+    batch = pa.table({
+        "doc_id": pa.array(t["doc_id"], pa.string()),
+        "span_idx": pa.array(t["span_idx"], pa.int32()),
+        "offset": pa.array(t["offset"], pa.int32()),
+    })
+    nodes = dict(zip(t["doc_id"], (int(h) for h in mention_node_hashes(batch))))
+    got = {tuple(sorted(p)) for p in zip(edges["src"], edges["dst"])}
+    assert tuple(sorted((nodes["d1"], nodes["d2"]))) in got
+    assert not any(nodes["d3"] in p for p in got)
+    assert not any(nodes["d4"] in p for p in got)
+
+
+def test_pipeline_f1_holds_with_sn_channel(corpus):
+    """F1 gate must hold with the sorted-neighborhood channel ON."""
+    from entity_linking_ray.pipelines import eval as ev
+    from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
+
+    docs = ray.data.from_arrow(corpus["documents"])
+    out = run_pipeline(docs, corpus["entities"], hot_cap=100, concurrency=2,
+                       num_partitions=4, sn_edges=True)
+    clusters = out["clusters"].to_pandas()
+    f1 = ev.pairwise_f1(clusters, corpus["mentions_gold"].to_pandas())
+    assert f1["f1"] >= 0.99, f1
