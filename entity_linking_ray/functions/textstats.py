@@ -148,3 +148,31 @@ def repetition_stats(table: pa.Table, text_col: str = "text",
         "n_distinct": pa.array(n_dis),
         "max_tok_freq": pa.array(mx),
     })
+
+
+def compression_ratio_stats(batch: "pa.Table", *, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            level: int = 6) -> "pa.Table":
+    """→ (doc_id, raw_len, compressed_len, ratio_pct) — the zlib
+    compression-ratio quality signal (highly compressible text ⇒
+    boilerplate/repetition; the standard corpus-filtering heuristic next
+    to the Gopher repetition stats). Deterministic: zlib at a fixed
+    level is stable across runs/platforms for the same bytes. Rows-only
+    in the battery (SQL has no DEFLATE); the ratio is integer percent so
+    downstream filters stay hash-friendly."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    texts = batch[text_col].to_pylist()
+    raw = np.array([len(t.encode("utf-8")) for t in texts], np.int64)
+    comp = np.array([len(zlib.compress(t.encode("utf-8"), level))
+                     for t in texts], np.int64)
+    ratio = np.where(raw > 0, (comp * 100) // np.maximum(raw, 1), 100)
+    return pa.table({
+        id_col: batch[id_col],
+        "raw_len": pa.array(raw),
+        "compressed_len": pa.array(comp),
+        "ratio_pct": pa.array(ratio.astype(np.int64)),
+    })

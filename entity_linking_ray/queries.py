@@ -3692,3 +3692,17 @@ def _q_error_click_value_interp(sf_dir: str):
     return interpolate_asof(errors, clicks, key="user_id", ts="ts",
                             left_id="event_id", right_id="event_id",
                             right_val="value")
+
+
+@register("doc_compression_ratio")
+def _q_doc_compression_ratio(sf_dir: str):
+    """Compression-ratio quality signal (zlib level 6): the standard
+    corpus-filtering heuristic beside the Gopher repetition stats —
+    boilerplate compresses far below prose. Pure per-batch map (the
+    compress loop is C-speed per row); rows-only by nature (SQL has no
+    DEFLATE), distribution pinned in pytest."""
+    from .functions.textstats import compression_ratio_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(compression_ratio_stats,
+                            batch_format="pyarrow")

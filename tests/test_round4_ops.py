@@ -383,3 +383,24 @@ def test_sorted_neighborhood_pairs_exact(ray_session):
                 want.append((order[a], order[a + j], j))
     assert got == sorted(want)
     assert len(got) == len(set((a, b) for a, b, _ in got))  # no dups
+
+
+def test_compression_ratio_stats(ray_session):
+    import pyarrow as pa
+
+    from entity_linking_ray.functions.textstats import compression_ratio_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a" * 4000,                       # boilerplate
+                          "the quick brown fox " * 10,      # mild repeat
+                          ""]),
+    })
+    out = compression_ratio_stats(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "ratio_pct"] < 5          # pure repetition
+    assert out.loc[1, "raw_len"] == 4000
+    assert 5 <= out.loc[2, "ratio_pct"] <= 60
+    assert out.loc[3, "ratio_pct"] == 100 and out.loc[3, "raw_len"] == 0
+    # deterministic
+    again = compression_ratio_stats(t).to_pandas().set_index("doc_id")
+    assert (again["compressed_len"] == out["compressed_len"]).all()
