@@ -114,3 +114,32 @@ def test_range_join_sum_vs_brute(ray_session):
         c = rf[(rf["k"] == r.k) & (rf["t"] >= r.t - 50) & (rf["t"] <= r.t + 20)]
         assert out.loc[r.lid, "sum_in_range"] == c["v"].sum()
         assert out.loc[r.lid, "n_in_range"] == len(c)
+
+
+def test_interpolate_asof_edge_rules(ray_session):
+    """Exact match -> that value; before-first -> backfill; after-last ->
+    hold-last; empty key -> sentinel; interior -> exact integer interp."""
+    import pyarrow as pa
+
+    from entity_linking_ray.stages.joins import interpolate_asof
+
+    def mk(rows, idc):
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            idc: pa.array([r[2] for r in rows], pa.int64()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+        }))
+
+    clicks = mk([(1, 1000, 100, 2.0), (1, 2000, 101, 4.0)], "cid")
+    probes = mk([(1, 1500, 1, 0), (1, 1000, 2, 0), (1, 500, 3, 0),
+                 (1, 3000, 4, 0), (2, 1200, 5, 0)], "eid")
+    out = (interpolate_asof(probes, clicks, key="u", ts="ts",
+                            left_id="eid", right_id="cid",
+                            right_val="value")
+           .to_pandas().set_index("eid")["v_interp"])
+    assert out.loc[1] == 300   # midpoint of 200/400 cents
+    assert out.loc[2] == 200   # exact match
+    assert out.loc[3] == 200   # before first -> backfill
+    assert out.loc[4] == 400   # after last -> hold-last
+    assert out.loc[5] == -1    # key with no values -> sentinel

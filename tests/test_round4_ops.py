@@ -404,3 +404,20 @@ def test_compression_ratio_stats(ray_session):
     # deterministic
     again = compression_ratio_stats(t).to_pandas().set_index("doc_id")
     assert (again["compressed_len"] == out["compressed_len"]).all()
+
+
+def test_pagerank_mass_conservation(ray_session):
+    """Total rank mass stays within floor-division dust of UNITS."""
+    from entity_linking_ray.stages.graph import UNITS, pagerank
+
+    raw = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in raw], pa.int64()),
+        "dst": pa.array([b for _, b in raw], pa.int64())}))
+    out = pagerank(ds, iters=5, num_buckets=2).to_pandas()
+    total = int(out["r"].sum())
+    n = len(out)
+    # each iteration loses < 1 unit per node per edge division + base
+    assert total <= UNITS
+    assert total >= UNITS - 5 * n * 200  # generous dust bound
+    assert (out["r"] > 0).all()
