@@ -3706,3 +3706,99 @@ def _q_doc_compression_ratio(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(compression_ratio_stats,
                             batch_format="pyarrow")
+
+
+@register(
+    "events_hourly_incremental",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n,
+           sum(cast(round(value * 1000000) as bigint)) / 1000000.0
+             AS sum_value
+    FROM events
+    GROUP BY event_type, hour
+    """,
+)
+def _q_events_hourly_incremental(sf_dir: str):
+    """Incremental aggregation with persisted state-merge — the nightly
+    ETL shape: the stream arrives in two batches (split by event_id
+    parity standing in for two ingest days); batch 1's aggregate STATE
+    is written to partitioned parquet (the resumable checkpoint), read
+    back, and merged with batch 2's partials by a second combiner
+    groupby. Because the per-(type, hour) state is (count, fixed-point
+    sum) — a commutative monoid — the merged result is value-hash
+    IDENTICAL to the one-shot batch aggregate, and the oracle IS the
+    batch formulation: the equivalence is what the driver verifies."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "event_type", "ts", "value"]).materialize()
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            keep = (b["event_id"].to_numpy(zero_copy_only=False)
+                    % 2) == parity
+            return b.filter(pa.array(keep))
+        return f
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b["event_type"],
+            "hour": pc.floor_temporal(b["ts"], unit="hour"),
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "sum_fx": pc.cast(
+                pc.round(pc.multiply(b["value"], 1_000_000.0),
+                         round_mode="half_towards_infinity"), pa.int64()),
+        })
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum"), ("sum_fx", "sum")])
+        return g.rename_columns(["event_type", "hour", "n", "sum_fx"])
+
+    def agg(ds):
+        return (ds.map_batches(partials, batch_format="pyarrow")
+                .groupby(["event_type", "hour"])
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("sum_fx", alias_name="sum_fx")))
+
+    # day 1: aggregate and persist the state (the resumable checkpoint)
+    state_dir = tempfile.mkdtemp(prefix="elray_hourly_state_")
+    agg(ev.map_batches(half(0), batch_format="pyarrow")) \
+        .write_parquet(state_dir, partition_cols=["event_type"])
+
+    # day 2: read the state back, merge with the new batch's partials
+    state = ray.data.read_parquet(state_dir)
+
+    def fix_state(b: pa.Table) -> pa.Table:  # hive col returns dictionary
+        return pa.table({
+            "event_type": pc.cast(b["event_type"], pa.string()),
+            "hour": pc.cast(b["hour"], pa.timestamp("us")),
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_fx": pc.cast(b["sum_fx"], pa.int64()),
+        })
+
+    day2 = (ev.map_batches(half(1), batch_format="pyarrow")
+            .map_batches(partials, batch_format="pyarrow"))
+    merged = (state.map_batches(fix_state, batch_format="pyarrow")
+              .union(day2)
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sum_fx", alias_name="sum_fx")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "hour": pc.cast(b["hour"], pa.timestamp("us")),
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_value": pc.divide(pc.cast(b["sum_fx"], pa.float64()),
+                                   1_000_000.0),
+        })
+
+    return merged.map_batches(fin, batch_format="pyarrow")
