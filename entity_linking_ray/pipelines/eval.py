@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import collections
 
+import numpy as np
 import pandas as pd
 
 from ..functions.normalize import normalize_str
@@ -105,3 +106,40 @@ def rank_histogram(scored_pairs_df: pd.DataFrame, gold_df: pd.DataFrame,
     for b in buckets:
         out[f"rank<{b}"] = int((best_rank < b).sum())
     return out
+
+
+def b_cubed(clusters_df: pd.DataFrame, gold_df: pd.DataFrame) -> dict:
+    """B³ precision/recall/F1 (Bagga & Baldwin 1998) — the standard ER
+    cluster-quality metric beside pairwise F1: element-averaged instead
+    of pair-counted, so one giant wrong merge is penalized per swallowed
+    mention rather than quadratically dominating the score. Same input
+    contract as :func:`pairwise_f1`; unmatched mentions count as
+    singleton clusters; gold classes are entity_id with NIL mentions
+    each their own singleton class (linking a NIL is a precision error,
+    splitting distinct NILs is not a recall error)."""
+    g = gold_df.merge(clusters_df, on=["doc_id", "span_idx", "offset"],
+                      how="left")
+    g = g.reset_index(drop=True)
+    g["cluster_id"] = g["cluster_id"].fillna(
+        "u:" + g["doc_id"].astype(str) + ":" + g["offset"].astype(str))
+    gold_cls = np.where(
+        g["entity_id"].to_numpy() == "NIL",
+        np.char.add("nil:", np.arange(len(g)).astype(str)),
+        g["entity_id"].astype(str).to_numpy())
+    pred = g["cluster_id"].astype(str).to_numpy()
+
+    df = pd.DataFrame({"g": gold_cls, "p": pred})
+    joint = df.groupby(["g", "p"]).size()          # |g ∩ p|
+    gsize = df.groupby("g").size()
+    psize = df.groupby("p").size()
+    inter = joint.to_numpy(dtype=np.float64)
+    gs = gsize.loc[joint.index.get_level_values("g")].to_numpy(np.float64)
+    ps = psize.loc[joint.index.get_level_values("p")].to_numpy(np.float64)
+    n = float(len(df))
+    # per-element averages collapse to sum(|g∩p|² / |side|) / N
+    precision = float((inter * inter / ps).sum() / n)
+    recall = float((inter * inter / gs).sum() / n)
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"precision": precision, "recall": recall, "f1": f1,
+            "n_mentions": int(n)}

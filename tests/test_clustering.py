@@ -104,3 +104,41 @@ def test_leaf_folding_matches_general_cc(corpus):
     b = gen["clusters"].to_pandas().sort_values(key).reset_index(drop=True)
     assert (a[key] == b[key]).all().all()
     assert (a["cluster_id"] == b["cluster_id"]).all()
+
+
+def test_b_cubed_hand_computed():
+    """B3 on the textbook fixture: gold {a1,a2,a3}{b1,b2}; prediction
+    merges b1 into the a-cluster and splits a3 off."""
+    import pandas as pd
+
+    from entity_linking_ray.pipelines.eval import b_cubed
+
+    gold = pd.DataFrame({
+        "doc_id": ["d"] * 5, "span_idx": [0] * 5,
+        "offset": [1, 2, 3, 4, 5],
+        "mention": ["m"] * 5,
+        "entity_id": ["A", "A", "A", "B", "B"],
+    })
+    pred = pd.DataFrame({
+        "doc_id": ["d"] * 5, "span_idx": [0] * 5,
+        "offset": [1, 2, 3, 4, 5],
+        "cluster_id": ["c1", "c1", "c2", "c1", "c3"],
+    })
+    out = b_cubed(pred, gold)
+    # precision per element: c1={a,a,b}: a:2/3,a:2/3,b:1/3; c2=1; c3=1
+    assert abs(out["precision"] - (2/3 + 2/3 + 1/3 + 1 + 1) / 5) < 1e-12
+    # recall per element: A: 2/3,2/3,1/3 ; B: 1/2,1/2
+    assert abs(out["recall"] - (2/3 + 2/3 + 1/3 + 1/2 + 1/2) / 5) < 1e-12
+
+    # perfect prediction -> all ones
+    perfect = pred.copy()
+    perfect["cluster_id"] = ["x", "x", "x", "y", "y"]
+    p = b_cubed(perfect, gold)
+    assert p["precision"] == p["recall"] == p["f1"] == 1.0
+
+    # NIL mentions: each its own gold class; merging two NILs costs
+    # precision but not recall
+    gold2 = gold.copy(); gold2.loc[3:, "entity_id"] = "NIL"
+    pred2 = pred.copy(); pred2["cluster_id"] = ["x", "x", "x", "z", "z"]
+    out2 = b_cubed(pred2, gold2)
+    assert out2["recall"] == 1.0 and out2["precision"] < 1.0
