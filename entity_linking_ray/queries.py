@@ -3802,3 +3802,69 @@ def _q_events_hourly_incremental(sf_dir: str):
         })
 
     return merged.map_batches(fin, batch_format="pyarrow")
+
+
+@register("er_blocking_metrics")
+def _q_er_blocking_metrics(sf_dir: str):
+    """Blocking-quality report for the flagship's primary (surface-hash)
+    blocking family: reduction ratio (candidate pairs vs all pairs) and
+    pairs completeness (gold same-entity pairs whose mentions share a
+    block) — the two standard ER blocking metrics, in ppm fixed point.
+    Runs on the deterministic gold corpus (the labeled fixture the F1
+    gate uses — sf-independent by design, like the recall benchmarks);
+    rows-only (metrics over a model fixture have no SQL form), values
+    pinned in pytest. Both metrics are computed with combiner-shaped
+    groupbys: per-block counts give Σ n·(n-1)/2 candidates without
+    materializing pairs, and gold-pair coverage groups the gold table by
+    (entity, block) — no quadratic pass anywhere."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from .corpus import make_corpus
+    from .functions.normalize import normalize_str
+    from .stages.mentions import extract_mentions
+
+    c = make_corpus()
+    aliases = [a for al in c["entities"]["aliases"].to_pylist()
+               for a in (al or [])]
+    aliases += c["entities"]["subject"].to_pylist()
+    mentions = extract_mentions(ray.data.from_arrow(c["documents"]),
+                                aliases, concurrency=2)
+
+    def block_counts(b: pa.Table) -> pa.Table:
+        t = b.select(["norm_mention"]).group_by("norm_mention") \
+            .aggregate([([], "count_all")])
+        return t.rename_columns(["block", "__n"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (mentions.map_batches(block_counts, batch_format="pyarrow")
+              .groupby("block").aggregate(Sum("__n", alias_name="n"))
+              .to_pandas())  # one row per block — driver-small fixture
+    n_mentions = int(counts["n"].sum())
+    cand_pairs = int((counts["n"] * (counts["n"] - 1) // 2).sum())
+    all_pairs = n_mentions * (n_mentions - 1) // 2
+
+    # gold same-entity pairs + how many share a block (same normalized
+    # surface): group gold by (entity, block) — combiner-shaped
+    g = c["mentions_gold"].to_pandas()
+    g = g[g["entity_id"] != "NIL"].copy()
+    g["block"] = [normalize_str(m) for m in g["mention"]]
+    per_ent = g.groupby("entity_id").size()
+    gold_pairs = int((per_ent * (per_ent - 1) // 2).sum())
+    per_eb = g.groupby(["entity_id", "block"]).size()
+    covered = int((per_eb * (per_eb - 1) // 2).sum())
+
+    return pa.table({
+        "n_mentions": pa.array([n_mentions], pa.int64()),
+        "cand_pairs": pa.array([cand_pairs], pa.int64()),
+        "reduction_ppm": pa.array(
+            [1_000_000 - (cand_pairs * 1_000_000) // max(all_pairs, 1)],
+            pa.int64()),
+        "gold_pairs": pa.array([gold_pairs], pa.int64()),
+        "completeness_ppm": pa.array(
+            [(covered * 1_000_000) // max(gold_pairs, 1)], pa.int64()),
+    })

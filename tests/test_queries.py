@@ -79,3 +79,16 @@ def test_entry_smoke():
     res = entrymod.entry()
     df = _to_df(res)
     assert len(df) >= 0 and "cluster_id" in df.columns
+
+
+def test_er_blocking_metrics_pinned():
+    """Deterministic blocking-quality report: values pinned (the 63%
+    surface-block completeness is exactly why candidate generation links
+    through the KB instead of pairing within blocks, and why the LSH/SN
+    edge channels exist)."""
+    out = _to_df(QUERIES["er_blocking_metrics"](SF))
+    row = out.iloc[0]
+    assert row["n_mentions"] == 1600
+    assert row["reduction_ppm"] > 900_000          # blocks prune >90%
+    assert 500_000 < row["completeness_ppm"] < 800_000
+    assert row["cand_pairs"] == 84289              # fully deterministic
