@@ -68,8 +68,11 @@ def test_query_matches_oracle(name, duck):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only_queries_run(name):
     res = QUERIES[name](SF)
-    if hasattr(res, "schema"):  # Dataset (ray to_pandas drops cols when empty)
+    if callable(getattr(res, "schema", None)):
+        # Dataset (ray to_pandas drops cols when empty)
         assert len(res.schema().names) > 0
+    elif hasattr(res, "schema"):  # pyarrow Table: schema is an attribute
+        assert len(res.schema.names) > 0
     else:
         df = _to_df(res)
         assert len(df.columns) > 0
