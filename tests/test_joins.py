@@ -143,3 +143,59 @@ def test_interpolate_asof_edge_rules(ray_session):
     assert out.loc[3] == 200   # before first -> backfill
     assert out.loc[4] == 400   # after last -> hold-last
     assert out.loc[5] == -1    # key with no values -> sentinel
+
+
+def test_interpolate_asof_matches_bruteforce_random(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from entity_linking_ray.stages.joins import interpolate_asof
+
+    rng = np.random.default_rng(31)
+    n_val, n_probe = 300, 200
+    def mk(n, idc, with_val):
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array(rng.integers(0, 12, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10_000, n)
+                           .astype("datetime64[us]")),
+            idc: pa.array(np.arange(n), pa.int64()),
+            "value": pa.array(rng.uniform(0, 100, n).round(2)
+                              if with_val else np.zeros(n)),
+        })).repartition(5)
+
+    vals_t = mk(n_val, "vid", True).to_pandas()
+    probes_t = mk(n_probe, "pid", False).to_pandas()
+    vals = ray.data.from_pandas(vals_t).repartition(4)
+    probes = ray.data.from_pandas(probes_t).repartition(3)
+    got = (interpolate_asof(probes, vals, key="u", ts="ts",
+                            left_id="pid", right_id="vid",
+                            right_val="value")
+           .to_pandas().set_index("pid")["v_interp"])
+
+    cents = (vals_t["value"] * 100).round().astype(np.int64)
+
+    def us(x):  # one unit everywhere (Timestamp.value is ns, not us)
+        return int(np.datetime64(x).astype("datetime64[us]")
+                   .astype(np.int64))
+
+    for _, p in probes_t.iterrows():
+        sub = vals_t[vals_t["u"] == p["u"]]
+        t = us(p["ts"])
+        tus = sub["ts"].map(us)
+        before = sub[tus <= t]
+        after = sub[tus > t]
+        if len(before):
+            b = before.sort_values(["ts", "vid"]).iloc[-1]
+            t0, v0 = us(b["ts"]), int(cents.loc[b.name])
+        if len(after):
+            a = after.sort_values(["ts", "vid"]).iloc[0]
+            t1, v1 = us(a["ts"]), int(cents.loc[a.name])
+        if len(before) and len(after):
+            want = (v0 * (t1 - t) + v1 * (t - t0)) // (t1 - t0)
+        elif len(before):
+            want = v0
+        elif len(after):
+            want = v1
+        else:
+            want = -1
+        assert got.loc[p["pid"]] == want, p["pid"]
