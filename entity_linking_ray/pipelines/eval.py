@@ -27,8 +27,12 @@ def pairwise_f1(clusters_df: pd.DataFrame, gold_df: pd.DataFrame) -> dict:
     g = gold_df.copy()
     g["block"] = [normalize_str(m) for m in g["mention"]]
     merged = g.merge(clusters_df, on=["doc_id", "span_idx", "offset"], how="left")
+    # span_idx in the fill id: unmatched mentions sharing (doc_id, offset)
+    # but differing in span_idx stay distinct singletons (same rule as
+    # b_cubed's fallback below)
     merged["cluster_id"] = merged["cluster_id"].fillna(
-        "u:" + merged["doc_id"] + ":" + merged["offset"].astype(str)
+        "u:" + merged["doc_id"] + ":" + merged["span_idx"].astype(str)
+        + ":" + merged["offset"].astype(str)
     )
 
     tp = fp = fn = 0
@@ -120,8 +124,11 @@ def b_cubed(clusters_df: pd.DataFrame, gold_df: pd.DataFrame) -> dict:
     g = gold_df.merge(clusters_df, on=["doc_id", "span_idx", "offset"],
                       how="left")
     g = g.reset_index(drop=True)
+    # span_idx included: two unmatched mentions sharing (doc_id, offset)
+    # but differing in span_idx must stay distinct singletons
     g["cluster_id"] = g["cluster_id"].fillna(
-        "u:" + g["doc_id"].astype(str) + ":" + g["offset"].astype(str))
+        "u:" + g["doc_id"].astype(str) + ":" + g["span_idx"].astype(str)
+        + ":" + g["offset"].astype(str))
     gold_cls = np.where(
         g["entity_id"].to_numpy() == "NIL",
         np.char.add("nil:", np.arange(len(g)).astype(str)),

@@ -222,7 +222,10 @@ def cosine_self_join(ds: ray.data.Dataset, *, threshold: float,
             C = V @ V.T
             iu, ju = np.triu_indices(len(g), k=1)
             keep = C[iu, ju] >= threshold
-            a, b_ = ids[iu[keep]], ids[ju[keep]]
+            # group rows need not arrive id-ascending — normalize like the
+            # off-diagonal branch so the id_a < id_b contract always holds
+            a = np.minimum(ids[iu[keep]], ids[ju[keep]])
+            b_ = np.maximum(ids[iu[keep]], ids[ju[keep]])
             cos = C[iu[keep], ju[keep]]
         else:
             gi_ = group[group["__tile"] == i].drop_duplicates(subset=[id_col])
@@ -326,7 +329,7 @@ def top_cosine_pairs(ds: ray.data.Dataset, *, k: int,
     exactly one group, so local top-k is a sound tournament partial) and
     the final single-group merge sees ≤ k · num_tiles·(num_tiles+1)/2
     rows — never the n² pair set."""
-    parts = cosine_self_join(ds, threshold=-1.0, vec_col=vec_col,
+    parts = cosine_self_join(ds, threshold=-np.inf, vec_col=vec_col,
                              id_col=id_col, num_tiles=num_tiles,
                              per_group_top_k=k)
 

@@ -155,9 +155,12 @@ def session_windows(events: ray.data.Dataset, *, gap_us: int,
             "__kb": pa.array(kb.astype(np.int64), pa.int64()),
         })
 
-    return (cols.map_batches(to_us, batch_format="pyarrow")
-            .groupby("__kb")
-            .map_groups(sessions_bulk, batch_format="pandas"))
+    out = (cols.map_batches(to_us, batch_format="pyarrow")
+           .groupby("__kb")
+           .map_groups(sessions_bulk, batch_format="pandas"))
+    return _union_typed_empty(out, events, [
+        (key_col, key_col), ("session_start", pa.int64()),
+        ("n_events", pa.int64()), ("duration_us", pa.int64())])
 
 
 def _session_windows_salted(events: ray.data.Dataset, *, gap_us: int,
@@ -219,6 +222,27 @@ def _session_windows_salted(events: ray.data.Dataset, *, gap_us: int,
              .groupby([key_col, "__bucket"])
              .map_groups(local_sessions, batch_format="pandas"))
     return local.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def _union_typed_empty(result: ray.data.Dataset, events: ray.data.Dataset,
+                       spec: "list[tuple[str, object]]") -> ray.data.Dataset:
+    """Union a 0-row typed block onto ``result`` so empty input yields a
+    typed schema (the repo's pinned "typed empty out for empty in"
+    contract — scan.py `_typed_empty_like`, gap_fill_counts) WITHOUT an
+    extra count() pass: a groupby().map_groups over an empty dataset
+    produces zero blocks and schema() is None, which breaks later unions
+    with a typed side. ``spec`` entries are (out_col, pa.DataType) or
+    (out_col, input_col_name) — the latter copies the input column's
+    type (one bounded Limit[1] schema fetch)."""
+    in_schema = events.schema()
+    in_types = (dict(zip(in_schema.names, in_schema.types))
+                if in_schema is not None else {})
+    cols = {}
+    for name, t in spec:
+        if isinstance(t, str):
+            t = in_types.get(t, pa.string())
+        cols[name] = pa.array([], t)
+    return result.union(ray.data.from_arrow(pa.table(cols)))
 
 
 def _add_key_bucket(key_col: str, num_buckets: int = 64):
@@ -310,10 +334,14 @@ def grouped_lag_delta(events: ray.data.Dataset, *, key_col: str,
         out["delta_units"] = v[same] - prev[same]
         return out.drop(columns="__kb")
 
-    return (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
-                                         scale), batch_format="pyarrow")
-            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
-            .groupby("__kb").map_groups(lag_bulk, batch_format="pandas"))
+    out = (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
+                                        scale), batch_format="pyarrow")
+           .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
+           .groupby("__kb").map_groups(lag_bulk, batch_format="pandas"))
+    return _union_typed_empty(out, events, [
+        (key_col, key_col), (id_col, id_col), ("t", pa.int64()),
+        ("value_units", pa.int64()), ("prev_units", pa.int64()),
+        ("delta_units", pa.int64())])
 
 
 def _grouped_lag_salted(events: ray.data.Dataset, *, key_col: str,
@@ -454,10 +482,14 @@ def grouped_rolling_window(events: ray.data.Dataset, *, key_col: str,
         g["win_n"] = i - j + 1
         return g.drop(columns="__kb")
 
-    return (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
-                                         scale), batch_format="pyarrow")
-            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
-            .groupby("__kb").map_groups(rolling_bulk, batch_format="pandas"))
+    out = (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
+                                        scale), batch_format="pyarrow")
+           .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
+           .groupby("__kb").map_groups(rolling_bulk, batch_format="pandas"))
+    return _union_typed_empty(out, events, [
+        (key_col, key_col), (id_col, id_col), ("t", pa.int64()),
+        ("value_units", pa.int64()), ("win_units", pa.int64()),
+        ("win_n", pa.int64())])
 
 
 def _grouped_rolling_salted(events: ray.data.Dataset, *, key_col: str,

@@ -142,3 +142,24 @@ def test_b_cubed_hand_computed():
     pred2 = pred.copy(); pred2["cluster_id"] = ["x", "x", "x", "z", "z"]
     out2 = b_cubed(pred2, gold2)
     assert out2["recall"] == 1.0 and out2["precision"] < 1.0
+
+
+def test_b_cubed_unmatched_same_offset_distinct_spans():
+    """Regression (round-5 ADVICE): two UNMATCHED gold mentions sharing
+    (doc_id, offset) but differing in span_idx must fall back to two
+    distinct singleton clusters, not be merged by the fill id."""
+    import pandas as pd
+
+    from entity_linking_ray.pipelines.eval import b_cubed
+
+    gold = pd.DataFrame({
+        "doc_id": ["d", "d"], "span_idx": [0, 1], "offset": [7, 7],
+        "mention": ["m", "m"], "entity_id": ["A", "A"],
+    })
+    pred = pd.DataFrame({  # no prediction covers either mention
+        "doc_id": [], "span_idx": [], "offset": [], "cluster_id": [],
+    })
+    out = b_cubed(pred, gold)
+    # singletons: precision 1.0; recall per element 1/2 (gold class size 2)
+    assert out["precision"] == 1.0
+    assert abs(out["recall"] - 0.5) < 1e-12

@@ -94,6 +94,49 @@ def test_cosine_self_join_matches_bruteforce():
     assert {(a, b) for a, b in zip(got["id_a"], got["id_b"])} == exp_s
 
 
+def test_cosine_self_join_descending_ids_keep_contract():
+    """Regression (round-5 ADVICE): rows arriving id-DESCENDING must still
+    honor the id_a < id_b output contract in the diagonal tile branch, and
+    top_cosine_pairs must keep every pair (threshold-free path uses -inf,
+    so float rounding below -1.0 can't drop anti-parallel pairs)."""
+    import numpy as np
+
+    from entity_linking_ray.stages.knn import cosine_self_join, top_cosine_pairs
+
+    rng = np.random.default_rng(11)
+    n = 60
+    V = rng.normal(size=(n, 8))
+    # include an exactly anti-parallel pair (cosine == -1.0)
+    V[1] = -V[0]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    iu, ju = np.triu_indices(n, k=1)
+
+    desc = pa.table({
+        "vec_id": pa.array(np.arange(n - 1, -1, -1), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V[::-1]],
+                              pa.list_(pa.float64())),
+    })  # row order is id-descending: ids[iu] > ids[ju] inside groups
+
+    got = cosine_self_join(ray.data.from_arrow(desc), threshold=-np.inf,
+                           num_tiles=3).to_pandas()
+    assert (got["id_a"] < got["id_b"]).all()
+    assert len(got) == len(iu)  # every unordered pair exactly once
+    want = {(int(min(i, j)), int(max(i, j))): C[i, j]
+            for i, j in zip(iu, ju)}
+    for a, b, c in zip(got["id_a"], got["id_b"], got["cosine"]):
+        assert abs(want[(int(a), int(b))] - c) < 1e-9
+
+    # global top-k over the descending layout: compare against brute force
+    k = 10
+    order = sorted(((C[i, j], int(i), int(j)) for i, j in zip(iu, ju)),
+                   key=lambda t: (-t[0], t[1], t[2]))[:k]
+    top = top_cosine_pairs(ray.data.from_arrow(desc), k=k,
+                           num_tiles=3).to_pandas().sort_values("rn")
+    assert [(int(a), int(b)) for a, b in zip(top["id_a"], top["id_b"])] \
+        == [(i, j) for _, i, j in order]
+
+
 def test_kmeans_fit_deterministic_and_improves(ray_session):
     """Lloyd k-means with the exact int64 fixed-point reduce: identical
     centroids across different partitionings, and mean max-cosine

@@ -55,3 +55,44 @@ def test_session_windows_gap_split(ray_session):
         (1, 100, 1, 0),   # split by the 90-minute gap
         (2, 5, 1, 0),
     ]
+
+
+def test_window_ops_typed_empty_for_empty_input(ray_session):
+    """Regression (round-5 ADVICE): session_windows / grouped_lag_delta /
+    grouped_rolling_window on EMPTY input keep a typed schema (the pinned
+    'typed empty out for empty in' contract) so later unions with a typed
+    side and schema() consumers don't break."""
+    from entity_linking_ray.stages.windows import (grouped_lag_delta,
+                                                   grouped_rolling_window)
+
+    empty = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    }))
+
+    s = session_windows(empty, gap_us=30 * _US_MIN)
+    assert s.count() == 0
+    assert [f.name for f in s.schema().base_schema] == \
+        ["user_id", "session_start", "n_events", "duration_us"]
+    assert str(s.schema().base_schema.field("user_id").type) == "int64"
+
+    lag = grouped_lag_delta(empty, key_col="user_id", ts_col="ts",
+                            id_col="event_id", val_col="value")
+    assert lag.count() == 0
+    assert set(f.name for f in lag.schema().base_schema) == {
+        "user_id", "event_id", "t", "value_units", "prev_units",
+        "delta_units"}
+
+    roll = grouped_rolling_window(empty, key_col="user_id", ts_col="ts",
+                                  id_col="event_id", val_col="value",
+                                  window_rows=3)
+    assert roll.count() == 0
+    assert set(f.name for f in roll.schema().base_schema) == {
+        "user_id", "event_id", "t", "value_units", "win_units", "win_n"}
+
+    # non-empty output is unchanged by the appended typed-empty block
+    ev = _events([(1, 0, 1.0), (1, 10, 2.0)])
+    out = session_windows(ev, gap_us=30 * _US_MIN).to_pandas()
+    assert len(out) == 1 and int(out["n_events"].iloc[0]) == 2
