@@ -2611,12 +2611,16 @@ def _q_part_order_pagerank(sf_dir: str):
     """Entity-popularity prior via PageRank over the undirected-ized
     order↔part co-purchase graph (generalizes the reference's
     incoming-link-count boost, entity_sort/data_process.py). 5 exact
-    fixed-point iterations — two slim co-group shuffles per iteration,
-    per-batch combiners on both; see stages/graph.py."""
+    fixed-point iterations on the RESIDENT edge-shard engine
+    (stages/graph_actors.py): edges hash-partition into long-lived
+    actors once, each iteration exchanges only pre-combined per-dst
+    contributions — never the edge list (A/B at sf0.1: 19.7 s shuffle
+    loop → ~1.7 s incl. build; bit-identical, equivalence-tested
+    against stages/graph.pagerank)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .stages.graph import pagerank
+    from .stages.graph_actors import GraphEngine
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
@@ -2633,11 +2637,10 @@ def _q_part_order_pagerank(sf_dir: str):
         })
 
     edges = li.map_batches(both, batch_format="pyarrow")
-    # per-iteration co-group work scales with edge count, not input
-    # bytes: floor the bucket width (the byte-derived 2 at sf0.1 would
-    # serialize every contrib/apply kernel)
-    return pagerank(edges, iters=5, num_buckets=max(
-        32, _table_partitions(sf_dir, "lineitem")))
+    # 8 shards is the measured local-mode sweet spot (S² ref routing
+    # overhead grows quadratically; a multi-node run scales S with nodes)
+    with GraphEngine(edges, num_shards=8) as eng:
+        return eng.pagerank(iters=5).materialize()
 
 
 @register("event_value_sketch_quantiles")
@@ -3404,17 +3407,18 @@ def _q_orders_price_date_skyline(sf_dir: str):
 )
 def _q_part_bfs_hops(sf_dir: str):
     """Synchronous frontier BFS over the order↔part bipartite graph:
-    min hop distance from the lowest-id part, capped at 4 levels —
-    stages/graph.bfs_hops (per-level slim frontier⋈edges co-group +
-    min-combine, early exit on an empty frontier) value-hash-checked
-    against a recursive-CTE reachability program, the second iterative
-    graph algorithm with a full DuckDB oracle."""
+    min hop distance from the lowest-id part, capped at 4 levels — the
+    resident edge-shard engine (stages/graph_actors.py; per-level
+    exchange is the deduped frontier only, edges never move after the
+    build; A/B at sf0.1: 9.8 s shuffle loop → ~1.6 s incl. build),
+    value-hash-checked against a recursive-CTE reachability program and
+    equivalence-tested against stages/graph.bfs_hops."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Min
 
-    from .stages.graph import bfs_hops
+    from .stages.graph_actors import GraphEngine
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
@@ -3428,8 +3432,8 @@ def _q_part_bfs_hops(sf_dir: str):
 
     seed = 2 * int(li.aggregate(Min("l_partkey"))["min(l_partkey)"]) + 1
     edges = li.map_batches(both, batch_format="pyarrow")
-    return bfs_hops(edges, seeds=[seed], max_hops=4, num_buckets=max(
-        32, _table_partitions(sf_dir, "lineitem")))
+    with GraphEngine(edges, num_shards=8) as eng:
+        return eng.bfs(seeds=[seed], max_hops=4).materialize()
 
 
 @register(

@@ -103,7 +103,8 @@ SMALL_GRAPH_EDGES = 20_000_000
 
 def connected_components(edges: ray.data.Dataset, max_iters: int = 20,
                          num_partitions: int = 16,
-                         small_graph_edges: int = SMALL_GRAPH_EDGES) -> ray.data.Dataset:
+                         small_graph_edges: int = SMALL_GRAPH_EDGES,
+                         large_graph_plan: str = "actors") -> ray.data.Dataset:
     """edges(src:int64, dst:int64) → labels(node:int64, label:int64).
 
     Includes every endpoint node; isolated nodes are the caller's concern
@@ -112,8 +113,13 @@ def connected_components(edges: ray.data.Dataset, max_iters: int = 20,
     Size-based plan choice (ray_guide.md: "union-find on the driver only if
     the candidate set is provably small"): below ``small_graph_edges`` the
     edge list streams to a driver union-find (identical min-label
-    semantics, no shuffle rounds); above it, the distributed hash-min +
-    pointer-jumping loop runs. Both produce label == component-min-node.
+    semantics, no shuffle rounds); above it, ``large_graph_plan`` picks the
+    distributed engine — ``"actors"`` (default) pins edge partitions in
+    resident shard actors and ships only label deltas per round
+    (stages/graph_actors.py; per-round network O(boundary dsts), not
+    O(|E|)), ``"shuffle"`` keeps the original hash-min + pointer-jumping
+    Dataset loop (per-round full-edge join). All plans produce
+    label == component-min-node (equivalence-tested).
     """
     edges = edges.select_columns(["src", "dst"])
 
@@ -164,6 +170,17 @@ def connected_components(edges: ray.data.Dataset, max_iters: int = 20,
             pa.table({"node": pa.array(nodes, pa.int64()),
                       "label": pa.array(nodes[label], pa.int64())})
         )
+
+    if large_graph_plan == "actors":
+        from .graph_actors import GraphEngine
+
+        doubled = edges.map_batches(both_dirs, batch_format="pyarrow")
+        with GraphEngine(doubled, num_shards=max(8, num_partitions)) as eng:
+            out = eng.connected_components(max_iters=max_iters)
+            # collect block refs before the actors die: from_arrow_refs
+            # blocks are driver-owned actor-task returns, but materialize
+            # inside the context pins them against any store eviction race
+            return out.materialize()
 
     doubled = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
     n_edges = doubled.count()

@@ -1,0 +1,125 @@
+"""Resident edge-shard actors ≡ the Dataset-shuffle graph operators.
+
+The engine (stages/graph_actors.py) pins edges in long-lived actors and
+ships only per-iteration deltas; these tests pin BIT-EQUALITY against
+the shuffle implementations (stages/graph.py pagerank/bfs_hops,
+stages/clustering.py semantics via the union-find oracle) on a random
+pre-doubled graph across shard widths.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+
+def _random_edges(n_nodes=300, n_edges=1200, seed=7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    # pre-doubled (both directions), with deliberate duplicates
+    src = np.concatenate([a, b, a[:50]])
+    dst = np.concatenate([b, a, b[:50]])
+    return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+
+@pytest.fixture(scope="module")
+def edge_table():
+    return _random_edges()
+
+
+def test_engine_pagerank_bitwise_equals_shuffle(ray_session, edge_table):
+    from entity_linking_ray.stages.graph import pagerank
+    from entity_linking_ray.stages.graph_actors import GraphEngine
+
+    want = (pagerank(ray.data.from_arrow(edge_table), iters=5,
+                     num_buckets=8)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    for shards in (1, 4):
+        with GraphEngine(ray.data.from_arrow(edge_table).repartition(3),
+                         num_shards=shards) as eng:
+            got = (eng.pagerank(iters=5).to_pandas()
+                   .sort_values("node").reset_index(drop=True))
+        assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
+        assert (got["r"].to_numpy() == want["r"].to_numpy()).all()
+
+
+def test_engine_bfs_equals_shuffle(ray_session, edge_table):
+    from entity_linking_ray.stages.graph import bfs_hops
+    from entity_linking_ray.stages.graph_actors import GraphEngine
+
+    seeds = [0, 999_999]  # one real node + one absent from the graph
+    want = (bfs_hops(ray.data.from_arrow(edge_table), seeds=seeds,
+                     max_hops=4, num_buckets=8)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    with GraphEngine(ray.data.from_arrow(edge_table).repartition(3),
+                     num_shards=4) as eng:
+        got = (eng.bfs(seeds=seeds, max_hops=4).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+    assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
+    assert (got["hop"].to_numpy() == want["hop"].to_numpy()).all()
+
+
+def test_engine_cc_equals_union_find(ray_session):
+    from entity_linking_ray.stages.clustering import union_find_reference
+    from entity_linking_ray.stages.graph_actors import GraphEngine
+
+    # several components, chain-shaped (stresses pointer jumping), plus
+    # a dense clump
+    rng = np.random.default_rng(5)
+    chains = []
+    base = 0
+    for ln in (40, 17, 3, 1):
+        ids = np.arange(base, base + ln + 1, dtype=np.int64) * 13 + 5
+        chains.append(np.stack([ids[:-1], ids[1:]], axis=1))
+        base += ln + 10
+    clump_ids = np.arange(5000, 5030, dtype=np.int64)
+    clump = np.stack([rng.choice(clump_ids, 80),
+                      rng.choice(clump_ids, 80)], axis=1)
+    clump = clump[clump[:, 0] != clump[:, 1]]
+    e = np.concatenate(chains + [clump])
+    src = np.concatenate([e[:, 0], e[:, 1]])
+    dst = np.concatenate([e[:, 1], e[:, 0]])
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    ref = union_find_reference([(int(a), int(b)) for a, b in e])
+    with GraphEngine(ray.data.from_arrow(t).repartition(3),
+                     num_shards=4) as eng:
+        got = eng.connected_components().to_pandas()
+    got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+    assert got_map == ref  # label == component min node, every node
+
+
+def test_connected_components_actor_plan(ray_session, edge_table):
+    """connected_components' large-graph branch routed through the
+    resident-shard engine (small_graph_edges=0 forces it) matches the
+    driver union-find exactly."""
+    from entity_linking_ray.stages.clustering import (
+        connected_components, union_find_reference)
+
+    ds = ray.data.from_arrow(edge_table)
+    got = connected_components(ds, small_graph_edges=0,
+                               large_graph_plan="actors").to_pandas()
+    pairs = list(zip(edge_table["src"].to_pylist(),
+                     edge_table["dst"].to_pylist()))
+    ref = union_find_reference(pairs)
+    got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+    assert got_map == ref
+
+
+def test_engine_empty_and_single_edge(ray_session):
+    from entity_linking_ray.stages.graph_actors import GraphEngine
+
+    t = pa.table({"src": pa.array([1, 2], pa.int64()),
+                  "dst": pa.array([2, 1], pa.int64())})
+    with GraphEngine(ray.data.from_arrow(t), num_shards=4) as eng:
+        pr = eng.pagerank(iters=2).to_pandas()
+        assert set(pr["node"]) == {1, 2}
+        cc = eng.connected_components().to_pandas()
+        assert set(zip(cc["node"], cc["label"])) == {(1, 1), (2, 1)}
+        hops = eng.bfs(seeds=[1], max_hops=3).to_pandas()
+        assert dict(zip(hops["node"], hops["hop"])) == {1: 0, 2: 1}
