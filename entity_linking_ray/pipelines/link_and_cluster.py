@@ -279,6 +279,7 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
                  use_general_cc: bool = False,
                  near_dup_edges: bool = False,
                  sn_edges: bool = False,
+                 lexical_channel: bool = False,
                  pin: str | None = "links",
                  annotate: str | None = "auto") -> dict[str, ray.data.Dataset]:
     """Returns the logical tables {mentions, scored, scored_pairs, links,
@@ -309,7 +310,11 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
 
     mentions = extract_mentions(docs, aliases, concurrency=concurrency)
     kb_ref = ray.put(make_kb_blob(entities_tbl))
-    cands = generate_candidates(mentions, kb_ref, k=k, ann_k=ann_k, concurrency=concurrency)
+    # lexical_channel: the reference's Solr/BM25 retrieval path as a third
+    # candidate source (stages/lexical.py) filling slots exact+ann leave
+    cands = generate_candidates(mentions, kb_ref, k=k, ann_k=ann_k,
+                                lex_k=(k if lexical_channel else 0),
+                                concurrency=concurrency)
     scored = cands.map_batches(
         lambda b: score_and_link(b, threshold=threshold), batch_format="pyarrow"
     )

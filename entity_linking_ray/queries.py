@@ -3872,3 +3872,54 @@ def _q_er_blocking_metrics(sf_dir: str):
         "completeness_ppm": pa.array(
             [(covered * 1_000_000) // max(gold_pairs, 1)], pa.int64()),
     })
+
+
+@register(
+    "candidates_lexical",
+    """
+    WITH dt AS (SELECT DISTINCT doc_id, t.token
+                FROM documents, unnest(string_split(text, ' ')) AS t(token)
+                WHERE t.token <> ''),
+    pt AS (SELECT DISTINCT p_partkey, t.token
+           FROM part, unnest(string_split(p_name, ' ')) AS t(token)
+           WHERE t.token <> ''),
+    df AS (SELECT token, count(*) AS df FROM pt GROUP BY token),
+    w AS (SELECT token,
+                 cast(round(ln((SELECT count(*) FROM part)
+                               / cast(df AS double)) * 1000000) AS bigint)
+                 AS units
+          FROM df),
+    sc AS (SELECT dt.doc_id, pt.p_partkey,
+                  cast(sum(w.units) as bigint) AS score_units
+           FROM dt JOIN pt USING (token) JOIN w USING (token)
+           GROUP BY dt.doc_id, pt.p_partkey),
+    r AS (SELECT doc_id, p_partkey, score_units,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_units DESC, p_partkey)
+                 AS rn
+          FROM sc)
+    SELECT doc_id, p_partkey, score_units, cast(rn as bigint) AS rn
+    FROM r WHERE rn <= 5
+    """,
+)
+def _q_candidates_lexical(sf_dir: str):
+    """Lexical (BM25-style) candidate retrieval — the reference's Solr
+    channel (candidate_generators.py:59-116, query template
+    main_solr.py:127-137) as a deterministic inverted-index operator:
+    documents score the part catalog by summed fixed-point idf units
+    over shared tokens, top-5 per doc (stages/lexical.py; broadcast
+    postings — entities ≪ corpus — with an equivalence-tested
+    distributed-join plan past the cap). Exact DuckDB value-hash oracle
+    (set-semantics scoring, int64 sums)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .stages.lexical import lexical_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    return lexical_topk(
+        docs, entity_ids=part["p_partkey"].to_numpy().astype(np.int64),
+        entity_texts=part["p_name"].to_pylist(), k=5,
+        out_entity_col="p_partkey")

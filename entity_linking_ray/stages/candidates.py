@@ -67,6 +67,25 @@ def make_kb_blob(entities_tbl: pa.Table, dim: int = DEFAULT_DIM):
     row_of = {e: i for i, e in enumerate(ids)}
     subjects = {e: normalize_str(s) for e, s in
                 zip(entities_tbl["entity_id"].to_pylist(), entities_tbl["subject"].to_pylist())}
+    # lexical channel index (reference Solr path, main_solr.py:127-137:
+    # title + aliases + description fields): per-entity token set over
+    # subject ∪ aliases ∪ synthesized description, in matrix-row order so
+    # score_batch entity rows index straight into ids/matrix
+    from ..functions.describe import synthesize_description
+    from .lexical import build_lexical_index
+
+    by_eid = {}
+    for e, s, al, ib in zip(entities_tbl["entity_id"].to_pylist(),
+                            entities_tbl["subject"].to_pylist(),
+                            entities_tbl["aliases"].to_pylist(),
+                            entities_tbl["infobox"].to_pylist()
+                            if "infobox" in entities_tbl.schema.names
+                            else [[]] * entities_tbl.num_rows):
+        desc = synthesize_description(s, list(ib or []))
+        by_eid[e] = normalize_str(" ".join([s, *list(al or []), desc]))
+    lex_index = build_lexical_index(
+        np.arange(len(ids), dtype=np.int64),
+        [by_eid.get(e, "") for e in ids], tokenizer="rough")
     return {
         "alias_to_ids": alias_to_ids,
         "eid_aliases": eid_aliases,
@@ -75,18 +94,21 @@ def make_kb_blob(entities_tbl: pa.Table, dim: int = DEFAULT_DIM):
         "matrix": matrix,
         "row_of": row_of,
         "dim": dim,
+        "lex_index": lex_index,
     }
 
 
 class CandidateGenerator:
     """map_batches actor: mentions → nested candidates with features."""
 
-    def __init__(self, kb_blob, k: int = 10, ann_k: int = 5, dim: int | None = None):
+    def __init__(self, kb_blob, k: int = 10, ann_k: int = 5, dim: int | None = None,
+                 lex_k: int = 0):
         if isinstance(kb_blob, ray.ObjectRef):
             kb_blob = ray.get(kb_blob)
         self.kb = kb_blob
         self.k = k
         self.ann_k = ann_k
+        self.lex_k = lex_k  # lexical-channel fill width (0 = off)
         self.dim = dim or kb_blob["dim"]
         self._strsim_cache: dict[tuple[str, str], float] = {}
 
@@ -221,22 +243,71 @@ class CandidateGenerator:
             midx_h = np.empty(0, dtype=np.int64)
             ent_h = np.empty(0, dtype=np.int64)
 
-        # ---- assemble: exact (incl. hot) before ann, stable within groups
-        midx = np.concatenate([midx_e, midx_h, midx_a])
-        ent = np.concatenate([ent_e, ent_h, ent_a])
+        # ---- lexical channel (flag 2, reference Solr path): description-
+        # token idf scores fill whatever room exact+ann left, skipping
+        # entities already selected (J8 precedence extended one rank down)
+        midx_l = np.empty(0, dtype=np.int64)
+        ent_l = np.empty(0, dtype=np.int64)
+        lexs_l = np.empty(0, dtype=np.float32)
+        if self.lex_k > 0 and "lex_index" in kb:
+            from ..functions.normalize import normalize_array
+            from .lexical import IDF_SCALE, score_batch, tokenize_rough
+
+            rows_l, toks_l = tokenize_rough(
+                normalize_array(pa.array(texts, pa.string())))
+            lq, le, ls, _ = score_batch(kb["lex_index"], rows_l, toks_l,
+                                        min(self.lex_k, m))
+            if len(lq):
+                prior_m = np.concatenate([midx_e, midx_h, midx_a])
+                prior_e = np.concatenate([ent_e, ent_h, ent_a])
+                codes = lq * m + le
+                if len(prior_m):
+                    sel = np.sort(prior_m * m + prior_e)
+                    p = np.searchsorted(sel, codes)
+                    p_cl = np.minimum(p, len(sel) - 1)
+                    dup = (p < len(sel)) & (sel[p_cl] == codes)
+                else:
+                    dup = np.zeros(len(codes), bool)
+                room2 = np.clip(k - np.bincount(prior_m, minlength=n),
+                                0, None)
+                valid = ~dup
+                # segment-limited fill: per mention, first room2 valid
+                # rows in score order (score_batch emits (q, rn)-sorted)
+                excl = np.cumsum(valid) - valid
+                newq = np.ones(len(lq), bool)
+                newq[1:] = lq[1:] != lq[:-1]
+                qstarts = np.nonzero(newq)[0]
+                seg = np.cumsum(newq) - 1
+                within = excl - excl[qstarts][seg]
+                keepl = valid & (within < room2[lq])
+                midx_l, ent_l = lq[keepl], le[keepl]
+                lexs_l = (ls[keepl].astype(np.float64)
+                          / IDF_SCALE).astype(np.float32)
+
+        # ---- assemble: exact (incl. hot), then ann, then lexical —
+        # stable within groups
+        midx = np.concatenate([midx_e, midx_h, midx_a, midx_l])
+        ent = np.concatenate([ent_e, ent_h, ent_a, ent_l])
         flag = np.concatenate([
             np.zeros(len(midx_e) + len(midx_h), dtype=np.int8),
             np.ones(len(midx_a), dtype=np.int8),
+            np.full(len(midx_l), 2, dtype=np.int8),
+        ])
+        lexv = np.concatenate([
+            np.zeros(len(midx_e) + len(midx_h) + len(midx_a), np.float32),
+            lexs_l,
         ])
         order = np.lexsort((flag, midx))
         midx_f, ent_f, flag_f = midx[order], ent[order], flag[order]
+        lexv_f = lexv[order]
 
         counts = np.bincount(midx, minlength=n)
         offsets = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(counts, out=offsets[1:])
 
         cos_f = scores[midx_f, ent_f].astype(np.float32)
-        retrieval_f = np.where(flag_f == 0, np.float32(1.0), cos_f)
+        retrieval_f = np.where(flag_f == 0, np.float32(1.0),
+                               np.where(flag_f == 2, lexv_f, cos_f))
 
         # strsim over DISTINCT (surface, entity) pairs only, then gather
         pair_codes = inv[midx_f] * m + ent_f
@@ -247,10 +318,12 @@ class CandidateGenerator:
             sv[t] = self._strsim(uniq[j], ids[r])
         strsim_f = sv[uinv_p]
 
+        src_f = np.where(flag_f == 0, "exact",
+                         np.where(flag_f == 2, "lexical", "ann"))
         struct = pa.StructArray.from_arrays(
             [
                 pa.array(ids[ent_f], pa.string()),
-                pc.if_else(pa.array(flag_f == 0), pa.scalar("exact"), pa.scalar("ann")),
+                pa.array(src_f, pa.string()),
                 pa.array(retrieval_f),
                 pa.array(strsim_f),
                 pa.array(cos_f),
@@ -265,7 +338,7 @@ _TASK_GENERATORS: dict = {}
 
 
 def generate_candidates(mentions: "ray.data.Dataset", kb_blob_ref,
-                        k: int = 10, ann_k: int = 5,
+                        k: int = 10, ann_k: int = 5, lex_k: int = 0,
                         concurrency: int | tuple = 4, batch_size: int = 1024,
                         pool: str = "actor") -> "ray.data.Dataset":
     if pool == "actor":
@@ -273,7 +346,8 @@ def generate_candidates(mentions: "ray.data.Dataset", kb_blob_ref,
             concurrency = (1, max(1, concurrency))
         return mentions.map_batches(
             CandidateGenerator,
-            fn_constructor_kwargs={"kb_blob": kb_blob_ref, "k": k, "ann_k": ann_k},
+            fn_constructor_kwargs={"kb_blob": kb_blob_ref, "k": k,
+                                   "ann_k": ann_k, "lex_k": lex_k},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -281,12 +355,13 @@ def generate_candidates(mentions: "ray.data.Dataset", kb_blob_ref,
 
     # task pool with worker-process-level generator cache (see
     # mentions.extract_mentions for rationale)
-    key = (kb_blob_ref.hex() if hasattr(kb_blob_ref, "hex") else str(kb_blob_ref), k, ann_k)
+    key = (kb_blob_ref.hex() if hasattr(kb_blob_ref, "hex") else str(kb_blob_ref),
+           k, ann_k, lex_k)
 
     def gen(batch: pa.Table) -> pa.Table:
         g = _TASK_GENERATORS.get(key)
         if g is None:
-            g = CandidateGenerator(kb_blob_ref, k=k, ann_k=ann_k)
+            g = CandidateGenerator(kb_blob_ref, k=k, ann_k=ann_k, lex_k=lex_k)
             _TASK_GENERATORS.clear()
             _TASK_GENERATORS[key] = g
         return g(batch)
