@@ -854,17 +854,14 @@ def sn_mention_edges(scored: ray.data.Dataset, *, window: int = 4,
     less than one extra copy of the mention table."""
     from ..functions.embed import embed_texts
     from ..functions.strsim import jaro_winkler_batch
-    from ..stages.blocking import sorted_neighborhood_pairs
+    from ..stages.blocking import sorted_neighborhood_pairs, surface_order_keys
     from ..stages.pairwise import mention_node_hashes
     from ..stages.windows import _add_key_bucket
 
     def prep(batch: pa.Table) -> pa.Table:
         node = mention_node_hashes(batch)
-        surfs = batch["norm_mention"].to_pylist()
-        okey = np.empty(len(surfs), np.int64)
-        for i, s in enumerate(surfs):  # byte-prefix order key (63-bit)
-            okey[i] = int.from_bytes(
-                s.encode("utf-8")[:8].ljust(8, b"\0"), "big") >> 1
+        # byte-prefix order key (63-bit) — vectorized buffer scatter
+        okey = surface_order_keys(batch["norm_mention"])
         ctx = [f"{l} {r}" for l, r in zip(
             batch["context_left"].to_pylist(),
             batch["context_right"].to_pylist())]

@@ -94,6 +94,37 @@ def add_salted_key(batch: pa.Table, hot: dict[int, int], key: str = "block_key",
     return batch.append_column("salted_key", pa.array(salted, pa.int64()))
 
 
+def surface_order_keys(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """→ int64 63-bit order keys = big-endian first-8-byte UTF-8 prefix
+    (zero-padded) >> 1 — the sorted-neighborhood sort key. Vectorized:
+    one fixed-width scatter over the Arrow string buffer per chunk (the
+    per-row ``int.from_bytes`` loop this replaces was the last Python
+    row loop on the sn_edges hot path; equality property-tested against
+    the scalar definition)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    outs = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        b = ch.cast(pa.large_string())  # 64-bit offsets, utf-8 data buffer
+        off = np.frombuffer(b.buffers()[1], np.int64)[
+            b.offset:b.offset + len(b) + 1]
+        dbuf = b.buffers()[2]
+        data = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
+                else np.empty(0, np.uint8))
+        starts = off[:-1]
+        w = np.minimum(np.diff(off), 8)
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), w)
+        pos = (np.arange(int(w.sum()), dtype=np.int64)
+               - np.repeat(np.concatenate(
+                   [[np.int64(0)], np.cumsum(w)[:-1]]), w))
+        M = np.zeros((len(b), 8), np.uint8)
+        M[rows, pos] = data[np.repeat(starts, w) + pos]
+        u = M.view(">u8")[:, 0].astype(np.uint64)
+        outs.append((u >> np.uint64(1)).astype(np.int64))
+    return np.concatenate(outs) if outs else np.empty(0, np.int64)
+
+
 def sorted_neighborhood_pairs(ds: "ray.data.Dataset", *, val_col: str,
                               id_col: str, window: int,
                               num_buckets: int = 64) -> "ray.data.Dataset":
