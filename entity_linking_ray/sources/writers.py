@@ -25,6 +25,24 @@ def write_parquet_partitioned(ds: ray.data.Dataset, out_dir: str,
     return out_dir
 
 
+def write_lance(ds: ray.data.Dataset, out_path: str,
+                max_rows_per_file: int = 500_000) -> str:
+    """Lance sink mirroring :func:`write_parquet_partitioned` — the
+    BASELINE.json production layout (Lance interleaved documents),
+    executable wherever the ``lance`` package ships; this sandbox lacks
+    it, so callers import-try (the reader side already falls back the
+    same way, documents.py:17)."""
+    try:
+        import lance  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - lance not in sandbox
+        raise NotImplementedError(
+            "write_lance needs the 'lance' package (not in this "
+            "container); use write_parquet_partitioned — identical "
+            "layout semantics") from exc
+    ds.write_lance(out_path, max_rows_per_file=max_rows_per_file)
+    return out_path
+
+
 def write_jsonl(ds: ray.data.Dataset, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     ds.write_json(out_dir)

@@ -11,8 +11,9 @@ container.
   derived from the media_ref hash. Lets the whole pipeline (including
   tests and benchmarks) exercise the stage end-to-end.
 - ``decoder="real"``: import-tries PIL; raises NotImplementedError with a
-  clear message otherwise. A real deployment drops the decode body in
-  without touching the Ray plumbing.
+  clear message when PIL is absent (this sandbox), decodes for real when
+  present — the PIL branches satisfy the SAME output contract as the
+  fake (contract-tested, skip-marked where PIL is unavailable).
 
 Media payload guidance (SURVEY.md memory-pressure row): large binary
 payloads ⇒ small ``batch_size`` (default 64) so batch × concurrency fits
@@ -108,13 +109,24 @@ class MediaFeatureExtractor:
             v = (seeds.astype(np.float64) / 2**64 - 0.5).astype(np.float32)
             n = np.linalg.norm(v)
             return v / n if n > 0 else v
-        raise NotImplementedError  # pragma: no cover
+        # real branch (PIL import already verified in __init__): media_ref
+        # is a readable path/file; the feature is the unit-normalized
+        # grayscale thumbnail — SAME output contract as the fake
+        # (float32[feature_dim], unit norm), contract-tested skip-if-no-PIL
+        import PIL.Image
+
+        img = PIL.Image.open(media_ref).convert("L") \
+            .resize((self.feature_dim, 1))
+        v = (np.asarray(img, np.float32).ravel()[:self.feature_dim]
+             / 255.0 - 0.5)
+        n = np.linalg.norm(v)
+        return (v / n if n > 0 else v).astype(np.float32)
 
     def _decode_many(self, kinds: list, refs: list) -> np.ndarray:
         """Batched fake decode: one splitmix broadcast for every media
         span in the batch (row-identical to per-span ``_decode``). A real
         decoder replaces this with a batched model/codec call."""
-        if self.decoder != "fake":  # pragma: no cover - libs not in sandbox
+        if self.decoder != "fake":
             return np.stack([self._decode(k, r) for k, r in zip(kinds, refs)])
         h = hash_strings([f"{k}|{r}" for k, r in zip(kinds, refs)]) \
             .astype(np.uint64)
@@ -181,8 +193,16 @@ class MediaResizer:
                     "this container; use decoder='fake'") from exc
 
     def _decode_resize(self, media_ref: str) -> tuple[int, int, bytes]:
-        if self.decoder != "fake":  # pragma: no cover
-            raise NotImplementedError
+        if self.decoder != "fake":
+            # real branch (PIL presence verified in __init__): same output
+            # contract as the fake — (src_w, src_h, width*height luminance
+            # bytes) — contract-tested skip-if-no-PIL
+            import PIL.Image
+
+            img = PIL.Image.open(media_ref)
+            src_w, src_h = img.size
+            small = img.convert("L").resize((self.width, self.height))
+            return src_w, src_h, np.asarray(small, np.uint8).tobytes()
         h = np.uint64(int(hash_strings([media_ref])[0]))
         src_w = 16 + int(h % np.uint64(4096))
         src_h = 16 + int((h >> np.uint64(12)) % np.uint64(4096))
@@ -193,7 +213,12 @@ class MediaResizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_id, span_idx, _, ref = _explode_media_spans(batch, ("image",))
         n = len(doc_id)
-        if n:
+        if n and self.decoder != "fake":
+            triples = [self._decode_resize(r) for r in ref.to_pylist()]
+            src_w = np.array([t[0] for t in triples], np.int32)
+            src_h = np.array([t[1] for t in triples], np.int32)
+            pixels = pa.array([t[2] for t in triples], pa.binary())
+        elif n:
             h = hash_strings(ref.to_pylist()).astype(np.uint64)
             src_w = 16 + (h % np.uint64(4096)).astype(np.int32)
             src_h = 16 + ((h >> np.uint64(12)) % np.uint64(4096)).astype(np.int32)
