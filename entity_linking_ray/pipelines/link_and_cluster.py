@@ -280,6 +280,7 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
                  near_dup_edges: bool = False,
                  sn_edges: bool = False,
                  lexical_channel: bool = False,
+                 oov_channel: bool = False,
                  pin: str | None = "links",
                  annotate: str | None = "auto") -> dict[str, ray.data.Dataset]:
     """Returns the logical tables {mentions, scored, scored_pairs, links,
@@ -309,6 +310,15 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
     aliases += entities_tbl["subject"].to_pylist()
 
     mentions = extract_mentions(docs, aliases, concurrency=concurrency)
+    if oov_channel:
+        # statistical new-word channel (reference HMM path): proposes only
+        # surfaces the lexicon does NOT know, so the union never
+        # double-proposes; the proposals carry no KB candidates and land
+        # as NIL singleton clusters instead of silence
+        from ..stages.oov import oov_mentions
+
+        mentions = mentions.union(
+            oov_mentions(docs, aliases, concurrency=concurrency))
     kb_ref = ray.put(make_kb_blob(entities_tbl))
     # lexical_channel: the reference's Solr/BM25 retrieval path as a third
     # candidate source (stages/lexical.py) filling slots exact+ann leave
