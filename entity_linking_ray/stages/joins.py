@@ -157,41 +157,47 @@ def _match_bulk(tagged: ray.data.Dataset, *, key: str, left_id: str,
         return b.append_column("__kb", pa.array(kb.astype(np.int64),
                                                 pa.int64()))
 
-    def match(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([key, "__t"], kind="mergesort")
-        keys = g[key].to_numpy()
-        n = len(g)
+    def match(group: pa.Table) -> pa.Table:
+        # Arrow-native co-group: numpy kernel straight off the Arrow
+        # buffers, output columns gathered by take (key keeps its type) —
+        # no per-group pandas frame (round-5 VERDICT #4)
+        keys_np = group[key].to_numpy(zero_copy_only=False)
+        ts_ = group["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, inv = np.unique(keys_np, return_inverse=True)
+        order = np.lexsort((ts_, inv))
+        inv_s, ts_s = inv[order], ts_[order]
+        sides = group["__side"].to_numpy(zero_copy_only=False)[order]
+        n = len(order)
         new = np.ones(n, dtype=bool)
         if n > 1:
-            new[1:] = keys[1:] != keys[:-1]
+            new[1:] = inv_s[1:] != inv_s[:-1]
         starts = np.nonzero(new)[0]
         ends = np.append(starts[1:], n)
-        sides = g["__side"].to_numpy()
-        ts_ = g["__t"].to_numpy(np.int64)
-        ids = g["__id"].to_numpy(np.int64)
-        out_id, out_key, out_t, out_v = [], [], [], []
+        out_pos, out_v = [], []
         for s, e in zip(starts, ends):
             lmask = sides[s:e] == 0
-            lt = ts_[s:e][lmask]
+            lt = ts_s[s:e][lmask]
             if not len(lt):
                 continue
-            rt = ts_[s:e][~lmask]  # already time-sorted within the key
-            out_id.append(ids[s:e][lmask])
-            out_key.append(keys[s:e][lmask])
-            out_t.append(lt)
+            rt = ts_s[s:e][~lmask]  # time-sorted within the key
+            out_pos.append(order[s:e][lmask])
             out_v.append(kernel(rt, lt))
-        if not out_id:
-            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
-                                 key: pd.Series([], dtype=group[key].dtype),
-                                 "t": pd.Series([], dtype="int64"),
-                                 out_col: pd.Series([], dtype="int64")})
-        return pd.DataFrame({left_id: np.concatenate(out_id),
-                             key: np.concatenate(out_key),
-                             "t": np.concatenate(out_t),
-                             out_col: np.concatenate(out_v).astype(np.int64)})
+        if not out_pos:
+            return pa.table({
+                left_id: pa.array([], pa.int64()),
+                key: group[key].slice(0, 0),
+                "t": pa.array([], pa.int64()),
+                out_col: pa.array([], pa.int64())})
+        take = pa.array(np.concatenate(out_pos), pa.int64())
+        return pa.table({
+            left_id: pc.cast(group["__id"].take(take), pa.int64()),
+            key: group[key].take(take),
+            "t": pa.array(ts_[np.concatenate(out_pos)], pa.int64()),
+            out_col: pa.array(np.concatenate(out_v).astype(np.int64),
+                              pa.int64())})
 
     return (tagged.map_batches(add_kb, batch_format="pyarrow")
-            .groupby("__kb").map_groups(match, batch_format="pandas"))
+            .groupby("__kb").map_groups(match, batch_format="pyarrow"))
 
 
 def _asof_match(tagged: ray.data.Dataset, *, key: str, left_id: str,
@@ -279,69 +285,85 @@ def _asof_salted_tagged(tagged_rows: ray.data.Dataset, *,
     W = salt_bucket_us
     tagged = _add_bucket(tagged_rows, W)
 
-    def match_a(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0]
-        rt = np.sort(group.loc[group["__side"] == 1, "__t"].to_numpy())
-        kdt = group[key].dtype
-        cols = {left_id: [], key: [], "t": [], out_col: [], "__kind": []}
-        out = pd.DataFrame({left_id: pd.Series(cols[left_id], dtype="int64"),
-                            key: pd.Series(cols[key], dtype=kdt),
-                            "t": pd.Series([], dtype="int64"),
-                            out_col: pd.Series([], dtype="int64"),
-                            "__kind": pd.Series([], dtype="int8")})
-        frames = [out]
-        if len(l):
-            lt = l["__t"].to_numpy()
+    def match_a(group: pa.Table) -> pa.Table:
+        # Arrow-native (VERDICT #4): masks + takes on the Arrow columns,
+        # one typed output table — no per-group pandas frames
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        t_all = group["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_idx = np.nonzero(side == 0)[0]
+        rt = np.sort(t_all[side != 0])
+        parts = []
+        if len(l_idx):
+            lt = t_all[l_idx]
             if len(rt):
                 pos = np.searchsorted(rt, lt, side="right") - 1
-                matched = np.where(pos >= 0, rt[np.clip(pos, 0, None)], _NO_MATCH)
+                matched = np.where(pos >= 0, rt[np.clip(pos, 0, None)],
+                                   _NO_MATCH)
             else:
                 matched = np.full(len(lt), _NO_MATCH, np.int64)
             kind = np.where(matched == _NO_MATCH, 1, 0).astype(np.int8)
-            frames.append(pd.DataFrame({
-                left_id: l["__id"].to_numpy(), key: l[key].to_numpy(),
-                "t": lt, out_col: matched, "__kind": kind}))
+            take = pa.array(l_idx, pa.int64())
+            parts.append(pa.table({
+                left_id: pc.cast(group["__id"].take(take), pa.int64()),
+                key: group[key].take(take),
+                "t": pa.array(lt, pa.int64()),
+                out_col: pa.array(matched, pa.int64()),
+                "__kind": pa.array(kind, pa.int8())}))
         if len(rt):
             # summary row: t carries the BUCKET index, out_col the bucket max
-            frames.append(pd.DataFrame({
-                left_id: np.array([_NO_MATCH], np.int64),
-                key: pd.Series([group[key].iloc[0]], dtype=kdt),
-                "t": np.array([int(group["__bucket"].iloc[0])], np.int64),
-                out_col: np.array([rt[-1]], np.int64),
-                "__kind": np.array([2], np.int8)}))
-        return pd.concat(frames, ignore_index=True)
+            parts.append(pa.table({
+                left_id: pa.array([_NO_MATCH], pa.int64()),
+                key: group[key].slice(0, 1),
+                "t": pa.array(
+                    [int(group["__bucket"][0].as_py())], pa.int64()),
+                out_col: pa.array([int(rt[-1])], pa.int64()),
+                "__kind": pa.array([2], pa.int8())}))
+        if not parts:
+            return pa.table({
+                left_id: pa.array([], pa.int64()),
+                key: group[key].slice(0, 0),
+                "t": pa.array([], pa.int64()),
+                out_col: pa.array([], pa.int64()),
+                "__kind": pa.array([], pa.int8())})
+        return pa.concat_tables(parts)
 
     phase_a = tagged.groupby([key, "__bucket"]).map_groups(
-        match_a, batch_format="pandas")
+        match_a, batch_format="pyarrow")
 
     resolved = phase_a.filter(expr="__kind == 0").drop_columns(["__kind"])
 
-    def finish(group: pd.DataFrame) -> pd.DataFrame:
-        un = group[group["__kind"] == 1]
-        kdt = group[key].dtype
-        if not len(un):
-            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
-                                 key: pd.Series([], dtype=kdt),
-                                 "t": pd.Series([], dtype="int64"),
-                                 out_col: pd.Series([], dtype="int64")})
-        summ = group[group["__kind"] == 2]
-        sb = summ["t"].to_numpy()          # bucket indices
-        smax = summ[out_col].to_numpy()
+    def finish(group: pa.Table) -> pa.Table:
+        kind = group["__kind"].to_numpy(zero_copy_only=False)
+        t_all = group["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        un_idx = np.nonzero(kind == 1)[0]
+        if not len(un_idx):
+            return pa.table({
+                left_id: pa.array([], pa.int64()),
+                key: group[key].slice(0, 0),
+                "t": pa.array([], pa.int64()),
+                out_col: pa.array([], pa.int64())})
+        s_idx = kind == 2
+        sb = t_all[s_idx]                  # bucket indices
+        smax = group[out_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)[s_idx]
         order = np.argsort(sb)
         sb = sb[order]
         smax = np.maximum.accumulate(smax[order])
-        ub = un["t"].to_numpy() // W
+        ub = t_all[un_idx] // W
         if len(sb):
             pos = np.searchsorted(sb, ub, side="left") - 1  # buckets < ub
             val = np.where(pos >= 0, smax[np.clip(pos, 0, None)], _NO_MATCH)
         else:
-            val = np.full(len(un), _NO_MATCH, np.int64)
-        return pd.DataFrame({left_id: un[left_id].to_numpy(),
-                             key: un[key].to_numpy(),
-                             "t": un["t"].to_numpy(), out_col: val})
+            val = np.full(len(un_idx), _NO_MATCH, np.int64)
+        take = pa.array(un_idx, pa.int64())
+        return pa.table({
+            left_id: pc.cast(group[left_id].take(take), pa.int64()),
+            key: group[key].take(take),
+            "t": pa.array(t_all[un_idx], pa.int64()),
+            out_col: pa.array(val, pa.int64())})
 
     fallback = phase_a.filter(expr="__kind > 0").groupby(key).map_groups(
-        finish, batch_format="pandas")
+        finish, batch_format="pyarrow")
     return resolved.union(fallback)
 
 
@@ -379,23 +401,29 @@ def _range_salted_tagged(tagged_rows: ray.data.Dataset, *,
 
     tagged = tagged_rows.map_batches(retag, batch_format="pyarrow")
 
-    def match(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0]
-        if not len(l):
-            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
-                                 key: pd.Series([], dtype=group[key].dtype),
-                                 "t": pd.Series([], dtype="int64"),
-                                 out_col: pd.Series([], dtype="int64")})
-        rt = np.sort(group.loc[group["__side"] == 1, "__t"].to_numpy())
-        lt = l["__t"].to_numpy()
+    def match(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        l_idx = np.nonzero(side == 0)[0]
+        if not len(l_idx):
+            return pa.table({
+                left_id: pa.array([], pa.int64()),
+                key: group[key].slice(0, 0),
+                "t": pa.array([], pa.int64()),
+                out_col: pa.array([], pa.int64())})
+        t_all = group["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rt = np.sort(t_all[side != 0])
+        lt = t_all[l_idx]
         lo = np.searchsorted(rt, lt - before_us, side="left")
         hi = np.searchsorted(rt, lt + after_us, side="right")
-        return pd.DataFrame({left_id: l["__id"].to_numpy(),
-                             key: l[key].to_numpy(),
-                             "t": lt, out_col: (hi - lo).astype(np.int64)})
+        take = pa.array(l_idx, pa.int64())
+        return pa.table({
+            left_id: pc.cast(group["__id"].take(take), pa.int64()),
+            key: group[key].take(take),
+            "t": pa.array(lt, pa.int64()),
+            out_col: pa.array((hi - lo).astype(np.int64), pa.int64())})
 
     return tagged.groupby([key, "__bucket"]).map_groups(
-        match, batch_format="pandas")
+        match, batch_format="pyarrow")
 
 
 def _bloom_split(left: ray.data.Dataset, right: ray.data.Dataset,
