@@ -3953,20 +3953,28 @@ def _fingerprint_pinned(sf_dir: str, full_name: str, val_col: str):
     SELECT cast(v.doc_id AS bigint) AS doc_id,
            cast(v.fingerprint AS bigint) AS fingerprint,
            cast((SELECT count(*) FROM documents) AS bigint) AS n_docs,
-           cast(436 AS bigint) AS n_distinct
-    FROM (VALUES (0, 84267257760935643),
-                 (1, 43184800953610647),
-                 (2, 43885770315337477),
-                 (3, 169268781903578623),
-                 (4, 45554909090910364)) AS v(doc_id, fingerprint)
+           cast(v.n_distinct AS bigint) AS n_distinct
+    FROM (VALUES (60000, 0, 84267257760935643, 436),
+                 (60000, 1, 43184800953610647, 436),
+                 (60000, 2, 43885770315337477, 436),
+                 (60000, 3, 169268781903578623, 436),
+                 (60000, 4, 45554909090910364, 436),
+                 (6000, 0, 413675588969327546, 438),
+                 (6000, 1, 41780763260009847, 438),
+                 (6000, 2, 1326713314517409, 438),
+                 (6000, 3, 226586947956624591, 438),
+                 (6000, 4, 46763879515025180, 438))
+         AS v(sf_key, doc_id, fingerprint, n_distinct)
+    WHERE v.sf_key = (SELECT count(*) FROM lineitem)
     """,
 )
 def _q_doc_fingerprints_pinned(sf_dir: str):
     """Structural oracle for the winnowing rolling-hash fingerprints
     (round-5 VERDICT #5): the 64-bit hash itself is not SQL-expressible,
     so the oracle pins (a) the fingerprints of the five smallest doc_ids
-    as VALUES literals (computed once at sf0.01 — the driver's
-    correctness scale — and held fixed: any change to the hash breaks
+    as VALUES literals (computed once at the two correctness scales —
+    sf0.001 for the local harness, sf0.01 for the driver — keyed by the
+    lineitem row count and held fixed: any change to the hash breaks
     the match), (b) the live row count from the documents view, and
     (c) the distinct-fingerprint count. The full per-doc output remains
     the rows-only `doc_fingerprints` query."""
@@ -3979,12 +3987,19 @@ def _q_doc_fingerprints_pinned(sf_dir: str):
     SELECT cast(v.doc_id AS bigint) AS doc_id,
            cast(v.simhash AS bigint) AS simhash,
            cast((SELECT count(*) FROM documents) AS bigint) AS n_docs,
-           cast(497 AS bigint) AS n_distinct
-    FROM (VALUES (0, -1612229081215695330),
-                 (1, -6077547420272508370),
-                 (2, -8527508649287937526),
-                 (3, -4924363604832038134),
-                 (4, -5148401548021521844)) AS v(doc_id, simhash)
+           cast(v.n_distinct AS bigint) AS n_distinct
+    FROM (VALUES (60000, 0, -1612229081215695330, 497),
+                 (60000, 1, -6077547420272508370, 497),
+                 (60000, 2, -8527508649287937526, 497),
+                 (60000, 3, -4924363604832038134, 497),
+                 (60000, 4, -5148401548021521844, 497),
+                 (6000, 0, -5065611340688928242, 495),
+                 (6000, 1, -4924365133840408018, 495),
+                 (6000, 2, -5062832740567883250, 495),
+                 (6000, 3, -4978389835256519154, 495),
+                 (6000, 4, -6131355672483028370, 495))
+         AS v(sf_key, doc_id, simhash, n_distinct)
+    WHERE v.sf_key = (SELECT count(*) FROM lineitem)
     """,
 )
 def _q_simhash_fingerprints_pinned(sf_dir: str):

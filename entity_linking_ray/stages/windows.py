@@ -125,23 +125,31 @@ def session_windows(events: ray.data.Dataset, *, gap_us: int,
 
     # shuffle on a coarse key-hash bucket: one vectorized segmenter call
     # per bucket covers MANY keys (one pandas call per key collapses when
-    # the key space is large); key changes break runs exactly like gaps
-    def sessions_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([key_col, ts_col], kind="mergesort")
-        t = g[ts_col].to_numpy(np.int64)
-        keys = g[key_col].to_numpy()
-        n = len(g)
+    # the key space is large); key changes break runs exactly like gaps.
+    # Arrow-native (round-5 VERDICT #4): factorize + lexsort off the
+    # Arrow buffers, key column gathered by take — no pandas frame
+    def sessions_bulk(group: pa.Table) -> pa.Table:
+        keys_np = group[key_col].to_numpy(zero_copy_only=False)
+        t = group[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, inv = np.unique(keys_np, return_inverse=True)
+        order = np.lexsort((t, inv))
+        inv_s, t_s = inv[order], t[order]
+        n = len(order)
         brk = np.empty(n, dtype=bool)
         brk[0] = True
         if n > 1:
-            brk[1:] = (keys[1:] != keys[:-1]) | (np.diff(t) > gap_us)
+            brk[1:] = (inv_s[1:] != inv_s[:-1]) | (np.diff(t_s) > gap_us)
         run_start = np.nonzero(brk)[0]
         run_end = np.append(run_start[1:], n) - 1
-        return pd.DataFrame({
-            key_col: keys[run_start],
-            "session_start": t[run_start],
-            "n_events": np.diff(np.append(run_start, n)).astype(np.int64),
-            "duration_us": t[run_end] - t[run_start],
+        take = pa.array(order[run_start], pa.int64())
+        return pa.table({
+            key_col: group[key_col].take(take),
+            "session_start": pa.array(t_s[run_start], pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.append(run_start, n)).astype(np.int64),
+                pa.int64()),
+            "duration_us": pa.array(t_s[run_end] - t_s[run_start],
+                                    pa.int64()),
         })
 
     cols = events.select_columns([key_col, ts_col])
@@ -157,7 +165,7 @@ def session_windows(events: ray.data.Dataset, *, gap_us: int,
 
     out = (cols.map_batches(to_us, batch_format="pyarrow")
            .groupby("__kb")
-           .map_groups(sessions_bulk, batch_format="pandas"))
+           .map_groups(sessions_bulk, batch_format="pyarrow"))
     return _union_typed_empty(out, events, [
         (key_col, key_col), ("session_start", pa.int64()),
         ("n_events", pa.int64()), ("duration_us", pa.int64())])
@@ -256,6 +264,20 @@ def _add_key_bucket(key_col: str, num_buckets: int = 64):
     return add
 
 
+def _factorize_sort(group: pa.Table, key_col: str, id_col: str):
+    """→ (key codes, t, id codes, lexsort order by (key, t, id)) — the
+    shared Arrow-native sort prep for the per-bucket window kernels
+    (np.unique codes give value order for any orderable dtype, so the
+    sort matches the previous pandas sort_values exactly)."""
+    keys_np = group[key_col].to_numpy(zero_copy_only=False)
+    ids_np = group[id_col].to_numpy(zero_copy_only=False)
+    t = group["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _, kinv = np.unique(keys_np, return_inverse=True)
+    _, iinv = np.unique(ids_np, return_inverse=True)
+    order = np.lexsort((iinv, t, kinv))
+    return kinv, t, iinv, order
+
+
 def _lag_prep(key_col: str, ts_col: str, id_col: str, val_col: str,
               scale: int):
     def prep(b: pa.Table) -> pa.Table:
@@ -317,27 +339,35 @@ def grouped_lag_delta(events: ray.data.Dataset, *, key_col: str,
             return cold.union(salted)
 
     # coarse key-hash bucket shuffle: one vectorized lag per bucket over
-    # many keys (key changes invalidate the shifted predecessor)
-    def lag_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([key_col, "t", id_col], kind="mergesort")
-        v = g["value_units"].to_numpy(np.int64)
-        keys = g[key_col].to_numpy()
-        n = len(g)
+    # many keys (key changes invalidate the shifted predecessor).
+    # Arrow-native: factorize + lexsort, outputs gathered by take
+    def lag_bulk(group: pa.Table) -> pa.Table:
+        kinv, t, iinv, order = _factorize_sort(group, key_col, id_col)
+        v = group["value_units"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        kinv_s, t_s = kinv[order], t[order]
+        n = len(order)
         same = np.zeros(n, dtype=bool)
         if n > 1:
-            same[1:] = keys[1:] == keys[:-1]
+            same[1:] = kinv_s[1:] == kinv_s[:-1]
         prev = np.empty(n, np.int64)
         prev[0] = 0
         prev[1:] = v[:-1]
-        out = g[same].copy()
-        out["prev_units"] = prev[same]
-        out["delta_units"] = v[same] - prev[same]
-        return out.drop(columns="__kb")
+        sel = np.nonzero(same)[0]
+        take = pa.array(order[sel], pa.int64())
+        return pa.table({
+            key_col: group[key_col].take(take),
+            id_col: group[id_col].take(take),
+            "t": pa.array(t_s[sel], pa.int64()),
+            "value_units": pa.array(v[sel], pa.int64()),
+            "prev_units": pa.array(prev[sel], pa.int64()),
+            "delta_units": pa.array(v[sel] - prev[sel], pa.int64()),
+        })
 
     out = (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
                                         scale), batch_format="pyarrow")
            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
-           .groupby("__kb").map_groups(lag_bulk, batch_format="pandas"))
+           .groupby("__kb").map_groups(lag_bulk, batch_format="pyarrow"))
     return _union_typed_empty(out, events, [
         (key_col, key_col), (id_col, id_col), ("t", pa.int64()),
         ("value_units", pa.int64()), ("prev_units", pa.int64()),
@@ -463,29 +493,35 @@ def grouped_rolling_window(events: ray.data.Dataset, *, key_col: str,
                 salt_bucket_us=salt_bucket_us)
             return cold.union(salted)
 
-    def rolling_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([key_col, "t", id_col],
-                              kind="mergesort").copy()
-        v = g["value_units"].to_numpy(np.int64)
-        keys = g[key_col].to_numpy()
-        n = len(g)
+    def rolling_bulk(group: pa.Table) -> pa.Table:
+        kinv, t, iinv, order = _factorize_sort(group, key_col, id_col)
+        v = group["value_units"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        kinv_s = kinv[order]
+        n = len(order)
         new = np.ones(n, dtype=bool)
         if n > 1:
-            new[1:] = keys[1:] != keys[:-1]
+            new[1:] = kinv_s[1:] != kinv_s[:-1]
         starts = np.nonzero(new)[0]
         seg = np.cumsum(new) - 1
         i = np.arange(n, dtype=np.int64)
         j = np.maximum(starts[seg], i - window_rows + 1)
         c = np.cumsum(v)
         cprev = np.concatenate(([np.int64(0)], c[:-1]))  # c[j-1]
-        g["win_units"] = c - cprev[j]
-        g["win_n"] = i - j + 1
-        return g.drop(columns="__kb")
+        take = pa.array(order, pa.int64())
+        return pa.table({
+            key_col: group[key_col].take(take),
+            id_col: group[id_col].take(take),
+            "t": pa.array(t[order], pa.int64()),
+            "value_units": pa.array(v, pa.int64()),
+            "win_units": pa.array(c - cprev[j], pa.int64()),
+            "win_n": pa.array(i - j + 1, pa.int64()),
+        })
 
     out = (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
                                         scale), batch_format="pyarrow")
            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
-           .groupby("__kb").map_groups(rolling_bulk, batch_format="pandas"))
+           .groupby("__kb").map_groups(rolling_bulk, batch_format="pyarrow"))
     return _union_typed_empty(out, events, [
         (key_col, key_col), (id_col, id_col), ("t", pa.int64()),
         ("value_units", pa.int64()), ("win_units", pa.int64()),
