@@ -2999,18 +2999,20 @@ def _q_events_hourly_partitioned_write(sf_dir: str):
 
 @register("knn_ivf_trained_top5")
 def _q_knn_ivf_trained(sf_dir: str):
-    """IVF k-NN over TRAINED buckets: distributed Lloyd k-means
-    (stages/knn.kmeans_fit — exact int64 fixed-point reduce, so training
-    is bit-reproducible across partitionings) feeds the same
-    assign → prune → partial-top-k → merge dataflow as knn_ivf_top5.
-    Rows-only by nature (k-means has no SQL form); pruned-recall and
-    training determinism/cohesion are pytest-gated."""
+    """IVF k-NN over TRAINED buckets: distributed Lloyd k-means on
+    RESIDENT vector shards (stages/knn.kmeans_fit_actors — vectors ship
+    to actors once, each iteration is one slim RPC per shard; exact
+    int64 fixed-point reduce, bit-identical to the Dataset-pass
+    kmeans_fit, equivalence-tested; A/B at sf0.1: 5.3 s → 2.7 s) feeds
+    the same assign → prune → partial-top-k → merge dataflow as
+    knn_ivf_top5. Rows-only by nature (k-means has no SQL form);
+    pruned-recall and training determinism/cohesion are pytest-gated."""
     import numpy as np
 
-    from .stages.knn import ivf_knn, kmeans_fit
+    from .stages.knn import ivf_knn, kmeans_fit_actors
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cents = kmeans_fit(ds, k=16, iters=3)
+    cents = kmeans_fit_actors(ds, k=16, iters=3)
     head = ds.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
     out = ivf_knn(ds, Q, head["vec_id"].tolist(), k=5, nprobe=4,

@@ -66,8 +66,10 @@ def pagerank(edges: ray.data.Dataset, *, src_col: str = "src",
             dst_col: pc.cast(b[dst_col], pa.int64()),
         })
 
-    def edge_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates([src_col, dst_col])[[src_col, dst_col]]
+    def edge_dedup(g: pa.Table) -> pa.Table:
+        return (g.select([src_col, dst_col])
+                .group_by([src_col, dst_col]).aggregate([])
+                .rename_columns([src_col, dst_col]))
 
     def add_src_bucket(b: pa.Table) -> pa.Table:
         kb = _bucket_of(b[src_col].to_numpy(zero_copy_only=False),
@@ -82,7 +84,7 @@ def pagerank(edges: ray.data.Dataset, *, src_col: str = "src",
               .map_batches(batch_dedup, batch_format="pyarrow")  # combiner
               .map_batches(add_src_bucket, batch_format="pyarrow")
               .groupby("__kb").map_groups(edge_dedup,
-                                          batch_format="pandas")
+                                          batch_format="pyarrow")
               .materialize())
 
     # out-degree per src == per-node degree (both directions present)
@@ -217,11 +219,12 @@ def triangle_count(edges: ray.data.Dataset, *, a_col: str = "x",
         kb = _bucket_of(t["x"].to_numpy(zero_copy_only=False), num_buckets)
         return t.append_column("__kb", pa.array(kb))
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["x", "y"])[["x", "y"]]
+    def dedup(g: pa.Table) -> pa.Table:
+        return (g.select(["x", "y"]).group_by(["x", "y"]).aggregate([])
+                .rename_columns(["x", "y"]))
 
     e = (edges.map_batches(norm, batch_format="pyarrow")
-         .groupby("__kb").map_groups(dedup, batch_format="pandas")
+         .groupby("__kb").map_groups(dedup, batch_format="pyarrow")
          .materialize())
 
     def deg_partial(b: pa.Table) -> pa.Table:
@@ -342,12 +345,16 @@ def triangle_count(edges: ray.data.Dataset, *, a_col: str = "x",
             [np.array([], np.int64)]))
         keys_ref = ray.put(keys)
 
-        def wedges_probe(group: pd.DataFrame) -> pd.DataFrame:
+        def wedges_probe(group: pa.Table) -> pa.Table:
+            # Arrow-native: lexsort off the Arrow buffers, no pandas frame
             ks = ray.get(keys_ref)
-            g = group.sort_values(["src", "dd", "dst"], kind="mergesort")
-            src = g["src"].to_numpy(np.int64)
-            dst = g["dst"].to_numpy(np.int64)
-            n = len(g)
+            s0 = group["src"].to_numpy(zero_copy_only=False)
+            d0 = group["dst"].to_numpy(zero_copy_only=False)
+            dd0 = group["dd"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((d0, dd0, s0))
+            src = s0[order].astype(np.int64)
+            dst = d0[order].astype(np.int64)
+            n = len(order)
             new = np.ones(n, dtype=bool)
             if n > 1:
                 new[1:] = src[1:] != src[:-1]
@@ -364,11 +371,11 @@ def triangle_count(edges: ray.data.Dataset, *, a_col: str = "x",
             idx = np.searchsorted(ks, wk)
             idx[idx >= len(ks)] = max(len(ks) - 1, 0)
             hits = int((ks[idx] == wk).sum()) if len(ks) else 0
-            return pd.DataFrame({"__g": np.zeros(1, np.int64),
-                                 "n": np.array([hits], np.int64)})
+            return pa.table({"__g": pa.array([0], pa.int64()),
+                             "n": pa.array([hits], pa.int64())})
 
         partials = oriented.groupby("__kb").map_groups(
-            wedges_probe, batch_format="pandas")
+            wedges_probe, batch_format="pyarrow")
         total = partials.groupby("__g").aggregate(
             Sum("n", alias_name="n_triangles"))
 

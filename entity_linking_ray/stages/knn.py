@@ -318,6 +318,97 @@ def kmeans_fit(ds: ray.data.Dataset, *, k: int, iters: int = 5,
     return cents_fx.astype(np.float64) / _KM_SCALE
 
 
+@ray.remote
+class _KMeansShard:
+    """Resident vector shard for the iterative Lloyd loop (the
+    graph_actors pattern applied to k-means): vectors are pushed once,
+    normalized and quantized once at seal; each iteration is ONE actor
+    RPC — broadcast fixed-point centroids in, ≤ k slim (cid, sum blob,
+    count) rows out — instead of a full map_batches + groupby + take_all
+    Dataset pass per iteration."""
+
+    def __init__(self):
+        self._parts: list[np.ndarray] = []
+
+    def add(self, V: np.ndarray) -> int:
+        self._parts.append(np.asarray(V, np.float64))
+        return len(V)
+
+    def seal(self) -> int:
+        V = (np.vstack(self._parts) if self._parts
+             else np.empty((0, 0), np.float64))
+        self._parts = []
+        self.V = _normalize(V) if len(V) else V
+        self.Q = np.round(self.V * _KM_SCALE).astype(np.int64)
+        return len(self.V)
+
+    def step(self, cents_fx: np.ndarray):
+        """One Lloyd assignment + exact int64 accumulate over this
+        shard's rows — identical math to kmeans_fit's accumulate."""
+        if not len(self.V):
+            return (np.empty(0, np.int64), np.empty((0, 0), np.int64),
+                    np.empty(0, np.int64))
+        Cn = _normalize(cents_fx.astype(np.float64))
+        cid = np.argmax(self.V @ Cn.T, axis=1)  # ties → lowest index
+        cids = np.unique(cid)
+        sums = np.empty((len(cids), self.Q.shape[1]), np.int64)
+        counts = np.empty(len(cids), np.int64)
+        for i, c in enumerate(cids):
+            rows = self.Q[cid == c]
+            sums[i] = rows.sum(axis=0, dtype=np.int64)
+            counts[i] = len(rows)
+        return cids, sums, counts
+
+
+def kmeans_fit_actors(ds: ray.data.Dataset, *, k: int, iters: int = 5,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      num_shards: int = 8) -> np.ndarray:
+    """Resident-shard Lloyd k-means — BIT-IDENTICAL centroids to
+    :func:`kmeans_fit` (same deterministic init, same exact int64
+    fixed-point reduce; integer addition is order-free, so shard
+    partials merge to the same totals as the Dataset groupby). The
+    vectors ship to actors once; per-iteration traffic is k×d ints each
+    way per shard. Equivalence-tested against kmeans_fit."""
+    cents_fx = np.round(
+        _normalize(sample_centroids(ds, k, vec_col, id_col))
+        * _KM_SCALE).astype(np.int64)
+    shards = [_KMeansShard.options(num_cpus=0).remote()
+              for _ in range(num_shards)]
+
+    def push(b: pa.Table) -> pa.Table:
+        V = _to_matrix(b[vec_col].to_pylist())
+        # deterministic routing not required: the reduce is exact and
+        # order-free, so any split yields the same centroids
+        splits = np.array_split(np.arange(len(V)), num_shards)
+        ray.get([shards[s].add.remote(V[idx])
+                 for s, idx in enumerate(splits) if len(idx)])
+        return pa.table({"n": pa.array([len(V)], pa.int64())})
+
+    ds.select_columns([vec_col]).map_batches(
+        push, batch_format="pyarrow").sum("n")
+    ray.get([s.seal.remote() for s in shards])
+
+    try:
+        for _ in range(iters):
+            parts = ray.get([s.step.remote(cents_fx) for s in shards])
+            new_fx = cents_fx.copy()  # empty clusters keep their centroid
+            tot_s = np.zeros((len(cents_fx), cents_fx.shape[1]), np.int64)
+            tot_n = np.zeros(len(cents_fx), np.int64)
+            for cids, sums, counts in parts:
+                if len(cids):
+                    np.add.at(tot_n, cids, counts)
+                    np.add.at(tot_s, cids, sums)
+            nz = tot_n > 0
+            new_fx[nz] = tot_s[nz] // tot_n[nz, None]
+            cents_fx = new_fx
+    finally:
+        for s in shards:
+            ray.kill(s)
+
+    return cents_fx.astype(np.float64) / _KM_SCALE
+
+
 def top_cosine_pairs(ds: ray.data.Dataset, *, k: int,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      num_tiles: int = 8) -> ray.data.Dataset:

@@ -165,3 +165,24 @@ def test_kmeans_fit_deterministic_and_improves(ray_session):
 
     init = sample_centroids(ds2, 4)
     assert cohesion(c2) > cohesion(init) + 0.01
+
+
+def test_kmeans_actors_bitwise_equals_dataset_path(ray_session):
+    """Resident-shard Lloyd (kmeans_fit_actors) trains BIT-IDENTICAL
+    centroids to the Dataset-pass kmeans_fit — same init, same exact
+    int64 reduce, any shard split."""
+    from entity_linking_ray.stages.knn import (_normalize, kmeans_fit,
+                                               kmeans_fit_actors)
+
+    rng = np.random.default_rng(9)
+    base = _normalize(rng.normal(0, 1, (3, 16)))
+    V = _normalize(np.repeat(base, 80, axis=0)
+                   + rng.normal(0, 0.2, (240, 16)))
+    t = pa.table({"vec_id": pa.array(np.arange(240), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in V],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(5).materialize()
+    a = kmeans_fit(ds, k=4, iters=3)
+    for shards in (1, 3):
+        b = kmeans_fit_actors(ds, k=4, iters=3, num_shards=shards)
+        assert np.array_equal(a, b)
