@@ -72,6 +72,40 @@ def _q_er_clusters(sf_dir: str):
     return out["clusters"]
 
 
+def _q_er_clusters_incremental(sf_dir: str):
+    """Flagship clusters produced INCREMENTALLY: the corpus splits into
+    an archive batch and an increment (deterministic doc_id-hash
+    halves); the archive contributes only its KB-sized per-entity state
+    and clusters table, the front runs on the increment alone
+    (pipelines/link_and_cluster.run_pipeline_incremental). Rows-only
+    here; EQUALITY with the full run is pinned by
+    tests/test_incremental.py."""
+    import pyarrow as pa
+
+    from entity_linking_ray.functions.hashing import hash_strings
+    from entity_linking_ray.pipelines.link_and_cluster import (
+        run_pipeline_incremental)
+    from entity_linking_ray.testdata import derive_documents, derive_entities
+
+    docs = derive_documents(sf_dir)
+
+    def half(par: int):
+        def f(b: pa.Table) -> pa.Table:
+            h = hash_strings(b["doc_id"].to_pylist()) % 2
+            return b.filter(pa.array(h == par))
+        return f
+
+    ents = derive_entities()
+    first = run_pipeline_incremental(
+        docs.map_batches(half(0), batch_format="pyarrow"), ents,
+        concurrency=2)
+    second = run_pipeline_incremental(
+        docs.map_batches(half(1), batch_format="pyarrow"), ents,
+        concurrency=2, prior_state=first["state"],
+        prior_clusters=first["clusters"].materialize())
+    return second["clusters"]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from entity_linking_ray import queries as q
 
@@ -79,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_mentions_by_surface": _q_er_mentions_by_surface,
         "er_links": _q_er_links,
         "er_clusters": _q_er_clusters,
+        "er_clusters_incremental": _q_er_clusters_incremental,
     }
     out.update(q.QUERIES)
     return out

@@ -440,29 +440,13 @@ def run_pipeline_resumable(docs: ray.data.Dataset, entities_tbl: pa.Table, run_d
     }
 
 
-def cluster_links(links: ray.data.Dataset, hot_cap: int = 1000,
-                  num_partitions: int = 16) -> ray.data.Dataset:
-    """clusters for pure mention→entity link graphs via degree-1 vertex
-    elimination — the scalable specialization of build_edges →
-    connected_components → attach_clusters.
-
-    Every linked mention has exactly ONE edge (its per-mention argmax
-    link), so mention nodes are degree-1 leaves: fold them into per-entity
-    (min mention node, count) aggregates — one combiner pass + driver
-    merge over KB-cardinality partials — and run component labeling only
-    on the RESIDUAL anchor graph (entities + their salted sub-anchors),
-    which is KB-sized, not corpus-sized. Mention labels come from a
-    broadcast anchor→label map in one scalable map pass.
-
-    Produces IDENTICAL labels to the general path (component min node id,
-    including anchor/salted-anchor hashes in the min) — property-tested.
-    Use the general connected_components path when mention↔mention edges
-    exist (near-dup channel): those mentions are not degree-1.
-
-    At 10^12-doc scale this is standard leaf-folding: the residual graph
-    is KB-sized (millions of entities), so the iterative shuffle CC runs
-    over millions, not trillions, of nodes.
-    """
+def entity_cluster_state(links: ray.data.Dataset) -> ray.data.Dataset:
+    """links → per-entity cluster STATE (entity_id, m_min: min linked
+    mention node hash, n: linked-mention count). This is the complete
+    commutative-monoid state behind the degree-1 clustering: min and sum
+    merge associatively, so states from disjoint document batches merge
+    into exactly the full-corpus state — the basis of
+    :func:`run_pipeline_incremental`."""
     linked = links.filter(expr="entity_id != 'NIL'")
     _N_BUCKETS = 64
 
@@ -486,33 +470,110 @@ def cluster_links(links: ray.data.Dataset, hot_cap: int = 1000,
             .rename_columns(["entity_id", "m_min", "n"])
         )
 
-    merged = (
+    return (
         linked.select_columns(["entity_id", "node"])
         .map_batches(combine, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(bucket_merge, batch_format="pyarrow")
     )
 
-    # residual component label per entity = min over {m_min, anchor hash,
-    # salted anchor hashes (hot entities)} — matches the general path's
-    # component-min semantics exactly; vectorized per batch, the salted
-    # loop touches only the hot set (tiny by construction)
+
+def merge_cluster_states(*states: ray.data.Dataset) -> ray.data.Dataset:
+    """Union per-entity states from disjoint document batches into one
+    (min of mins, sum of counts) — exact, order-free."""
+    _N_BUCKETS = 64
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        bk = hash_strings(b["entity_id"].to_pylist()) % _N_BUCKETS
+        return pa.table({
+            "entity_id": b["entity_id"],
+            "m_min": pc.cast(b["m_min"], pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+            "__bucket": pa.array(bk, pa.int64()),
+        })
+
+    def bucket_merge(group: pa.Table) -> pa.Table:
+        return (group.group_by("entity_id")
+                .aggregate([("m_min", "min"), ("n", "sum")])
+                .rename_columns(["entity_id", "m_min", "n"]))
+
+    u = states[0]
+    for s in states[1:]:
+        u = u.union(s)
+    return (u.map_batches(rebucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(bucket_merge, batch_format="pyarrow"))
+
+
+def _labels_from_state(eids: list, mm: np.ndarray, n: np.ndarray,
+                       hot_cap: int) -> np.ndarray:
+    """Vector core of the state→label rule: label = min over {m_min,
+    anchor hash, salted anchor hashes for entities over hot_cap}."""
+    anchors = hash_strings([f"e|{e}" for e in eids])
+    lab = np.minimum(mm, anchors)
+    for i in np.nonzero(n > hot_cap)[0]:
+        ns = int(np.ceil(n[i] / hot_cap))
+        salted = _salted_anchor(np.full(ns, anchors[i], dtype=np.int64),
+                                np.arange(ns, dtype=np.int64))
+        lab[i] = min(lab[i], int(salted.min()))
+    return lab
+
+
+def state_to_labels(state: ray.data.Dataset, *,
+                    hot_cap: int = 1000) -> ray.data.Dataset:
+    """Per-entity state → residual component label = min over {m_min,
+    anchor hash, salted anchor hashes (hot entities)} — matches the
+    general CC path's component-min semantics exactly; vectorized per
+    batch, the salted loop touches only the hot set (tiny by
+    construction)."""
     def to_labels(batch: pa.Table) -> pa.Table:
         eids = batch["entity_id"].to_pylist()
-        anchors = hash_strings([f"e|{e}" for e in eids])
-        mm = batch["m_min"].to_numpy(zero_copy_only=False)
-        n = batch["n"].to_numpy(zero_copy_only=False)
-        lab = np.minimum(mm, anchors)
-        for i in np.nonzero(n > hot_cap)[0]:
-            ns = int(np.ceil(n[i] / hot_cap))
-            salted = _salted_anchor(np.full(ns, anchors[i], dtype=np.int64),
-                                    np.arange(ns, dtype=np.int64))
-            lab[i] = min(lab[i], int(salted.min()))
+        lab = _labels_from_state(
+            eids, batch["m_min"].to_numpy(zero_copy_only=False),
+            batch["n"].to_numpy(zero_copy_only=False), hot_cap)
         return pa.table({"entity_id": pa.array(eids, pa.string()),
                          "label": pa.array(lab, pa.int64())})
 
-    ent_labels = merged.map_batches(to_labels, batch_format="pyarrow").materialize()
+    return state.map_batches(to_labels, batch_format="pyarrow")
 
+
+def cluster_links(links: ray.data.Dataset, hot_cap: int = 1000,
+                  num_partitions: int = 16) -> ray.data.Dataset:
+    """clusters for pure mention→entity link graphs via degree-1 vertex
+    elimination — the scalable specialization of build_edges →
+    connected_components → attach_clusters.
+
+    Every linked mention has exactly ONE edge (its per-mention argmax
+    link), so mention nodes are degree-1 leaves: fold them into per-entity
+    (min mention node, count) aggregates — one combiner pass + driver
+    merge over KB-cardinality partials — and run component labeling only
+    on the RESIDUAL anchor graph (entities + their salted sub-anchors),
+    which is KB-sized, not corpus-sized. Mention labels come from a
+    broadcast anchor→label map in one scalable map pass.
+
+    Produces IDENTICAL labels to the general path (component min node id,
+    including anchor/salted-anchor hashes in the min) — property-tested.
+    Use the general connected_components path when mention↔mention edges
+    exist (near-dup channel): those mentions are not degree-1.
+
+    At 10^12-doc scale this is standard leaf-folding: the residual graph
+    is KB-sized (millions of entities), so the iterative shuffle CC runs
+    over millions, not trillions, of nodes.
+    """
+    merged = entity_cluster_state(links)
+    ent_labels = state_to_labels(merged, hot_cap=hot_cap).materialize()
+    return assign_entity_labels(links, ent_labels,
+                                num_partitions=num_partitions)
+
+
+def assign_entity_labels(links: ray.data.Dataset,
+                         ent_labels: ray.data.Dataset,
+                         num_partitions: int = 16) -> ray.data.Dataset:
+    """links + per-entity labels → clusters rows (NIL → singleton of the
+    mention's own node hash). Small label sets broadcast (searchsorted
+    map-side lookup); larger ones fall back to the hash join — the same
+    size-based plan choice as connected_components. ``ent_labels`` must
+    be materialized."""
     if ent_labels.count() <= SMALL_LABELS:
         # KB-sized label map broadcasts once; lookup per DISTINCT entity
         # per batch (dictionary-encode), no shuffle of the links table
@@ -560,6 +621,141 @@ def cluster_links(links: ray.data.Dataset, hot_cap: int = 1000,
         })
 
     return joined.map_batches(fmt, batch_format="pyarrow")
+
+
+def _changed_label_pairs(prior_state: ray.data.Dataset,
+                         new_state: ray.data.Dataset,
+                         hot_cap: int) -> "pd.DataFrame":
+    """→ (old_label, new_label) pairs for entities whose cluster label
+    changes when the new batch's state merges in. Only entities present
+    in BOTH states can change (a new-only entity has no prior rows to
+    relabel; a prior-only entity's state is untouched), so the co-group
+    inner-joins on entity and the result is bounded by the new batch's
+    distinct entity count — safe to collect."""
+    import pandas as pd
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            bk = hash_strings(b["entity_id"].to_pylist()) % 64
+            return pa.table({
+                "entity_id": b["entity_id"],
+                "m_min": pc.cast(b["m_min"], pa.int64()),
+                "n": pc.cast(b["n"], pa.int64()),
+                "__side": pa.array(np.full(b.num_rows, side, np.int8)),
+                "__bucket": pa.array(bk, pa.int64()),
+            })
+        return f
+
+    def diff(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        eid = np.asarray(group["entity_id"].to_pylist(), object)
+        mm = group["m_min"].to_numpy(zero_copy_only=False)
+        nn = group["n"].to_numpy(zero_copy_only=False)
+        p, q = side == 0, side == 1
+        common, pi, qi = np.intersect1d(eid[p], eid[q],
+                                        return_indices=True)
+        if not len(common):
+            return pa.table({"old_label": pa.array([], pa.int64()),
+                             "new_label": pa.array([], pa.int64())})
+        pmm, pnn = mm[p][pi], nn[p][pi]
+        old = _labels_from_state(list(common), pmm, pnn, hot_cap)
+        merged_mm = np.minimum(pmm, mm[q][qi])
+        merged_nn = pnn + nn[q][qi]
+        new = _labels_from_state(list(common), merged_mm, merged_nn,
+                                 hot_cap)
+        ch = old != new
+        return pa.table({"old_label": pa.array(old[ch], pa.int64()),
+                         "new_label": pa.array(new[ch], pa.int64())})
+
+    pairs = (prior_state.map_batches(tag(0), batch_format="pyarrow")
+             .union(new_state.map_batches(tag(1), batch_format="pyarrow"))
+             .groupby("__bucket").map_groups(diff, batch_format="pyarrow"))
+    return pairs.to_pandas()
+
+
+def run_pipeline_incremental(new_docs: ray.data.Dataset,
+                             entities_tbl: pa.Table, *,
+                             prior_state: "ray.data.Dataset | None" = None,
+                             prior_clusters: "ray.data.Dataset | None" = None,
+                             k: int = 10, ann_k: int = 5,
+                             threshold: float | None = None,
+                             concurrency: int | tuple = 4,
+                             hot_cap: int = 1000,
+                             num_partitions: int = 16
+                             ) -> dict[str, ray.data.Dataset]:
+    """Incremental ER ingestion (default pure-link-graph channel config):
+    the expensive front (extract → candidates → score → link) runs on
+    the NEW documents only; the archive contributes just its KB-sized
+    per-entity state (:func:`entity_cluster_state` output — a
+    commutative monoid, so disjoint batches merge exactly) and its
+    clusters table.
+
+    Because cluster ids are component-MIN node hashes, a new mention can
+    lower its entity's label; only those entities' prior rows need
+    rewriting. The old→new label map is bounded by the new batch's
+    distinct entity count and broadcasts once — the archive is never
+    re-linked, re-scored, or re-clustered, only streamed through one
+    relabel map (and only when something changed).
+
+    Returns {clusters, links, state}: ``clusters`` covers archive ∪ new
+    and equals a full :func:`run_pipeline` over the union
+    (equivalence-tested); ``state`` is the merged per-entity state to
+    persist for the next increment."""
+    from ..stages.pairwise import THRESHOLD
+
+    threshold = THRESHOLD if threshold is None else threshold
+    aliases = [a for al in entities_tbl["aliases"].to_pylist()
+               for a in (al or [])]
+    aliases += entities_tbl["subject"].to_pylist()
+
+    mentions = extract_mentions(new_docs, aliases, concurrency=concurrency)
+    kb_ref = ray.put(make_kb_blob(entities_tbl))
+    cands = generate_candidates(mentions, kb_ref, k=k, ann_k=ann_k,
+                                concurrency=concurrency)
+    scored = cands.map_batches(
+        lambda b: score_and_link(b, threshold=threshold),
+        batch_format="pyarrow")
+    links_new = link_mentions(scored).materialize()
+
+    new_state = entity_cluster_state(links_new).materialize()
+    if prior_state is None:
+        merged = new_state
+    else:
+        merged = merge_cluster_states(prior_state, new_state).materialize()
+    labels = state_to_labels(merged, hot_cap=hot_cap).materialize()
+    clusters_new = assign_entity_labels(links_new, labels,
+                                        num_partitions=num_partitions)
+    if prior_clusters is None:
+        return {"clusters": clusters_new, "links": links_new,
+                "state": merged}
+
+    changed = _changed_label_pairs(prior_state, new_state, hot_cap)
+    if len(changed):
+        old = changed["old_label"].to_numpy(np.int64)
+        new = changed["new_label"].to_numpy(np.int64)
+        o = np.argsort(old)
+        old_s, new_s = old[o], new[o]
+        map_ref = ray.put((old_s, new_s))
+
+        def relabel(b: pa.Table) -> pa.Table:
+            om, nm = ray.get(map_ref)
+            cid = np.asarray(
+                [int(x) for x in b["cluster_id"].to_pylist()], np.int64)
+            pos = np.searchsorted(om, cid)
+            pos_cl = np.minimum(pos, len(om) - 1)
+            hit = (pos < len(om)) & (om[pos_cl] == cid)
+            cid[hit] = nm[pos_cl[hit]]
+            return pa.table({
+                "doc_id": b["doc_id"], "span_idx": b["span_idx"],
+                "offset": b["offset"],
+                "cluster_id": pc.cast(pa.array(cid, pa.int64()),
+                                      pa.string()),
+            })
+
+        prior_clusters = prior_clusters.map_batches(
+            relabel, batch_format="pyarrow")
+    clusters = prior_clusters.union(clusters_new)
+    return {"clusters": clusters, "links": links_new, "state": merged}
 
 
 class FusedLinkStage:
