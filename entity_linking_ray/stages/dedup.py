@@ -57,11 +57,22 @@ def exact_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id")
 
     hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["content_hash", id_col], kind="mergesort")
-        return g.drop_duplicates(subset=["content_hash"], keep="first")
+    def keep_min(group: pa.Table) -> pa.Table:
+        # Arrow-native: lexsort + first-per-hash mask, winners gathered
+        # by take (no per-group pandas frame)
+        h = group["content_hash"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.number):
+            order = np.lexsort((ids, h))
+        else:
+            _, icodes = np.unique(ids, return_inverse=True)
+            order = np.lexsort((icodes, h))
+        hs = h[order]
+        first = np.ones(len(hs), bool)
+        first[1:] = hs[1:] != hs[:-1]
+        return group.take(pa.array(order[first], pa.int64()))
 
-    out = hashed.groupby("__cb").map_groups(keep_min, batch_format="pandas")
+    out = hashed.groupby("__cb").map_groups(keep_min, batch_format="pyarrow")
     return out.drop_columns(["content_hash", "__cb"])
 
 

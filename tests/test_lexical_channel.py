@@ -102,3 +102,20 @@ def test_flagship_f1_gate_with_lexical_channel(ray_session, corpus):
     assert f1["f1"] == 1.0
     b3 = ev.b_cubed(clusters, gold)
     assert b3["f1"] == 1.0
+
+
+def test_flagship_all_channels_f1(ray_session, corpus):
+    """Every optional channel ON simultaneously (LSH near-dup + SN +
+    lexical + OOV): the F1 and B³ gates still hold — channels only add
+    candidates/edges under their precision guards."""
+    from entity_linking_ray.pipelines import eval as ev
+    from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
+
+    docs = ray.data.from_arrow(corpus["documents"])
+    out = run_pipeline(docs, corpus["entities"], hot_cap=100,
+                       concurrency=2, near_dup_edges=True, sn_edges=True,
+                       lexical_channel=True, oov_channel=True)
+    clusters = out["clusters"].to_pandas()
+    gold = corpus["mentions_gold"].to_pandas()
+    assert ev.pairwise_f1(clusters, gold)["f1"] == 1.0
+    assert ev.b_cubed(clusters, gold)["f1"] == 1.0
