@@ -124,6 +124,50 @@ def minhash_band_rows(ds: ray.data.Dataset, col: str = "text", id_col: str = "do
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _capped_upper_pairs(keys: np.ndarray, ids: np.ndarray,
+                        cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shared numpy core of the in-bucket self-merges: dedup (key, id),
+    sort by (key, id), cap each key at its first ``cap`` rows, and emit
+    every within-key unordered pair as (row_idx_a, row_idx_b) into the
+    ORIGINAL arrays with id_a < id_b (ascending id order inside the
+    segment). Replaces the per-group pandas merge(g, g) — no frame, no
+    materialized cross product beyond the capped pair arrays."""
+    if ids.dtype.kind in "OUS":
+        _, icode = np.unique(ids, return_inverse=True)
+    else:
+        icode = ids
+    order = np.lexsort((icode, keys))
+    ks, is_ = keys[order], icode[order]
+    keep = np.ones(len(ks), bool)
+    if len(ks) > 1:
+        keep[1:] = (ks[1:] != ks[:-1]) | (is_[1:] != is_[:-1])
+    order, ks = order[keep], ks[keep]
+    n = len(ks)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    new = np.ones(n, bool)
+    new[1:] = ks[1:] != ks[:-1]
+    starts = np.nonzero(new)[0]
+    seg = np.cumsum(new) - 1
+    pos = np.arange(n) - starts[seg]
+    m = pos < cap
+    order, ks = order[m], ks[m]
+    n = len(ks)
+    new = np.ones(n, bool)
+    new[1:] = ks[1:] != ks[:-1]
+    starts = np.nonzero(new)[0]
+    cnt = np.diff(np.append(starts, n))
+    seg = np.cumsum(new) - 1
+    pos = np.arange(n) - starts[seg]
+    reps = cnt[seg] - pos - 1
+    ai = np.repeat(np.arange(n, dtype=np.int64), reps)
+    off = (np.arange(int(reps.sum()), dtype=np.int64)
+           - np.repeat(np.concatenate(
+               [[np.int64(0)], np.cumsum(reps)[:-1]]), reps) + 1)
+    return order[ai], order[ai + off]
+
+
 def _popcount64_2d(x: np.ndarray) -> np.ndarray:
     """Per-element popcount of a u64 array of any shape (returns int64)."""
     b = x.astype(U64, copy=False).reshape(-1).view(np.uint8).reshape(-1, 8)
@@ -169,25 +213,28 @@ def lsh_candidate_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "
         cb = pc.bit_wise_and(b["band_key"], pa.scalar(_CB - 1, pa.int64()))
         return b.append_column("__cb", cb)
 
-    def cand_pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["band_key", id_col]) \
-                 .sort_values(["band_key", id_col], kind="mergesort")
-        g = g[g.groupby("band_key").cumcount() < max_rows_per_key]
-        m = g.merge(g, on="band_key", suffixes=("_a", "_b"))
-        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
-        if not len(m):
-            return pd.DataFrame({"id_a": g[id_col].iloc[:0],
-                                 "id_b": g[id_col].iloc[:0]})
-        h = (_popcount64_2d(m["__sk0_a"].to_numpy().astype(np.int64).view(U64)
-                            ^ m["__sk0_b"].to_numpy().astype(np.int64).view(U64))
-             + _popcount64_2d(m["__sk1_a"].to_numpy().astype(np.int64).view(U64)
-                              ^ m["__sk1_b"].to_numpy().astype(np.int64).view(U64)))
-        m = m[h <= cut]
-        return pd.DataFrame({"id_a": m[f"{id_col}_a"].to_numpy(),
-                             "id_b": m[f"{id_col}_b"].to_numpy()})
+    def cand_pairs_bulk(group: pa.Table) -> pa.Table:
+        # Arrow-native in-bucket self-merge: shared capped-pair core +
+        # vectorized b-bit Hamming prefilter (no per-group pandas merge)
+        keys = group["band_key"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(group[id_col].to_pylist())
+        a, b_ = _capped_upper_pairs(keys, ids, max_rows_per_key)
+        if not len(a):
+            return pa.table({"id_a": group[id_col].slice(0, 0),
+                             "id_b": group[id_col].slice(0, 0)})
+        sk0 = group["__sk0"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(U64)
+        sk1 = group["__sk1"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(U64)
+        h = (_popcount64_2d(sk0[a] ^ sk0[b_])
+             + _popcount64_2d(sk1[a] ^ sk1[b_]))
+        m = h <= cut
+        return pa.table({"id_a": pa.array(ids[a[m]]),
+                         "id_b": pa.array(ids[b_[m]])})
 
     cand = (band_rows.map_batches(coarse, batch_format="pyarrow")
-            .groupby("__cb").map_groups(cand_pairs_bulk, batch_format="pandas")
+            .groupby("__cb").map_groups(cand_pairs_bulk,
+                                        batch_format="pyarrow")
             .materialize())
     if pair_mode == "auto":
         pair_mode = ("broadcast" if cand.count() <= _BROADCAST_PAIRS_CAP
@@ -501,26 +548,26 @@ def simhash_dup_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "do
         cb = (splitmix64(raw) & U64(_CB - 1)).astype(np.int64)
         return b.append_column("__cb", pa.array(cb, pa.int64()))
 
-    def pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["bucket", id_col]) \
-                 .sort_values(["bucket", id_col], kind="mergesort")
-        g = g[g.groupby("bucket").cumcount() < max_rows_per_key]
-        m = g.merge(g, on="bucket", suffixes=("_a", "_b"))
-        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
-        if not len(m):
-            return pd.DataFrame({"id_a": g[id_col].iloc[:0],
-                                 "id_b": g[id_col].iloc[:0],
-                                 "hamming": np.array([], np.int64)})
-        d = _popcount64_2d(m["simhash_a"].to_numpy().astype(np.int64).view(U64)
-                           ^ m["simhash_b"].to_numpy().astype(np.int64).view(U64))
-        m = m[d <= max_hamming]
-        return pd.DataFrame({"id_a": m[f"{id_col}_a"].to_numpy(),
-                             "id_b": m[f"{id_col}_b"].to_numpy(),
-                             "hamming": d[d <= max_hamming]})
+    def pairs_bulk(group: pa.Table) -> pa.Table:
+        keys = group["bucket"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(group[id_col].to_pylist())
+        a, b_ = _capped_upper_pairs(keys, ids, max_rows_per_key)
+        if not len(a):
+            return pa.table({"id_a": group[id_col].slice(0, 0),
+                             "id_b": group[id_col].slice(0, 0),
+                             "hamming": pa.array([], pa.int64())})
+        sh = group["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(U64)
+        d = _popcount64_2d(sh[a] ^ sh[b_])
+        m = d <= max_hamming
+        return pa.table({"id_a": pa.array(ids[a[m]]),
+                         "id_b": pa.array(ids[b_[m]]),
+                         "hamming": pa.array(d[m].astype(np.int64),
+                                             pa.int64())})
 
     cand = (fps.map_batches(explode, batch_format="pyarrow")
             .map_batches(coarse, batch_format="pyarrow")
-            .groupby("__cb").map_groups(pairs_bulk, batch_format="pandas"))
+            .groupby("__cb").map_groups(pairs_bulk, batch_format="pyarrow"))
     from ray.data.aggregate import Min
 
     return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
@@ -919,23 +966,22 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
         cb = (splitmix64(raw) & U64(_CB - 1)).astype(np.int64)
         return b.append_column("__cb", pa.array(cb, pa.int64()))
 
-    def cand_pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["bucket", id_col]) \
-                 .sort_values(["bucket", id_col], kind="mergesort")
-        g = g[g.groupby("bucket").cumcount() < max_rows_per_key]
-        m = g.merge(g, on="bucket", suffixes=("_a", "_b"))
-        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
-        if not len(m):
-            return pd.DataFrame({"id_a": g[id_col].iloc[:0],
-                                 "id_b": g[id_col].iloc[:0]})
-        h = _popcount64_2d(m["__sketch_a"].to_numpy().astype(np.int64).view(U64)
-                           ^ m["__sketch_b"].to_numpy().astype(np.int64).view(U64))
-        m = m[h <= sketch_cut]
-        return pd.DataFrame({"id_a": m[f"{id_col}_a"].to_numpy(),
-                             "id_b": m[f"{id_col}_b"].to_numpy()})
+    def cand_pairs_bulk(group: pa.Table) -> pa.Table:
+        keys = group["bucket"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(group[id_col].to_pylist())
+        a, b_ = _capped_upper_pairs(keys, ids, max_rows_per_key)
+        if not len(a):
+            return pa.table({"id_a": group[id_col].slice(0, 0),
+                             "id_b": group[id_col].slice(0, 0)})
+        sk = group["__sketch"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(U64)
+        h = _popcount64_2d(sk[a] ^ sk[b_])
+        m = h <= sketch_cut
+        return pa.table({"id_a": pa.array(ids[a[m]]),
+                         "id_b": pa.array(ids[b_[m]])})
 
     cand = (buckets.map_batches(coarse, batch_format="pyarrow")
-            .groupby("__cb").map_groups(cand_pairs_bulk, batch_format="pandas")
+            .groupby("__cb").map_groups(cand_pairs_bulk, batch_format="pyarrow")
             .materialize())
     if pair_mode == "auto":
         pair_mode = ("broadcast" if cand.count() <= _BROADCAST_PAIRS_CAP
