@@ -80,6 +80,40 @@ def block_topn(df: pd.DataFrame, key_col: str, order_col: str,
     return df.groupby(key_col, sort=False).head(n)
 
 
+def _code(arr: np.ndarray) -> np.ndarray:
+    """Sortable int codes preserving value order (np.unique) for object
+    dtypes; numeric arrays pass through."""
+    if arr.dtype.kind in "OUS":
+        _, inv = np.unique(arr, return_inverse=True)
+        return inv
+    return arr
+
+
+def _topn_select(tbl: pa.Table, key_col: str, order_col: str,
+                 id_col: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """→ (row indices of the per-key top-n, 1-based in-key rank) over an
+    Arrow table — sort by (key, order desc, id asc) via factorized
+    lexsort, keep positions < n. The Arrow-native twin of block_topn
+    (identical selection and rank; row order differs, which the
+    order-insensitive consumers never observe)."""
+    keys = _code(tbl[key_col].to_numpy(zero_copy_only=False))
+    ids = _code(tbl[id_col].to_numpy(zero_copy_only=False))
+    vals = tbl[order_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -vals, keys))
+    ks = keys[order]
+    m = len(ks)
+    if m == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    new = np.ones(m, bool)
+    new[1:] = ks[1:] != ks[:-1]
+    starts = np.nonzero(new)[0]
+    seg = np.cumsum(new) - 1
+    pos = np.arange(m) - starts[seg]
+    keep = pos < n
+    return order[keep], (pos[keep] + 1).astype(np.int64)
+
+
 def topn_per_group(ds: ray.data.Dataset, *, key_col: str, order_col: str,
                    id_col: str, n: int,
                    keep_cols: tuple[str, ...] = (),
@@ -89,29 +123,37 @@ def topn_per_group(ds: ray.data.Dataset, *, key_col: str, order_col: str,
     by ``id_col`` ASC (row_number semantics, fully deterministic).
 
     The shuffle groups by a coarse KEY-HASH bucket, not the key: each
-    finalize call handles many keys with one vectorized sort +
-    per-key head — one pandas call per raw key collapses when there are
-    millions of small groups (measured on the TF-IDF top-k)."""
+    finalize call handles many keys with one vectorized lexsort +
+    segment head — one call per raw key collapses when there are
+    millions of small groups (measured on the TF-IDF top-k). Both
+    kernels are Arrow-native (factorized lexsort + take), no per-group
+    pandas frames."""
     cols = [key_col, id_col, order_col, *keep_cols]
-    out_cols = [key_col, "rn", id_col, order_col, *keep_cols]
 
-    def combiner(batch: pd.DataFrame) -> pd.DataFrame:
-        part = block_topn(batch[cols], key_col, order_col, id_col, n)
-        part = part.copy()
-        part["__kb"] = (pd.util.hash_array(
-            part[key_col].to_numpy()) % num_buckets).astype(np.int64)
-        return part
+    def combiner(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        sel, _ = _topn_select(batch, key_col, order_col, id_col, n)
+        part = batch.take(pa.array(sel, pa.int64()))
+        kb = pd.util.hash_array(
+            part[key_col].to_numpy(zero_copy_only=False)) % num_buckets
+        return part.append_column("__kb", pa.array(kb.astype(np.int64),
+                                                   pa.int64()))
 
-    def finalize(group: pd.DataFrame) -> pd.DataFrame:
-        out = block_topn(group[cols], key_col, order_col, id_col, n)
-        # head() preserves the sorted order, so cumcount IS the row_number
-        out["rn"] = (out.groupby(key_col, sort=False).cumcount() + 1) \
-            .astype(np.int64)
-        return out[out_cols].reset_index(drop=True)
+    def finalize(group: pa.Table) -> pa.Table:
+        group = group.select(cols)
+        sel, rn = _topn_select(group, key_col, order_col, id_col, n)
+        take = pa.array(sel, pa.int64())
+        data = {key_col: group[key_col].take(take),
+                "rn": pa.array(rn, pa.int64()),
+                id_col: group[id_col].take(take),
+                order_col: group[order_col].take(take)}
+        for c in keep_cols:
+            data[c] = group[c].take(take)
+        return pa.table(data)
 
-    return (ds.map_batches(combiner, batch_format="pandas")
+    return (ds.map_batches(combiner, batch_format="pyarrow")
             .groupby("__kb")
-            .map_groups(finalize, batch_format="pandas"))
+            .map_groups(finalize, batch_format="pyarrow"))
 
 
 def skyline_2d(ds: "ray.data.Dataset", *, id_col: str, x_col: str,
