@@ -731,34 +731,51 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
     buckets = ds.map_batches(prefix_rows, batch_format="pyarrow") \
                 .map_batches(add_tok_bucket, batch_format="pyarrow")
 
-    def cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def cand_pairs(group: pa.Table) -> pa.Table:
         # one vectorized self-merge per token hash-bucket — NOT a Python
-        # call per token (millions of tiny groups kill map_groups)
-        g = group.drop_duplicates(subset=["__tok", id_col])
-        sizes = g.groupby("__tok", sort=False).size()
-        n_over = int((sizes > max_docs_per_token).sum())
-        if n_over and on_token_overflow == "error":
-            raise ValueError(
-                f"ngram_jaccard_dup_pairs: {n_over} prefix token(s) have "
-                f"posting lists over max_docs_per_token="
-                f"{max_docs_per_token} (max {int(sizes.max())}); "
-                "truncating would break the recall-1 guarantee — raise "
-                "the cap, lower hh_min_df, or pass "
-                "on_token_overflow='truncate' to accept approximate recall")
-        g = g.groupby("__tok", sort=False).head(max_docs_per_token)
-        g = g[["__tok", id_col, "__n"]]
-        m = g.merge(g, on="__tok", suffixes=("_a", "_b"))
-        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        # call per token (millions of tiny groups kill map_groups);
+        # Arrow-native: the shared capped-pair core + numpy filters
+        toks = group["__tok"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(group[id_col].to_pylist())
+        nn = group["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # overflow check on the DEDUPED posting sizes (before the cap):
+        # compact id codes keep every composite below 2^63 (63-bit token
+        # hashes would overflow a multiplicative pairing)
+        _, icode = np.unique(ids, return_inverse=True)
+        if len(toks):
+            order = np.lexsort((icode, toks))
+            ts, is_ = toks[order], icode[order]
+            keep = np.ones(len(ts), bool)
+            keep[1:] = (ts[1:] != ts[:-1]) | (is_[1:] != is_[:-1])
+            _, counts = np.unique(ts[keep], return_counts=True)
+            n_over = int((counts > max_docs_per_token).sum())
+            if n_over and on_token_overflow == "error":
+                raise ValueError(
+                    f"ngram_jaccard_dup_pairs: {n_over} prefix token(s) "
+                    f"have posting lists over max_docs_per_token="
+                    f"{max_docs_per_token} (max {int(counts.max())}); "
+                    "truncating would break the recall-1 guarantee — "
+                    "raise the cap, lower hh_min_df, or pass "
+                    "on_token_overflow='truncate' to accept approximate "
+                    "recall")
+        a, b_ = _capped_upper_pairs(toks, ids, max_docs_per_token)
+        if not len(a):
+            return pa.table({"id_a": group[id_col].slice(0, 0),
+                             "id_b": group[id_col].slice(0, 0)})
         # size filter: J>=t ⇒ |A∩B| >= t·max ⇒ min(|A|,|B|) >= t·max
-        lo = np.minimum(m["__n_a"], m["__n_b"])
-        hi = np.maximum(m["__n_a"], m["__n_b"])
-        m = m[lo >= threshold * hi]
-        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
-        out.columns = ["id_a", "id_b"]
-        return out
+        la, lb = nn[a], nn[b_]
+        m = np.minimum(la, lb) >= threshold * np.maximum(la, lb)
+        a, b_ = a[m], b_[m]
+        # pair dedup (the same doc pair arises from several shared
+        # tokens); icode is the COMPACT 0..n-1 factorization, so the
+        # pairing product stays far below 2^63
+        pair_codes = icode[a] * np.int64(icode.max() + 1) + icode[b_]
+        _, sel = np.unique(pair_codes, return_index=True)
+        return pa.table({"id_a": pa.array(ids[a[sel]]),
+                         "id_b": pa.array(ids[b_[sel]])})
 
     cand = buckets.groupby("__b").map_groups(
-        cand_pairs, batch_format="pandas").materialize()
+        cand_pairs, batch_format="pyarrow").materialize()
 
     def verified_table(arr_a, arr_b, shingles_of) -> pa.Table:
         """Exact-count verify for one batch of candidate pairs.
