@@ -102,6 +102,71 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_graph_ab(sf_dir: str) -> dict:
+    """A/B: iterative graph family on the Dataset-shuffle loops vs the
+    resident edge-shard actor engine (stages/graph_actors.py), same
+    lineitem co-purchase graph, same session. Reports totals plus the
+    actor engine's build/iterate split (the per-iteration cost is the
+    scale signal: the build amortizes across algorithms)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from entity_linking_ray.stages.graph import bfs_hops, pagerank
+    from entity_linking_ray.stages.graph_actors import GraphEngine
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    def both(b: pa.Table) -> pa.Table:
+        ok = pc.multiply(pc.cast(b["l_orderkey"], pa.int64()), 2)
+        pk = pc.add(pc.multiply(pc.cast(b["l_partkey"], pa.int64()), 2), 1)
+        ok = ok.combine_chunks() if isinstance(ok, pa.ChunkedArray) else ok
+        pk = pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk
+        return pa.table({"src": pa.concat_arrays([ok, pk]),
+                         "dst": pa.concat_arrays([pk, ok])})
+
+    edges = li.map_batches(both, batch_format="pyarrow").materialize()
+    seed = 2 * int(li.aggregate(Min("l_partkey"))["min(l_partkey)"]) + 1
+
+    t0 = time.time()
+    a_pr = pagerank(edges, iters=5, num_buckets=32).to_pandas()
+    t_pr_shuffle = time.time() - t0
+    t0 = time.time()
+    a_bfs = bfs_hops(edges, seeds=[seed], max_hops=4,
+                     num_buckets=32).to_pandas()
+    t_bfs_shuffle = time.time() - t0
+
+    t0 = time.time()
+    eng = GraphEngine(edges, num_shards=8)
+    t_build = time.time() - t0
+    t0 = time.time()
+    b_pr = eng.pagerank(iters=5).to_pandas()
+    t_pr_act = time.time() - t0
+    t0 = time.time()
+    b_bfs = eng.bfs(seeds=[seed], max_hops=4).to_pandas()
+    t_bfs_act = time.time() - t0
+    eng.shutdown()
+
+    a_pr = a_pr.sort_values("node").reset_index(drop=True)
+    b_pr = b_pr.sort_values("node").reset_index(drop=True)
+    identical = bool(
+        (a_pr["node"].to_numpy() == b_pr["node"].to_numpy()).all()
+        and (a_pr["r"].to_numpy() == b_pr["r"].to_numpy()).all()
+        and len(a_bfs) == len(b_bfs))
+    return {
+        "n_edges": edges.count(),
+        "pagerank_shuffle_sec": round(t_pr_shuffle, 3),
+        "bfs_shuffle_sec": round(t_bfs_shuffle, 3),
+        "engine_build_sec": round(t_build, 3),
+        "pagerank_actors_sec": round(t_pr_act, 3),
+        "bfs_actors_sec": round(t_bfs_act, 3),
+        "bitwise_identical": identical,
+    }
+
+
 def run_alias_scale() -> list[dict]:
     """Alias-count sensitivity of the mention-extraction engines (no Ray:
     matcher state is actor-local by design). Evidence for the scale path:
@@ -194,6 +259,13 @@ def main():
 
         print(json.dumps({"metric": "hnsw_amortized",
                           **run_hnsw_amortized(SF_DIR)}))
+        ray.shutdown()
+        return
+    if "--graph-ab" in sys.argv:
+        _init_ray(NUM_CPUS)
+        import ray
+
+        print(json.dumps({"metric": "graph_ab", **run_graph_ab(SF_DIR)}))
         ray.shutdown()
         return
     if "--scaling" in sys.argv:
