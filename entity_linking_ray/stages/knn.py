@@ -41,19 +41,26 @@ def brute_force_knn(ds: ray.data.Dataset, queries: np.ndarray, query_ids,
         V = _normalize(_to_matrix(batch[vec_col].to_pylist()))
         ids = np.asarray(batch[id_col].to_pylist())
         C = Q @ V.T  # [q, n]
-        out_q, out_n, out_c = [], [], []
-        kk = min(k + (1 if exclude_self else 0), C.shape[1])
-        for qi in range(len(Q)):
-            part = np.argpartition(-C[qi], kk - 1)[:kk] if kk < C.shape[1] else np.arange(C.shape[1])
-            for j in part:
-                if exclude_self and ids[j] == qids[qi]:
-                    continue
-                out_q.append(qids[qi])
-                out_n.append(ids[j])
-                out_c.append(float(C[qi, j]))
+        nq, n = C.shape
+        kk = min(k + (1 if exclude_self else 0), n)
+        # whole-matrix argpartition + flat mask (no per-query Python loop)
+        if kk < n:
+            part = np.argpartition(-C, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(n), (nq, n)).copy()
+        rows = np.repeat(np.arange(nq, dtype=np.int64), part.shape[1])
+        cols = part.ravel()
+        if exclude_self:
+            qid_arr = np.asarray(qids)
+            keep = ids[cols] != qid_arr[rows]
+            rows, cols = rows[keep], cols[keep]
         return pa.table({
-            "query_id": pa.array(out_q), "neighbor_id": pa.array(out_n),
-            "cosine": pa.array(out_c, pa.float64()),
+            "query_id": pa.array(np.asarray(qids, object)[rows]
+                                 if np.asarray(qids).dtype.kind in "OUS"
+                                 else np.asarray(qids)[rows]),
+            "neighbor_id": pa.array(ids[cols]),
+            "cosine": pa.array(C[rows, cols].astype(np.float64),
+                               pa.float64()),
         })
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
