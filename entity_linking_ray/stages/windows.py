@@ -733,27 +733,36 @@ def grouped_running_sum(events: ray.data.Dataset, *, key_col: str,
                 val_col=val_col, scale=scale,
                 salt_bucket_us=salt_bucket_us)
             return cold.union(salted)
-    # coarse key-hash bucket shuffle; segmented cumsum across many keys
-    def cumsum_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([key_col, "t", id_col],
-                              kind="mergesort").copy()
-        v = g["value_units"].to_numpy(np.int64)
-        keys = g[key_col].to_numpy()
-        n = len(g)
+    # coarse key-hash bucket shuffle; segmented cumsum across many keys —
+    # Arrow-native (factorized lexsort + take, no per-group pandas frame)
+    def cumsum_bulk(group: pa.Table) -> pa.Table:
+        kinv, t, _, order = _factorize_sort(group, key_col, id_col)
+        v = group["value_units"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        kinv_s = kinv[order]
+        n = len(order)
         new = np.ones(n, dtype=bool)
         if n > 1:
-            new[1:] = keys[1:] != keys[:-1]
+            new[1:] = kinv_s[1:] != kinv_s[:-1]
         starts = np.nonzero(new)[0]
         seg = np.cumsum(new) - 1
         c = np.cumsum(v)
-        g["run_units"] = c - (c[starts] - v[starts])[seg]
-        g["run_n"] = np.arange(n, dtype=np.int64) - starts[seg] + 1
-        return g.drop(columns="__kb")
+        take = pa.array(order, pa.int64())
+        return pa.table({
+            key_col: group[key_col].take(take),
+            id_col: group[id_col].take(take),
+            "t": pa.array(t[order], pa.int64()),
+            "value_units": pa.array(v, pa.int64()),
+            "run_units": pa.array(c - (c[starts] - v[starts])[seg],
+                                  pa.int64()),
+            "run_n": pa.array(np.arange(n, dtype=np.int64)
+                              - starts[seg] + 1, pa.int64()),
+        })
 
     return (events.map_batches(_lag_prep(key_col, ts_col, id_col, val_col,
                                          scale), batch_format="pyarrow")
             .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
-            .groupby("__kb").map_groups(cumsum_bulk, batch_format="pandas"))
+            .groupby("__kb").map_groups(cumsum_bulk, batch_format="pyarrow"))
 
 
 def _grouped_running_salted(events: ray.data.Dataset, *, key_col: str,
