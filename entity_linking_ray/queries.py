@@ -1376,10 +1376,33 @@ def _q_part_type(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
-@register("entity_descriptions")
+@register(
+    "entity_descriptions",
+    """
+    SELECT * FROM (VALUES
+        ('T00000', 'spark 0',    'profile，batch line scan the。'),
+        ('T00001', 'spark 1',    'profile，fast line part row。'),
+        ('T00002', 'customer 0', 'profile，filter line row scan the。'),
+        ('T00003', 'customer 1', 'profile，column fast part row the。'),
+        ('T00004', 'vector 0',   'profile，a big data dup。'),
+        ('T00005', 'stream 0',   'profile，key line scan slow。'),
+        ('T00006', 'stream 1',   'profile，a fast join row。'),
+        ('T00007', 'stream 2',   'profile，column filter scan small。'),
+        ('T00008', 'window 0',   'profile，filter line row scan small。'),
+        ('T00009', 'query 0',    'profile，agg batch group order slow。'),
+        ('T00010', 'query 1',    'profile，a agg batch line order。'),
+        ('T00011', 'merge 0',    'profile，batch dup fast group slow。'),
+        ('T00012', 'hash 0',     'profile，big data dup row table。'),
+        ('T00013', 'hash 1',     'profile，big column group table value。')
+    ) AS v(entity_id, subject, description)
+    """,
+)
 def _q_entity_descriptions(sf_dir: str):
-    """Description synthesis M7 over the derived KB (rows-only: the KB is
-    engine-derived, not a registered view)."""
+    """Description synthesis M7 over the derived KB. The KB is a fixed
+    deterministic constant (independent of sf — testdata.derive_entities
+    seeds from the alias vocabulary only), so the oracle pins all 14 rows
+    as VALUES literals: any change to the M7 synthesis rules (char budget,
+    separator, sort — functions/describe.py) breaks the value-hash."""
     import ray.data
 
     from .stages.alias_index import add_description
