@@ -72,6 +72,38 @@ def _q_er_clusters(sf_dir: str):
     return out["clusters"]
 
 
+def _run_exact_pipeline(sf_dir: str):
+    """The flagship under its deterministic SQL-expressible configuration:
+    exact-alias channel only (ann_k=0), strsim-only scoring
+    (score_weights=(1,0) — the swap-protocol hook), salting off. Every
+    exact candidate ties at score 1.0, so the link IS the stable
+    (score desc, entity_id asc) tie-break — the determinism hard-part of
+    SURVEY.md §7 — and the 63-bit node/label hashes become reproducible
+    in DuckDB (entity_linking_ray/oracles.py emulates the mod-2^64
+    arithmetic via HUGEINT partials)."""
+    from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
+    from entity_linking_ray.testdata import derive_documents, derive_entities
+
+    return run_pipeline(
+        derive_documents(sf_dir), derive_entities(), concurrency=2,
+        ann_k=0, score_weights=(1.0, 0.0), threshold=0.9, hot_cap=1 << 40)
+
+
+def _q_er_links_exact(sf_dir: str):
+    """Value-hash-oracled flagship links (exact channel, deterministic
+    scorer): checks mention extraction (span_idx/offset through the
+    interleave's media-span shifts), candidate tie-break, and the
+    mention node hash bit-for-bit against DuckDB."""
+    return _run_exact_pipeline(sf_dir)["links"]
+
+
+def _q_er_clusters_exact(sf_dir: str):
+    """Value-hash-oracled flagship clusters: degree-1 transitive
+    clustering labels (min of anchor/mention node hashes) checked
+    bit-for-bit against DuckDB."""
+    return _run_exact_pipeline(sf_dir)["clusters"]
+
+
 def _q_er_clusters_incremental(sf_dir: str):
     """Flagship clusters produced INCREMENTALLY: the corpus splits into
     an archive batch and an increment (deterministic doc_id-hash
@@ -113,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_mentions_by_surface": _q_er_mentions_by_surface,
         "er_links": _q_er_links,
         "er_clusters": _q_er_clusters,
+        "er_links_exact": _q_er_links_exact,
+        "er_clusters_exact": _q_er_clusters_exact,
         "er_clusters_incremental": _q_er_clusters_incremental,
     }
     out.update(q.QUERIES)
@@ -125,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
     alias_list = ", ".join(
         f"'{w}'" for w in ["spark", "customer", "vector", "stream", "window", "query", "merge", "hash"]
     )
+    from entity_linking_ray.oracles import er_exact_sql
+
     out = {
         "er_mentions_by_surface": f"""
             SELECT tok AS mention, count(*) AS n
@@ -132,6 +168,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE tok IN ({alias_list})
             GROUP BY tok
         """,
+        "er_links_exact": er_exact_sql("links"),
+        "er_clusters_exact": er_exact_sql("clusters"),
     }
     out.update(q.ORACLE_SQL)
     return out

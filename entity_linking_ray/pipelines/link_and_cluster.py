@@ -281,6 +281,7 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
                  sn_edges: bool = False,
                  lexical_channel: bool = False,
                  oov_channel: bool = False,
+                 score_weights: tuple[float, float] | None = None,
                  pin: str | None = "links",
                  annotate: str | None = "auto") -> dict[str, ray.data.Dataset]:
     """Returns the logical tables {mentions, scored, scored_pairs, links,
@@ -303,9 +304,10 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
       Auto-selected when near_dup_edges needs scored twice.
     - ``None``: fully lazy; caller manages re-execution.
     """
-    from ..stages.pairwise import THRESHOLD
+    from ..stages.pairwise import THRESHOLD, W_COS, W_STR
 
     threshold = THRESHOLD if threshold is None else threshold
+    w_str, w_cos = score_weights if score_weights is not None else (W_STR, W_COS)
     aliases = [a for al in entities_tbl["aliases"].to_pylist() for a in (al or [])]
     aliases += entities_tbl["subject"].to_pylist()
 
@@ -326,7 +328,8 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
                                 lex_k=(k if lexical_channel else 0),
                                 concurrency=concurrency)
     scored = cands.map_batches(
-        lambda b: score_and_link(b, threshold=threshold), batch_format="pyarrow"
+        lambda b: score_and_link(b, w_str=w_str, w_cos=w_cos, threshold=threshold),
+        batch_format="pyarrow"
     )
     if (near_dup_edges or sn_edges) and pin == "links":
         pin = "scored"  # the edge channels read scored a second time
