@@ -104,6 +104,40 @@ def _q_er_clusters_exact(sf_dir: str):
     return _run_exact_pipeline(sf_dir)["clusters"]
 
 
+def _q_er_clusters_incremental_exact(sf_dir: str):
+    """The INCREMENTAL ingestion path under the deterministic exact-channel
+    configuration: archive/increment halves split by doc_id hash, the
+    archive contributing only its per-entity monoid state + clusters table.
+    Oracled with the SAME DuckDB SQL as er_clusters_exact — a value-hash
+    proof that incremental ≡ full-run clustering (the pytest equivalence
+    gate, now driver-checked)."""
+    import pyarrow as pa
+
+    from entity_linking_ray.functions.hashing import hash_strings
+    from entity_linking_ray.pipelines.link_and_cluster import (
+        run_pipeline_incremental)
+    from entity_linking_ray.testdata import derive_documents, derive_entities
+
+    docs = derive_documents(sf_dir)
+
+    def half(par: int):
+        def f(b: pa.Table) -> pa.Table:
+            h = hash_strings(b["doc_id"].to_pylist()) % 2
+            return b.filter(pa.array(h == par))
+        return f
+
+    ents = derive_entities()
+    kw = dict(concurrency=2, ann_k=0, score_weights=(1.0, 0.0),
+              threshold=0.9, hot_cap=1 << 40)
+    first = run_pipeline_incremental(
+        docs.map_batches(half(0), batch_format="pyarrow"), ents, **kw)
+    second = run_pipeline_incremental(
+        docs.map_batches(half(1), batch_format="pyarrow"), ents,
+        prior_state=first["state"],
+        prior_clusters=first["clusters"].materialize(), **kw)
+    return second["clusters"]
+
+
 def _q_er_clusters_incremental(sf_dir: str):
     """Flagship clusters produced INCREMENTALLY: the corpus splits into
     an archive batch and an increment (deterministic doc_id-hash
@@ -148,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_links_exact": _q_er_links_exact,
         "er_clusters_exact": _q_er_clusters_exact,
         "er_clusters_incremental": _q_er_clusters_incremental,
+        "er_clusters_incremental_exact": _q_er_clusters_incremental_exact,
     }
     out.update(q.QUERIES)
     return out
@@ -170,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "er_links_exact": er_exact_sql("links"),
         "er_clusters_exact": er_exact_sql("clusters"),
+        "er_clusters_incremental_exact": er_exact_sql("clusters"),
     }
     out.update(q.ORACLE_SQL)
     return out

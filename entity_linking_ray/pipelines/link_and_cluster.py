@@ -684,7 +684,8 @@ def run_pipeline_incremental(new_docs: ray.data.Dataset,
                              threshold: float | None = None,
                              concurrency: int | tuple = 4,
                              hot_cap: int = 1000,
-                             num_partitions: int = 16
+                             num_partitions: int = 16,
+                             score_weights: tuple[float, float] | None = None
                              ) -> dict[str, ray.data.Dataset]:
     """Incremental ER ingestion (default pure-link-graph channel config):
     the expensive front (extract → candidates → score → link) runs on
@@ -704,9 +705,10 @@ def run_pipeline_incremental(new_docs: ray.data.Dataset,
     and equals a full :func:`run_pipeline` over the union
     (equivalence-tested); ``state`` is the merged per-entity state to
     persist for the next increment."""
-    from ..stages.pairwise import THRESHOLD
+    from ..stages.pairwise import THRESHOLD, W_COS, W_STR
 
     threshold = THRESHOLD if threshold is None else threshold
+    w_str, w_cos = score_weights if score_weights is not None else (W_STR, W_COS)
     aliases = [a for al in entities_tbl["aliases"].to_pylist()
                for a in (al or [])]
     aliases += entities_tbl["subject"].to_pylist()
@@ -716,7 +718,8 @@ def run_pipeline_incremental(new_docs: ray.data.Dataset,
     cands = generate_candidates(mentions, kb_ref, k=k, ann_k=ann_k,
                                 concurrency=concurrency)
     scored = cands.map_batches(
-        lambda b: score_and_link(b, threshold=threshold),
+        lambda b: score_and_link(b, w_str=w_str, w_cos=w_cos,
+                                 threshold=threshold),
         batch_format="pyarrow")
     links_new = link_mentions(scored).materialize()
 
