@@ -1039,6 +1039,50 @@ def _q_media(sf_dir: str):
     return extract_media_features(derive_documents(sf_dir), concurrency=2)
 
 
+def _media_meta_sql() -> str:
+    """DuckDB replica of the interleave's media-span injection
+    (testdata.interleave_batch): a media span after every 3rd text chunk,
+    gated by bit (fnv1a(doc_id) >> (chunk % 32)) & 1; kind selected by
+    (h >> 8) % 3; span_idx shifted by the count of earlier media spans."""
+    from .oracles import fnv1a_sql
+
+    return f"""
+    WITH docs AS (
+      SELECT doc_id AS did, printf('doc-%08d', doc_id) AS doc_id,
+             {fnv1a_sql("CAST(doc_id AS VARCHAR)")} AS h,
+             CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS ntok
+      FROM documents
+    ),
+    media AS (
+      SELECT did, doc_id, h,
+             unnest(range(3, CAST((ntok + 11) // 12 AS BIGINT) + 1, 3)) AS m
+      FROM docs
+    )
+    SELECT doc_id,
+           CAST(m + len(list_filter(range(3, CAST(m AS BIGINT) - 2, 3),
+                    mm -> (h >> (mm % 32)) & 1 = 1)) AS INT) AS span_idx,
+           CASE CAST((h >> 8) % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'table' END AS kind,
+           'media://' || CAST(did AS VARCHAR) || '/' || CAST(m AS VARCHAR) AS media_ref
+    FROM media
+    WHERE (h >> (m % 32)) & 1 = 1
+    """
+
+
+@register("media_spans_meta", _media_meta_sql())
+def _q_media_meta(sf_dir: str):
+    """The media-feature extractor's METADATA projection, value-hash
+    oracled: runs the same distributed actor-pool extractor as
+    media_features (span explode, kind/ref plumbing) and drops only the
+    feature vector (the fake-decoder embedding, which stays rows-only by
+    nature in media_features)."""
+    from .stages.multimodal import extract_media_features
+    from .testdata import derive_documents
+
+    return extract_media_features(derive_documents(sf_dir), concurrency=2)\
+        .select_columns(["doc_id", "span_idx", "kind", "media_ref"])
+
+
 @register(
     "embedding_dup_pairs",
     """
@@ -3020,7 +3064,37 @@ def _q_events_hourly_partitioned_write(sf_dir: str):
     return back.map_batches(fix, batch_format="pyarrow")
 
 
-@register("knn_ivf_trained_top5")
+@register(
+    "knn_ivf_trained_top5",
+    """
+    SELECT cast(v.query_id AS bigint) AS query_id,
+           cast(v.neighbor_id AS bigint) AS neighbor_id,
+           cast(v.rank AS bigint) AS rank
+    FROM (VALUES
+    (6000,0,17,0),(6000,0,225,1),(6000,0,483,2),(6000,0,260,3),(6000,0,212,4),
+    (6000,1,209,0),(6000,1,129,1),(6000,1,376,2),(6000,1,455,3),(6000,1,260,4),
+    (6000,2,443,0),(6000,2,62,1),(6000,2,91,2),(6000,2,132,3),(6000,2,488,4),
+    (6000,3,223,0),(6000,3,205,1),(6000,3,212,2),(6000,3,84,3),(6000,3,156,4),
+    (6000,4,98,0),(6000,4,57,1),(6000,4,357,2),(6000,4,62,3),(6000,4,271,4),
+    (6000,5,113,0),(6000,5,296,1),(6000,5,360,2),(6000,5,205,3),(6000,5,395,4),
+    (6000,6,434,0),(6000,6,78,1),(6000,6,280,2),(6000,6,467,3),(6000,6,495,4),
+    (6000,7,382,0),(6000,7,466,1),(6000,7,329,2),(6000,7,167,3),(6000,7,249,4),
+    (6000,8,385,0),(6000,8,132,1),(6000,8,142,2),(6000,8,118,3),(6000,8,398,4),
+    (6000,9,381,0),(6000,9,107,1),(6000,9,365,2),(6000,9,396,3),(6000,9,463,4),
+    (60000,0,334,0),(60000,0,423,1),(60000,0,73,2),(60000,0,190,3),(60000,0,388,4),
+    (60000,1,386,0),(60000,1,27,1),(60000,1,64,2),(60000,1,203,3),(60000,1,363,4),
+    (60000,2,117,0),(60000,2,450,1),(60000,2,145,2),(60000,2,320,3),(60000,2,418,4),
+    (60000,3,343,0),(60000,3,174,1),(60000,3,207,2),(60000,3,437,3),(60000,3,474,4),
+    (60000,4,482,0),(60000,4,280,1),(60000,4,249,2),(60000,4,257,3),(60000,4,89,4),
+    (60000,5,404,0),(60000,5,419,1),(60000,5,33,2),(60000,5,464,3),(60000,5,453,4),
+    (60000,6,350,0),(60000,6,430,1),(60000,6,145,2),(60000,6,395,3),(60000,6,252,4),
+    (60000,7,334,0),(60000,7,445,1),(60000,7,221,2),(60000,7,302,3),(60000,7,0,4),
+    (60000,8,39,0),(60000,8,138,1),(60000,8,497,2),(60000,8,380,3),(60000,8,173,4),
+    (60000,9,49,0),(60000,9,489,1),(60000,9,107,2),(60000,9,256,3),(60000,9,198,4)
+    ) AS v(sf_key, query_id, neighbor_id, rank)
+    WHERE v.sf_key = (SELECT count(*) FROM lineitem)
+    """,
+)
 def _q_knn_ivf_trained(sf_dir: str):
     """IVF k-NN over TRAINED buckets: distributed Lloyd k-means on
     RESIDENT vector shards (stages/knn.kmeans_fit_actors — vectors ship
@@ -3028,8 +3102,12 @@ def _q_knn_ivf_trained(sf_dir: str):
     int64 fixed-point reduce, bit-identical to the Dataset-pass
     kmeans_fit, equivalence-tested; A/B at sf0.1: 5.3 s → 2.7 s) feeds
     the same assign → prune → partial-top-k → merge dataflow as
-    knn_ivf_top5. Rows-only by nature (k-means has no SQL form);
-    pruned-recall and training determinism/cohesion are pytest-gated."""
+    knn_ivf_top5. k-means has no direct SQL form, but the training is
+    exact fixed-point (bit-reproducible), so the full 50-row output is
+    PINNED as VALUES at the two correctness scales, keyed by the
+    lineitem row count — any drift in training, assignment, pruning or
+    merge breaks the value-hash. Pruned-recall and training cohesion
+    remain pytest-gated."""
     import numpy as np
 
     from .stages.knn import ivf_knn, kmeans_fit_actors
