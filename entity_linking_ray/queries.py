@@ -1841,12 +1841,26 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitter_words(docs, text_col="text", k=10, width=1024)
 
 
-@register("approx_distinct_users_by_type")
+@register(
+    "approx_distinct_users_by_type",
+    """
+    SELECT v.event_type, CAST(v.approx_distinct AS BIGINT) AS approx_distinct
+    FROM (VALUES (6000,'click',15),(6000,'error',15),(6000,'purchase',15),
+                 (6000,'signup',15),(6000,'view',15),
+                 (60000,'click',152),(60000,'error',152),(60000,'purchase',152),
+                 (60000,'signup',152),(60000,'view',152))
+         AS v(sf_key, event_type, approx_distinct)
+    WHERE v.sf_key = (SELECT count(*) FROM lineitem)
+    """,
+)
 def _q_approx_distinct(sf_dir: str):
-    """HyperLogLog COUNT DISTINCT per event type (rows-only: an estimate
-    has no SQL-exact oracle; accuracy ±1.04/√4096 ≈ 1.6% and the
-    merge=union property are pinned in pytest). The exact counterpart
-    (`distinct_users_by_type`) stays oracle-checked."""
+    """HyperLogLog COUNT DISTINCT per event type. An estimate has no
+    SQL-exact form, but the sketch is fully deterministic, so the oracle
+    PINS the estimates at the two correctness scales (keyed by lineitem
+    count) — register-path or hash drift breaks the value-hash. Accuracy
+    ±1.04/√4096 ≈ 1.6% and the merge=union property stay pinned in
+    pytest; the exact counterpart (`distinct_users_by_type`) stays
+    live-oracle-checked."""
     from .stages.sketch import hll_distinct
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
@@ -2710,15 +2724,27 @@ def _q_part_order_pagerank(sf_dir: str):
         return eng.pagerank(iters=5).materialize()
 
 
-@register("event_value_sketch_quantiles")
+@register(
+    "event_value_sketch_quantiles",
+    """
+    SELECT CAST(v.q AS DOUBLE) AS q, CAST(v.value AS BIGINT) AS value
+    FROM (VALUES (6000,0.25,1464),(6000,0.5,3559),(6000,0.75,7173),
+                 (6000,0.95,14558),(6000,0.99,21707),
+                 (60000,0.25,1441),(60000,0.5,3441),(60000,0.75,6872),
+                 (60000,0.95,14846),(60000,0.99,22569))
+         AS v(sf_key, q, value)
+    WHERE v.sf_key = (SELECT count(*) FROM lineitem)
+    """,
+)
 def _q_event_value_sketch_quantiles(sf_dir: str):
     """APPROXIMATE global quantiles of event value via the mergeable
     equi-weight summary sketch (stages/sketch.approx_quantiles) — the
     scale path beside the exact count-histogram quantiles: bounded
     (sketch_size × 16 B) shuffle payload per block regardless of value
-    cardinality. Rows-only by nature (a sketch estimate has no exact SQL
-    form); the rank-error bound is pytest-gated against the exact
-    quantiles."""
+    cardinality. The sketch is deterministic, so the five estimates are
+    PINNED as VALUES at the two correctness scales (keyed by lineitem
+    count); the rank-error bound vs the exact quantiles stays
+    pytest-gated."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -3816,6 +3842,40 @@ def _q_doc_compression_ratio(sf_dir: str):
 
 
 @register(
+    "doc_compression_pinned",
+    """
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           length((SELECT d.text FROM documents d WHERE d.doc_id = v.doc_id))
+               AS raw_len,
+           CAST(v.compressed_len AS BIGINT) AS compressed_len,
+           CAST(v.ratio_pct AS BIGINT) AS ratio_pct,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+    FROM (VALUES (6000,0,90,70),(6000,1,189,42),(6000,2,169,48),
+                 (6000,3,149,53),(6000,4,112,63),
+                 (60000,0,99,63),(60000,1,181,44),(60000,2,133,54),
+                 (60000,3,99,67),(60000,4,139,55))
+         AS v(sf_key, doc_id, compressed_len, ratio_pct)
+    WHERE v.sf_key = (SELECT count(*) FROM lineitem)
+    """,
+)
+def _q_doc_compression_pinned(sf_dir: str):
+    """Structural oracle for the zlib compression-ratio signal: the full
+    distributed pass runs, then the five smallest doc_ids are checked
+    against pinned DEFLATE sizes (zlib level 6 is deterministic), the
+    raw_len against the LIVE documents view, and the total row count.
+    The full per-doc output stays rows-only (`doc_compression_ratio`)."""
+    import numpy as np
+
+    full = QUERIES["doc_compression_ratio"](sf_dir).materialize()
+    n_docs = full.count()
+    pinned = (full.filter(expr="doc_id < 5").to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    pinned["n_docs"] = np.int64(n_docs)
+    return pinned[["doc_id", "raw_len", "compressed_len", "ratio_pct",
+                   "n_docs"]]
+
+
+@register(
     "events_hourly_incremental",
     """
     SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -3911,7 +3971,16 @@ def _q_events_hourly_incremental(sf_dir: str):
     return merged.map_batches(fin, batch_format="pyarrow")
 
 
-@register("er_blocking_metrics")
+@register(
+    "er_blocking_metrics",
+    """
+    SELECT CAST(1600 AS BIGINT) AS n_mentions,
+           CAST(84289 AS BIGINT) AS cand_pairs,
+           CAST(934109 AS BIGINT) AS reduction_ppm,
+           CAST(9577 AS BIGINT) AS gold_pairs,
+           CAST(632139 AS BIGINT) AS completeness_ppm
+    """,
+)
 def _q_er_blocking_metrics(sf_dir: str):
     """Blocking-quality report for the flagship's primary (surface-hash)
     blocking family: reduction ratio (candidate pairs vs all pairs) and
@@ -3919,8 +3988,8 @@ def _q_er_blocking_metrics(sf_dir: str):
     block) — the two standard ER blocking metrics, in ppm fixed point.
     Runs on the deterministic gold corpus (the labeled fixture the F1
     gate uses — sf-independent by design, like the recall benchmarks);
-    rows-only (metrics over a model fixture have no SQL form), values
-    pinned in pytest. Both metrics are computed with combiner-shaped
+    the report is a deterministic constant, so the oracle pins it as a
+    VALUES row (also pinned in pytest). Both metrics are computed with combiner-shaped
     groupbys: per-block counts give Σ n·(n-1)/2 candidates without
     materializing pairs, and gold-pair coverage groups the gold table by
     (entity, block) — no quadratic pass anywhere."""
