@@ -29,6 +29,26 @@ def train_test_split(ds: ray.data.Dataset, test_fraction: float = 0.3,
     return train, test
 
 
+def hash_split(ds: ray.data.Dataset, key_col: str,
+               test_pct: int = 30, buckets: int = 100,
+               out_col: str = "split") -> ray.data.Dataset:
+    """Deterministic key-hash train/test assignment — the SCALE variant of
+    :func:`train_test_split`: no shuffle, no materialization, stable under
+    resume and under re-partitioning (assignment is a pure row function of
+    the key), and incremental batches land in the same split as a full
+    run. ``fnv1a(key) mod buckets < test_pct`` → 'test' else 'train'
+    (the industry-standard hash-bucket holdout). Key-hash splits also
+    guarantee leakage-freedom BY KEY: all rows of one key land on one
+    side — the property shuffle splits cannot give."""
+    def assign(batch: pa.Table) -> pa.Table:
+        h = hash_strings([str(v) for v in batch[key_col].to_pylist()])
+        is_test = (h % buckets) < test_pct
+        lab = np.where(is_test, "test", "train")
+        return batch.append_column(out_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def sample_hard_negatives(mentions_gold: ray.data.Dataset, alias_to_ids: dict,
                           n_negatives: int = 2, seed: int = 42) -> ray.data.Dataset:
     """mentions_gold(doc_id, span_idx, mention, entity_id, offset) →

@@ -1039,6 +1039,31 @@ def _q_media(sf_dir: str):
     return extract_media_features(derive_documents(sf_dir), concurrency=2)
 
 
+def _split_sql() -> str:
+    from .oracles import MASK63, fnv1a_sql
+
+    return f"""
+    SELECT doc_id,
+           CASE WHEN ({fnv1a_sql("CAST(doc_id AS VARCHAR)")} & {MASK63})
+                     % 100 < 30
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """
+
+
+@register("doc_split_assignment", _split_sql())
+def _q_doc_split(sf_dir: str):
+    """Deterministic hash-bucket train/test holdout (M16's scale variant,
+    pipelines/train_prep.hash_split): assignment is a pure row function
+    of the key — no shuffle, resume-stable, leakage-free by key, and
+    incremental batches agree with a full run. Value-hash oracled via
+    the FNV-1a SQL replica (oracles.py)."""
+    from .pipelines.train_prep import hash_split
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return hash_split(docs, "doc_id")
+
+
 def _media_meta_sql() -> str:
     """DuckDB replica of the interleave's media-span injection
     (testdata.interleave_batch): a media span after every 3rd text chunk,
