@@ -54,3 +54,27 @@ def test_writers_roundtrip(tmp_path):
     jdir = write_jsonl(ds, str(tmp_path / "jl"))
     jback = ray.data.read_json(jdir).to_pandas().sort_values("a")
     assert jback["b"].tolist() == ["x", "y", "z"]
+
+
+def test_hash_split_properties():
+    """Hash-bucket holdout: proportion near test_pct, assignment a pure
+    key function (repartition-stable, incremental-consistent), all rows
+    of one key on one side."""
+    from entity_linking_ray.pipelines.train_prep import hash_split
+
+    t = pa.table({"doc_id": list(range(5000)) + list(range(100))})
+    ds = ray.data.from_arrow(t)
+    out = hash_split(ds, "doc_id").to_pandas()
+    frac = (out["split"] == "test").mean()
+    assert 0.25 < frac < 0.35
+    # leakage-free by key: duplicate keys agree
+    assert (out.groupby("doc_id")["split"].nunique() == 1).all()
+    # repartition-stable
+    out2 = hash_split(ds.repartition(7), "doc_id").to_pandas()
+    a = out.sort_values(["doc_id", "split"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "split"]).reset_index(drop=True)
+    assert a.equals(b)
+    # incremental-consistent: a subset batch gets the same assignment
+    sub = hash_split(ray.data.from_arrow(t.slice(0, 50)), "doc_id").to_pandas()
+    m = sub.merge(out.drop_duplicates("doc_id"), on="doc_id", suffixes=("_s", "_f"))
+    assert (m["split_s"] == m["split_f"]).all()
