@@ -55,7 +55,9 @@ def _q_er_mentions_by_surface(sf_dir: str):
 
 
 def _q_er_links(sf_dir: str):
-    """Flagship links table (rows-only check: model-scored, not SQL-expressible)."""
+    """Flagship links table under the DEFAULT calibrated scorer (rows-only:
+    model-scored; the er_links_exact twin value-hash-checks the same path
+    under the deterministic configuration)."""
     from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
     from entity_linking_ray.testdata import derive_documents, derive_entities
 
@@ -64,7 +66,8 @@ def _q_er_links(sf_dir: str):
 
 
 def _q_er_clusters(sf_dir: str):
-    """Flagship clusters table (rows-only: transitive clustering)."""
+    """Flagship clusters under the default scorer (rows-only; the
+    er_clusters_exact twin is the value-hash check of the same path)."""
     from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
     from entity_linking_ray.testdata import derive_documents, derive_entities
 
