@@ -2749,26 +2749,18 @@ def _q_part_order_pagerank(sf_dir: str):
         return eng.pagerank(iters=5).materialize()
 
 
-@register(
-    "event_value_sketch_quantiles",
-    """
-    SELECT CAST(v.q AS DOUBLE) AS q, CAST(v.value AS BIGINT) AS value
-    FROM (VALUES (6000,0.25,1464),(6000,0.5,3559),(6000,0.75,7173),
-                 (6000,0.95,14558),(6000,0.99,21707),
-                 (60000,0.25,1441),(60000,0.5,3441),(60000,0.75,6872),
-                 (60000,0.95,14846),(60000,0.99,22569))
-         AS v(sf_key, q, value)
-    WHERE v.sf_key = (SELECT count(*) FROM lineitem)
-    """,
-)
+@register("event_value_sketch_quantiles")
 def _q_event_value_sketch_quantiles(sf_dir: str):
     """APPROXIMATE global quantiles of event value via the mergeable
     equi-weight summary sketch (stages/sketch.approx_quantiles) — the
     scale path beside the exact count-histogram quantiles: bounded
     (sketch_size × 16 B) shuffle payload per block regardless of value
-    cardinality. The sketch is deterministic, so the five estimates are
-    PINNED as VALUES at the two correctness scales (keyed by lineitem
-    count); the rank-error bound vs the exact quantiles stays
+    cardinality. Rows-only BY CONSTRUCTION: the per-block compaction
+    makes the estimate a function of the input partitioning, so unlike
+    the HLL/k-means estimates it cannot be pinned as VALUES (measured:
+    identical values across 4/8-cpu sessions, different at 32 — the
+    estimate moved within its rank-error bound when Ray split the read
+    into more blocks). The rank-error bound vs the exact quantiles is
     pytest-gated."""
     import pyarrow as pa
     import pyarrow.compute as pc
