@@ -268,6 +268,34 @@ def main():
         print(json.dumps({"metric": "graph_ab", **run_graph_ab(SF_DIR)}))
         ray.shutdown()
         return
+    if "--stats" in sys.argv:
+        # reproducible flagship profile: run the headline once and dump the
+        # per-stage ds.stats() of the clusters consumer (the round-4 audit,
+        # on demand): compute-dominated wall = the stage sums exceed the
+        # elapsed wall because actor-pool stages overlap under streaming
+        # execution.
+        _init_ray(NUM_CPUS)
+        import ray
+        import ray.data
+
+        from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
+        from entity_linking_ray.testdata import derive_entities
+
+        corpus_dir, n_docs = bake_corpus(SF_DIR, REPLICATE, num_files=64)
+        t0 = time.time()
+        out = run_pipeline(
+            ray.data.read_parquet(corpus_dir), derive_entities(),
+            concurrency=NUM_CPUS, hot_cap=50_000,
+            num_partitions=max(8, NUM_CPUS), annotate=None)
+        clusters = out["clusters"].materialize()
+        wall = time.time() - t0
+        print(clusters.stats(), file=sys.stderr)
+        print(json.dumps({"metric": "flagship_stats", "wall_sec": round(wall, 3),
+                          "n_docs": n_docs, "rows": clusters.count(),
+                          "num_cpus": NUM_CPUS,
+                          "stats_on_stderr": True}))
+        ray.shutdown()
+        return
     if "--scaling" in sys.argv:
         here = os.path.dirname(os.path.abspath(__file__))
         # N vs 4N (the rule's allowed form). 4→16 rather than 8→32: this
