@@ -107,6 +107,14 @@ def _q_er_clusters_exact(sf_dir: str):
     return _run_exact_pipeline(sf_dir)["clusters"]
 
 
+def _q_er_scored_pairs_exact(sf_dir: str):
+    """Value-hash-oracled flagship SCORED_PAIRS (the nested-candidates
+    explode, stages/pairwise.explode_scored_pairs): every exact candidate
+    with its tie-break rank, checked against the full alias→entity map
+    and a per-mention row_number in DuckDB."""
+    return _run_exact_pipeline(sf_dir)["scored_pairs"]
+
+
 def _q_er_clusters_incremental_exact(sf_dir: str):
     """The INCREMENTAL ingestion path under the deterministic exact-channel
     configuration: archive/increment halves split by doc_id hash, the
@@ -184,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "er_links_exact": _q_er_links_exact,
         "er_clusters_exact": _q_er_clusters_exact,
+        "er_scored_pairs_exact": _q_er_scored_pairs_exact,
         "er_clusters_incremental": _q_er_clusters_incremental,
         "er_clusters_incremental_exact": _q_er_clusters_incremental_exact,
     }
@@ -208,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "er_links_exact": er_exact_sql("links"),
         "er_clusters_exact": er_exact_sql("clusters"),
+        "er_scored_pairs_exact": er_exact_sql("pairs"),
         "er_clusters_incremental_exact": er_exact_sql("clusters"),
     }
     out.update(q.ORACLE_SQL)

@@ -75,6 +75,20 @@ KB_VALUES = (
     "('merge','T00011'),('hash','T00012')"
 )
 
+# The FULL alias → entity map (testdata.derive_entities: 1-3 entities per
+# alias word) — the exact-channel candidate SET per mention, used by the
+# scored-pairs oracle where every candidate (not just the argmax) appears.
+KB_FULL_VALUES = (
+    "VALUES ('spark','T00000'),('spark','T00001'),"
+    "('customer','T00002'),('customer','T00003'),"
+    "('vector','T00004'),"
+    "('stream','T00005'),('stream','T00006'),('stream','T00007'),"
+    "('window','T00008'),"
+    "('query','T00009'),('query','T00010'),"
+    "('merge','T00011'),"
+    "('hash','T00012'),('hash','T00013')"
+)
+
 
 def er_exact_sql(what: str) -> str:
     """Full oracle SQL for er_links_exact / er_clusters_exact.
@@ -85,7 +99,45 @@ def er_exact_sql(what: str) -> str:
     offsets), the exact-channel link decision, the 63-bit mention node hash
     (stages/pairwise.py:106 mention_node_hashes), and for clusters the
     degree-1 component label = min(anchor hash, min mention node)."""
-    assert what in ("links", "clusters")
+    assert what in ("links", "clusters", "pairs")
+    if what == "pairs":
+        # the explode path: every exact candidate, ranked by the stable
+        # (score desc, entity_id asc) tie-break — with all scores tied at
+        # 1.0 the rank IS the per-mention entity_id order
+        return f"""
+WITH kb AS (SELECT * FROM ({KB_VALUES}) AS v(alias, entity_id)),
+kbf AS (SELECT * FROM ({KB_FULL_VALUES}) AS v(alias, entity_id)),
+docs AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id,
+         {fnv1a_sql("CAST(doc_id AS VARCHAR)")} AS h,
+         string_split(text, ' ') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, h, unnest(l) AS tok, unnest(range(0, len(l))) AS i FROM docs
+),
+men0 AS (
+  SELECT doc_id, h, tok, i, CAST(i // 12 AS UBIGINT) AS c,
+         CAST(coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS UBIGINT) AS joff
+  FROM toks
+),
+men AS (
+  SELECT doc_id, h, tok, c, joff,
+         CAST(len(list_filter(range(3, CAST(c AS BIGINT) + 1, 3),
+                  m -> (h >> (m % 32)) & 1 = 1)) AS UBIGINT) AS shift
+  FROM men0 WHERE tok IN (SELECT alias FROM kb)
+)
+SELECT men.doc_id,
+       CAST(c + shift AS INT) AS span_idx,
+       CAST(joff + shift AS INT) AS "offset",
+       kbf.entity_id,
+       CAST(1.0 AS REAL) AS score,
+       CAST(row_number() OVER (
+            PARTITION BY men.doc_id, c + shift, joff + shift
+            ORDER BY kbf.entity_id) - 1 AS INT) AS rank,
+       'exact' AS source
+FROM men JOIN kbf ON men.tok = kbf.alias"""
     base = 'doc_id, entity_id, span_idx, "offset"'
     sql = f"""
 WITH kb AS (SELECT * FROM ({KB_VALUES}) AS v(alias, entity_id)),
