@@ -107,6 +107,14 @@ def _q_er_clusters_exact(sf_dir: str):
     return _run_exact_pipeline(sf_dir)["clusters"]
 
 
+def _q_er_mentions_exact(sf_dir: str):
+    """Value-hash-oracled flagship MENTIONS table: surface, normalized
+    surface, char offsets AND the ±120-char context windows (the M5
+    context builder) checked against a DuckDB reconstruction of the
+    span chunking."""
+    return _run_exact_pipeline(sf_dir)["mentions"]
+
+
 def _q_er_scored_pairs_exact(sf_dir: str):
     """Value-hash-oracled flagship SCORED_PAIRS (the nested-candidates
     explode, stages/pairwise.explode_scored_pairs): every exact candidate
@@ -192,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "er_links_exact": _q_er_links_exact,
         "er_clusters_exact": _q_er_clusters_exact,
+        "er_mentions_exact": _q_er_mentions_exact,
         "er_scored_pairs_exact": _q_er_scored_pairs_exact,
         "er_clusters_incremental": _q_er_clusters_incremental,
         "er_clusters_incremental_exact": _q_er_clusters_incremental_exact,
@@ -217,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "er_links_exact": er_exact_sql("links"),
         "er_clusters_exact": er_exact_sql("clusters"),
+        "er_mentions_exact": er_exact_sql("mentions"),
         "er_scored_pairs_exact": er_exact_sql("pairs"),
         "er_clusters_incremental_exact": er_exact_sql("clusters"),
     }

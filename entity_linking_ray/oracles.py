@@ -99,7 +99,7 @@ def er_exact_sql(what: str) -> str:
     offsets), the exact-channel link decision, the 63-bit mention node hash
     (stages/pairwise.py:106 mention_node_hashes), and for clusters the
     degree-1 component label = min(anchor hash, min mention node)."""
-    assert what in ("links", "clusters", "pairs")
+    assert what in ("links", "clusters", "pairs", "mentions")
     if what == "pairs":
         # the explode path: every exact candidate, ranked by the stable
         # (score desc, entity_id asc) tie-break — with all scores tied at
@@ -138,6 +138,51 @@ SELECT men.doc_id,
             ORDER BY kbf.entity_id) - 1 AS INT) AS rank,
        'exact' AS source
 FROM men JOIN kbf ON men.tok = kbf.alias"""
+    if what == "mentions":
+        # the mentions logical table incl. the context-window builder
+        # (M5 analogue): context_left/right are char windows WITHIN the
+        # span's chunk text (stages/mentions.py MentionExtractor.__call__),
+        # reconstructed here from the 12-token chunking
+        cw = 120  # stages/mentions.CONTEXT_CHARS
+        return f"""
+WITH kb AS (SELECT * FROM ({KB_VALUES}) AS v(alias, entity_id)),
+docs AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id,
+         {fnv1a_sql("CAST(doc_id AS VARCHAR)")} AS h,
+         string_split(text, ' ') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, h, unnest(l) AS tok, unnest(range(0, len(l))) AS i FROM docs
+),
+men0 AS (
+  SELECT doc_id, h, tok, i, CAST(i // 12 AS UBIGINT) AS c,
+         CAST(coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS UBIGINT) AS joff
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, c, string_agg(tok, ' ' ORDER BY i) AS ctext,
+         min(joff) AS cbase
+  FROM men0 GROUP BY doc_id, c
+),
+men AS (
+  SELECT m.doc_id, m.h, m.tok, m.c, m.joff,
+         CAST(m.joff - ch.cbase AS INT) AS s,
+         ch.ctext,
+         CAST(len(list_filter(range(3, CAST(m.c AS BIGINT) + 1, 3),
+                  mm -> (m.h >> (mm % 32)) & 1 = 1)) AS UBIGINT) AS shift
+  FROM men0 m JOIN chunks ch ON m.doc_id = ch.doc_id AND m.c = ch.c
+  WHERE m.tok IN (SELECT alias FROM kb)
+)
+SELECT doc_id,
+       CAST(c + shift AS INT) AS span_idx,
+       tok AS mention,
+       tok AS norm_mention,
+       substr(ctext, greatest(1, s - {cw} + 1), least(s, {cw})) AS context_left,
+       substr(ctext, s + length(tok) + 1, {cw}) AS context_right,
+       CAST(joff + shift AS INT) AS "offset"
+FROM men"""
     base = 'doc_id, entity_id, span_idx, "offset"'
     sql = f"""
 WITH kb AS (SELECT * FROM ({KB_VALUES}) AS v(alias, entity_id)),
