@@ -115,6 +115,15 @@ def _q_er_mentions_exact(sf_dir: str):
     return _run_exact_pipeline(sf_dir)["mentions"]
 
 
+def _q_er_annotated_exact(sf_dir: str):
+    """Value-hash-oracled ANNOTATED_DOCUMENTS projection: per-doc
+    mention/link counts from the broadcast-searchsorted attach (the
+    spans column — byte-identical pass-through, property-tested — is
+    projected off because list<struct> has no canonical SQL form)."""
+    out = _run_exact_pipeline(sf_dir)["annotated_documents"]
+    return out.select_columns(["doc_id", "n_mentions", "n_linked"])
+
+
 def _q_er_scored_pairs_exact(sf_dir: str):
     """Value-hash-oracled flagship SCORED_PAIRS (the nested-candidates
     explode, stages/pairwise.explode_scored_pairs): every exact candidate
@@ -201,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_links_exact": _q_er_links_exact,
         "er_clusters_exact": _q_er_clusters_exact,
         "er_mentions_exact": _q_er_mentions_exact,
+        "er_annotated_exact": _q_er_annotated_exact,
         "er_scored_pairs_exact": _q_er_scored_pairs_exact,
         "er_clusters_incremental": _q_er_clusters_incremental,
         "er_clusters_incremental_exact": _q_er_clusters_incremental_exact,
@@ -227,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "er_links_exact": er_exact_sql("links"),
         "er_clusters_exact": er_exact_sql("clusters"),
         "er_mentions_exact": er_exact_sql("mentions"),
+        "er_annotated_exact": er_exact_sql("annotated"),
         "er_scored_pairs_exact": er_exact_sql("pairs"),
         "er_clusters_incremental_exact": er_exact_sql("clusters"),
     }

@@ -99,7 +99,21 @@ def er_exact_sql(what: str) -> str:
     offsets), the exact-channel link decision, the 63-bit mention node hash
     (stages/pairwise.py:106 mention_node_hashes), and for clusters the
     degree-1 component label = min(anchor hash, min mention node)."""
-    assert what in ("links", "clusters", "pairs", "mentions")
+    assert what in ("links", "clusters", "pairs", "mentions", "annotated")
+    if what == "annotated":
+        # per-doc mention/link counts over ALL docs (zero-mention docs
+        # included — the broadcast attach emits 0 on searchsorted miss);
+        # under the exact config every mention links, so the two counts
+        # coincide
+        words = ("['spark','customer','vector','stream','window',"
+                 "'query','merge','hash']")
+        n = (f"CAST(len(list_filter(string_split(text, ' '),"
+             f" t -> list_contains({words}, t))) AS BIGINT)")
+        return f"""
+    SELECT printf('doc-%08d', doc_id) AS doc_id,
+           {n} AS n_mentions,
+           {n} AS n_linked
+    FROM documents"""
     if what == "pairs":
         # the explode path: every exact candidate, ranked by the stable
         # (score desc, entity_id asc) tie-break — with all scores tied at
