@@ -108,6 +108,52 @@ def build_edges(links: ray.data.Dataset, hot_cap: int = 1000) -> ray.data.Datase
 
 SMALL_LABELS = 50_000_000  # rows; ~800 MB of (node,label) pairs
 
+# exact Arrow schemas of the flagship's output tables, in produced column
+# order — used only to seed a typed empty block per output (below)
+_CAND_SCORED_STRUCT = pa.struct([
+    pa.field("entity_id", pa.string()), pa.field("source", pa.string()),
+    pa.field("retrieval_score", pa.float32()), pa.field("strsim", pa.float32()),
+    pa.field("cosine", pa.float32()), pa.field("score", pa.float32()),
+    pa.field("rank", pa.int32()),
+])
+_MENTION_COLS = [
+    pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
+    pa.field("mention", pa.string()), pa.field("norm_mention", pa.string()),
+    pa.field("context_left", pa.string()), pa.field("context_right", pa.string()),
+    pa.field("offset", pa.int32()),
+]
+OUT_SCHEMAS = {
+    "mentions": pa.schema(_MENTION_COLS),
+    "scored": pa.schema(_MENTION_COLS + [
+        pa.field("cands", pa.list_(_CAND_SCORED_STRUCT)),
+        pa.field("entity_id", pa.string()), pa.field("best_score", pa.float32()),
+    ]),
+    "scored_pairs": pa.schema([
+        pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
+        pa.field("offset", pa.int32()), pa.field("entity_id", pa.string()),
+        pa.field("score", pa.float32()), pa.field("rank", pa.int32()),
+        pa.field("source", pa.string()),
+    ]),
+    "links": pa.schema([
+        pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
+        pa.field("offset", pa.int32()), pa.field("entity_id", pa.string()),
+        pa.field("score", pa.float32()), pa.field("node", pa.int64()),
+    ]),
+    "clusters": pa.schema([
+        pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
+        pa.field("offset", pa.int32()), pa.field("cluster_id", pa.string()),
+    ]),
+}
+
+
+def _ensure_typed(ds: "ray.data.Dataset", schema: pa.Schema) -> "ray.data.Dataset":
+    """Union one typed EMPTY block onto an output so a zero-row corpus
+    still yields the documented schema (the repo's typed-empty contract,
+    cf. scan._typed_empty_like). Needed because map_batches UDFs never
+    run on empty inputs, so no stage can type an all-empty pipeline; the
+    extra block is empty and costs nothing at scale."""
+    return ds.union(ray.data.from_arrow(schema.empty_table()))
+
 
 def attach_clusters(links: ray.data.Dataset, labels: ray.data.Dataset,
                     num_partitions: int = 16) -> ray.data.Dataset:
@@ -359,11 +405,14 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
     else:
         clusters = cluster_links(links, hot_cap=hot_cap, num_partitions=num_partitions)
     out = {
-        "mentions": scored.drop_columns(["cands", "entity_id", "best_score"]),
-        "scored": scored,
-        "scored_pairs": explode_scored_pairs(scored),
-        "links": links,
-        "clusters": clusters,
+        "mentions": _ensure_typed(
+            scored.drop_columns(["cands", "entity_id", "best_score"]),
+            OUT_SCHEMAS["mentions"]),
+        "scored": _ensure_typed(scored, OUT_SCHEMAS["scored"]),
+        "scored_pairs": _ensure_typed(explode_scored_pairs(scored),
+                                      OUT_SCHEMAS["scored_pairs"]),
+        "links": _ensure_typed(links, OUT_SCHEMAS["links"]),
+        "clusters": _ensure_typed(clusters, OUT_SCHEMAS["clusters"]),
     }
     if annotate == "auto":
         # pinned links → the vectorized broadcast attach (spans never
@@ -371,8 +420,17 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
         # join mode so constructing the dict costs nothing
         annotate = "broadcast" if pin in ("links", "scored") else "join"
     if annotate:
-        out["annotated_documents"] = annotate_documents(
-            docs, links, num_partitions=num_partitions, mode=annotate)
+        from .. import schemas as _s
+
+        out["annotated_documents"] = _ensure_typed(
+            annotate_documents(docs, links, num_partitions=num_partitions,
+                               mode=annotate),
+            pa.schema([
+                pa.field("doc_id", pa.string()),
+                pa.field("spans", pa.list_(_s.SPAN_STRUCT)),
+                pa.field("n_mentions", pa.int64()),
+                pa.field("n_linked", pa.int64()),
+            ]))
     return out
 
 

@@ -92,3 +92,28 @@ def test_fused_pipeline_matches_plain(corpus):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_empty_corpus_typed_outputs():
+    """Typed-empty contract on the flagship: a zero-row corpus yields all
+    six output tables with their documented schemas (map_batches UDFs
+    never run on empty inputs, so the types come from the _ensure_typed
+    seed blocks)."""
+    import ray.data
+
+    from entity_linking_ray import schemas
+    from entity_linking_ray.pipelines.link_and_cluster import (
+        OUT_SCHEMAS, run_pipeline)
+    from entity_linking_ray.testdata import derive_entities
+
+    empty = pa.table({"doc_id": pa.array([], pa.string()),
+                      "spans": pa.array([], pa.list_(schemas.SPAN_STRUCT))})
+    out = run_pipeline(ray.data.from_arrow(empty), derive_entities(),
+                       concurrency=2)
+    for name, sch in OUT_SCHEMAS.items():
+        ds = out[name]
+        assert ds.count() == 0
+        assert ds.schema() is not None and ds.schema().names == sch.names, name
+    ann = out["annotated_documents"]
+    assert ann.count() == 0
+    assert ann.schema().names == ["doc_id", "spans", "n_mentions", "n_linked"]
