@@ -877,14 +877,26 @@ def run_pipeline_fused(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
     n_mentions = links.count()
     num_partitions = max(2, min(num_partitions, n_mentions // 500_000 + 2))
     clusters = cluster_links(links, hot_cap=hot_cap, num_partitions=num_partitions)
+    from .. import schemas as _s
+
     return {
-        "mentions": scored.drop_columns(["cands", "entity_id", "best_score"]),
-        "scored": scored,
-        "scored_pairs": explode_scored_pairs(scored),
-        "links": links,
-        "clusters": clusters,
-        "annotated_documents": annotate_documents(
-            docs, links, num_partitions=num_partitions, mode="broadcast"),
+        "mentions": _ensure_typed(
+            scored.drop_columns(["cands", "entity_id", "best_score"]),
+            OUT_SCHEMAS["mentions"]),
+        "scored": _ensure_typed(scored, OUT_SCHEMAS["scored"]),
+        "scored_pairs": _ensure_typed(explode_scored_pairs(scored),
+                                      OUT_SCHEMAS["scored_pairs"]),
+        "links": _ensure_typed(links, OUT_SCHEMAS["links"]),
+        "clusters": _ensure_typed(clusters, OUT_SCHEMAS["clusters"]),
+        "annotated_documents": _ensure_typed(
+            annotate_documents(docs, links, num_partitions=num_partitions,
+                               mode="broadcast"),
+            pa.schema([
+                pa.field("doc_id", pa.string()),
+                pa.field("spans", pa.list_(_s.SPAN_STRUCT)),
+                pa.field("n_mentions", pa.int64()),
+                pa.field("n_linked", pa.int64()),
+            ])),
     }
 
 
