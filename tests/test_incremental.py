@@ -77,3 +77,27 @@ def test_incremental_relabels_only_changed(ray_session, corpus):
     if len(changed):
         assert (changed["new_label"].to_numpy()
                 < changed["old_label"].to_numpy()).all()
+
+
+def test_empty_increment_returns_archive_unchanged(ray_session, corpus):
+    """An empty increment (no new docs this batch) is a no-op: the merged
+    state and the clusters table equal the archive's."""
+    from entity_linking_ray import schemas
+    from entity_linking_ray.pipelines.link_and_cluster import (
+        run_pipeline_incremental)
+
+    docs_tbl = corpus["documents"]
+    first = run_pipeline_incremental(ray.data.from_arrow(docs_tbl),
+                                     corpus["entities"], concurrency=2)
+    prior_clusters = first["clusters"].materialize()
+    empty = pa.table({"doc_id": pa.array([], pa.string()),
+                      "spans": pa.array([], pa.list_(schemas.SPAN_STRUCT))})
+    second = run_pipeline_incremental(
+        ray.data.from_arrow(empty), corpus["entities"], concurrency=2,
+        prior_state=first["state"], prior_clusters=prior_clusters)
+    got = _canon(second["clusters"].to_pandas())
+    want = _canon(prior_clusters.to_pandas())
+    assert got.equals(want)
+    s_got = second["state"].to_pandas().sort_values("entity_id").reset_index(drop=True)
+    s_want = first["state"].to_pandas().sort_values("entity_id").reset_index(drop=True)
+    assert s_got.equals(s_want)
