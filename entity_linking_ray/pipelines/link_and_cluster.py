@@ -439,7 +439,9 @@ def run_pipeline_resumable(docs: ray.data.Dataset, entities_tbl: pa.Table, run_d
                            concurrency: int | tuple = (1, 4), hot_cap: int = 1000,
                            num_partitions: int = 16,
                            checkpoint_partitions: int = 16,
-                           input_token: str = "") -> dict[str, ray.data.Dataset]:
+                           input_token: str = "",
+                           score_weights: tuple[float, float] | None = None
+                           ) -> dict[str, ray.data.Dataset]:
     """Flagship with per-partition checkpoints: the two expensive stages
     (mentions, scored) are materialized to ``run_dir/<stage>/part-<pid>``
     with lineage JSON; a rerun with the same inputs skips completed
@@ -453,7 +455,9 @@ def run_pipeline_resumable(docs: ray.data.Dataset, entities_tbl: pa.Table, run_d
     serving stale partitions."""
     from ..stages.candidates import generate_candidates, make_kb_blob
     from ..stages.mentions import extract_mentions
-    from ..stages.pairwise import THRESHOLD, explode_scored_pairs, link_mentions, score_and_link
+    from ..stages.pairwise import (THRESHOLD, W_COS, W_STR,
+                                   explode_scored_pairs, link_mentions,
+                                   score_and_link)
     from ..state.checkpoint import (
         checkpoint_partitioned, dataset_input_token, stage_digest, table_fingerprint,
     )
@@ -461,11 +465,15 @@ def run_pipeline_resumable(docs: ray.data.Dataset, entities_tbl: pa.Table, run_d
     import os
 
     threshold = THRESHOLD if threshold is None else threshold
+    w_str, w_cos = score_weights if score_weights is not None else (W_STR, W_COS)
     aliases = [a for al in entities_tbl["aliases"].to_pylist() for a in (al or [])]
     aliases += entities_tbl["subject"].to_pylist()
     docs_token = input_token or dataset_input_token(docs)
+    # score weights MUST be in the digest: a rerun with different weights
+    # would otherwise serve the archived scored partitions (stale scores)
     digest = stage_digest(
         f"k={k}|ann_k={ann_k}|thr={threshold}"
+        f"|w={w_str},{w_cos}"
         f"|parts={checkpoint_partitions}"
         f"|ents={table_fingerprint(entities_tbl)}"
         f"|docs={docs_token}"
@@ -479,7 +487,9 @@ def run_pipeline_resumable(docs: ray.data.Dataset, entities_tbl: pa.Table, run_d
     kb_ref = ray.put(make_kb_blob(entities_tbl))
     cands = generate_candidates(mentions_ck, kb_ref, k=k, ann_k=ann_k, concurrency=concurrency)
     scored_lazy = cands.map_batches(
-        lambda b: score_and_link(b, threshold=threshold), batch_format="pyarrow")
+        lambda b: score_and_link(b, w_str=w_str, w_cos=w_cos,
+                                 threshold=threshold),
+        batch_format="pyarrow")
     scored = checkpoint_partitioned(
         scored_lazy, os.path.join(run_dir, "scored"), "doc_id", digest,
         num_partitions=checkpoint_partitions)
