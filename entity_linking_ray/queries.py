@@ -863,8 +863,10 @@ def _q_knn(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# Rows-only checks (not SQL-expressible): dedup/near-dup, fingerprints,
-# language-ID, quality ratios, multimodal features
+# Dedup / fingerprints / text-quality / multimodal family. Most carry full
+# value-hash oracles; the few outputs with no SQL-exact form (64-bit hash
+# streams, DEFLATE sizes, feature vectors) stay rows-only WITH a pinned or
+# metadata companion oracle beside them (see *_pinned / media_spans_meta).
 # ---------------------------------------------------------------------------
 
 
