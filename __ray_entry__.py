@@ -75,7 +75,7 @@ def _q_er_clusters(sf_dir: str):
     return out["clusters"]
 
 
-def _run_exact_pipeline(sf_dir: str):
+def _run_exact_pipeline(sf_dir: str, pin: str | None = "links"):
     """The flagship under its deterministic SQL-expressible configuration:
     exact-alias channel only (ann_k=0), strsim-only scoring
     (score_weights=(1,0) — the swap-protocol hook), salting off. Every
@@ -89,7 +89,8 @@ def _run_exact_pipeline(sf_dir: str):
 
     return run_pipeline(
         derive_documents(sf_dir), derive_entities(), concurrency=2,
-        ann_k=0, score_weights=(1.0, 0.0), threshold=0.9, hot_cap=1 << 40)
+        ann_k=0, score_weights=(1.0, 0.0), threshold=0.9, hot_cap=1 << 40,
+        pin=pin)
 
 
 def _q_er_links_exact(sf_dir: str):
@@ -111,8 +112,10 @@ def _q_er_mentions_exact(sf_dir: str):
     """Value-hash-oracled flagship MENTIONS table: surface, normalized
     surface, char offsets AND the ±120-char context windows (the M5
     context builder) checked against a DuckDB reconstruction of the
-    span chunking."""
-    return _run_exact_pipeline(sf_dir)["mentions"]
+    span chunking. pin=None: this query consumes only the front's
+    mentions projection, so the default links materialization would be a
+    wasted second front pass."""
+    return _run_exact_pipeline(sf_dir, pin=None)["mentions"]
 
 
 def _q_er_annotated_exact(sf_dir: str):
@@ -128,8 +131,9 @@ def _q_er_scored_pairs_exact(sf_dir: str):
     """Value-hash-oracled flagship SCORED_PAIRS (the nested-candidates
     explode, stages/pairwise.explode_scored_pairs): every exact candidate
     with its tie-break rank, checked against the full alias→entity map
-    and a per-mention row_number in DuckDB."""
-    return _run_exact_pipeline(sf_dir)["scored_pairs"]
+    and a per-mention row_number in DuckDB (pin=None — single front
+    pass, as for er_mentions_exact)."""
+    return _run_exact_pipeline(sf_dir, pin=None)["scored_pairs"]
 
 
 def _q_er_clusters_incremental_exact(sf_dir: str):
