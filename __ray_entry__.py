@@ -75,7 +75,8 @@ def _q_er_clusters(sf_dir: str):
     return out["clusters"]
 
 
-def _run_exact_pipeline(sf_dir: str, pin: str | None = "links"):
+def _run_exact_pipeline(sf_dir: str, pin: str | None = "links",
+                        annotate: str | None = None):
     """The flagship under its deterministic SQL-expressible configuration:
     exact-alias channel only (ann_k=0), strsim-only scoring
     (score_weights=(1,0) — the swap-protocol hook), salting off. Every
@@ -87,10 +88,13 @@ def _run_exact_pipeline(sf_dir: str, pin: str | None = "links"):
     from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
     from entity_linking_ray.testdata import derive_documents, derive_entities
 
+    # annotate=None by default: the broadcast annotate aggregation runs
+    # EAGERLY at pipeline-construction time, so queries that never consume
+    # annotated_documents should not pay for it
     return run_pipeline(
         derive_documents(sf_dir), derive_entities(), concurrency=2,
         ann_k=0, score_weights=(1.0, 0.0), threshold=0.9, hot_cap=1 << 40,
-        pin=pin)
+        pin=pin, annotate=annotate)
 
 
 def _q_er_links_exact(sf_dir: str):
@@ -123,7 +127,7 @@ def _q_er_annotated_exact(sf_dir: str):
     mention/link counts from the broadcast-searchsorted attach (the
     spans column — byte-identical pass-through, property-tested — is
     projected off because list<struct> has no canonical SQL form)."""
-    out = _run_exact_pipeline(sf_dir)["annotated_documents"]
+    out = _run_exact_pipeline(sf_dir, annotate="broadcast")["annotated_documents"]
     return out.select_columns(["doc_id", "n_mentions", "n_linked"])
 
 
@@ -136,48 +140,12 @@ def _q_er_scored_pairs_exact(sf_dir: str):
     return _run_exact_pipeline(sf_dir, pin=None)["scored_pairs"]
 
 
-def _q_er_clusters_incremental_exact(sf_dir: str):
-    """The INCREMENTAL ingestion path under the deterministic exact-channel
-    configuration: archive/increment halves split by doc_id hash, the
-    archive contributing only its per-entity monoid state + clusters table.
-    Oracled with the SAME DuckDB SQL as er_clusters_exact — a value-hash
-    proof that incremental ≡ full-run clustering (the pytest equivalence
-    gate, now driver-checked)."""
-    import pyarrow as pa
-
-    from entity_linking_ray.functions.hashing import hash_strings
-    from entity_linking_ray.pipelines.link_and_cluster import (
-        run_pipeline_incremental)
-    from entity_linking_ray.testdata import derive_documents, derive_entities
-
-    docs = derive_documents(sf_dir)
-
-    def half(par: int):
-        def f(b: pa.Table) -> pa.Table:
-            h = hash_strings(b["doc_id"].to_pylist()) % 2
-            return b.filter(pa.array(h == par))
-        return f
-
-    ents = derive_entities()
-    kw = dict(concurrency=2, ann_k=0, score_weights=(1.0, 0.0),
-              threshold=0.9, hot_cap=1 << 40)
-    first = run_pipeline_incremental(
-        docs.map_batches(half(0), batch_format="pyarrow"), ents, **kw)
-    second = run_pipeline_incremental(
-        docs.map_batches(half(1), batch_format="pyarrow"), ents,
-        prior_state=first["state"],
-        prior_clusters=first["clusters"].materialize(), **kw)
-    return second["clusters"]
-
-
-def _q_er_clusters_incremental(sf_dir: str):
-    """Flagship clusters produced INCREMENTALLY: the corpus splits into
-    an archive batch and an increment (deterministic doc_id-hash
-    halves); the archive contributes only its KB-sized per-entity state
-    and clusters table, the front runs on the increment alone
-    (pipelines/link_and_cluster.run_pipeline_incremental). Rows-only
-    here; EQUALITY with the full run is pinned by
-    tests/test_incremental.py."""
+def _run_incremental_halves(sf_dir: str, **kw):
+    """Shared scaffold for the incremental battery queries: deterministic
+    doc_id-hash halves; the archive (half 0) contributes only its
+    per-entity monoid state + clusters table, the front runs on the
+    increment (half 1) alone. ``kw`` forwards the channel configuration
+    to both runs (run_pipeline_incremental)."""
     import pyarrow as pa
 
     from entity_linking_ray.functions.hashing import hash_strings
@@ -196,12 +164,29 @@ def _q_er_clusters_incremental(sf_dir: str):
     ents = derive_entities()
     first = run_pipeline_incremental(
         docs.map_batches(half(0), batch_format="pyarrow"), ents,
-        concurrency=2)
+        concurrency=2, **kw)
     second = run_pipeline_incremental(
         docs.map_batches(half(1), batch_format="pyarrow"), ents,
         concurrency=2, prior_state=first["state"],
-        prior_clusters=first["clusters"].materialize())
+        prior_clusters=first["clusters"].materialize(), **kw)
     return second["clusters"]
+
+
+def _q_er_clusters_incremental_exact(sf_dir: str):
+    """The INCREMENTAL ingestion path under the deterministic exact-channel
+    configuration. Oracled with the SAME DuckDB SQL as er_clusters_exact —
+    a value-hash proof that incremental ≡ full-run clustering (the pytest
+    equivalence gate, now driver-checked)."""
+    return _run_incremental_halves(
+        sf_dir, ann_k=0, score_weights=(1.0, 0.0), threshold=0.9,
+        hot_cap=1 << 40)
+
+
+def _q_er_clusters_incremental(sf_dir: str):
+    """Flagship clusters produced INCREMENTALLY under the DEFAULT scorer
+    (rows-only; the _exact twin is the value-hash check, and equality
+    with the full run is pinned by tests/test_incremental.py)."""
+    return _run_incremental_halves(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -16,9 +16,9 @@ checkable end-to-end under the driver protocol:
   CTEs so each 64-bit multiply appears once (inline nesting would blow
   the expression tree up exponentially).
 
-Bit-parity of all three primitives with functions/hashing.py is pinned in
-tests/test_queries.py (the er_links_exact / er_clusters_exact oracles fail
-on any drift).
+Bit-parity of the three primitives with functions/hashing.py is pinned in
+isolation in tests/test_oracles.py, and end-to-end by the er_*_exact
+oracle checks in tests/test_queries.py (any drift fails the value-hash).
 """
 
 from __future__ import annotations

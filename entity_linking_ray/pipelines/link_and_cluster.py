@@ -108,41 +108,18 @@ def build_edges(links: ray.data.Dataset, hot_cap: int = 1000) -> ray.data.Datase
 
 SMALL_LABELS = 50_000_000  # rows; ~800 MB of (node,label) pairs
 
-# exact Arrow schemas of the flagship's output tables, in produced column
-# order — used only to seed a typed empty block per output (below)
-_CAND_SCORED_STRUCT = pa.struct([
-    pa.field("entity_id", pa.string()), pa.field("source", pa.string()),
-    pa.field("retrieval_score", pa.float32()), pa.field("strsim", pa.float32()),
-    pa.field("cosine", pa.float32()), pa.field("score", pa.float32()),
-    pa.field("rank", pa.int32()),
-])
-_MENTION_COLS = [
-    pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
-    pa.field("mention", pa.string()), pa.field("norm_mention", pa.string()),
-    pa.field("context_left", pa.string()), pa.field("context_right", pa.string()),
-    pa.field("offset", pa.int32()),
-]
+# the flagship's output-table schemas, in produced column order — the
+# canonical definitions live in schemas.py; used here to seed one typed
+# empty block per output (below)
+from .. import schemas as _schemas  # noqa: E402  (after module constants)
+
 OUT_SCHEMAS = {
-    "mentions": pa.schema(_MENTION_COLS),
-    "scored": pa.schema(_MENTION_COLS + [
-        pa.field("cands", pa.list_(_CAND_SCORED_STRUCT)),
-        pa.field("entity_id", pa.string()), pa.field("best_score", pa.float32()),
-    ]),
-    "scored_pairs": pa.schema([
-        pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
-        pa.field("offset", pa.int32()), pa.field("entity_id", pa.string()),
-        pa.field("score", pa.float32()), pa.field("rank", pa.int32()),
-        pa.field("source", pa.string()),
-    ]),
-    "links": pa.schema([
-        pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
-        pa.field("offset", pa.int32()), pa.field("entity_id", pa.string()),
-        pa.field("score", pa.float32()), pa.field("node", pa.int64()),
-    ]),
-    "clusters": pa.schema([
-        pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
-        pa.field("offset", pa.int32()), pa.field("cluster_id", pa.string()),
-    ]),
+    "mentions": _schemas.MENTIONS,
+    "scored": _schemas.SCORED,
+    "scored_pairs": _schemas.SCORED_PAIRS,
+    "links": _schemas.LINKS,
+    "clusters": _schemas.CLUSTERS,
+    "annotated_documents": _schemas.ANNOTATED_DOCUMENTS,
 }
 
 
@@ -420,17 +397,10 @@ def run_pipeline(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
         # join mode so constructing the dict costs nothing
         annotate = "broadcast" if pin in ("links", "scored") else "join"
     if annotate:
-        from .. import schemas as _s
-
         out["annotated_documents"] = _ensure_typed(
             annotate_documents(docs, links, num_partitions=num_partitions,
                                mode=annotate),
-            pa.schema([
-                pa.field("doc_id", pa.string()),
-                pa.field("spans", pa.list_(_s.SPAN_STRUCT)),
-                pa.field("n_mentions", pa.int64()),
-                pa.field("n_linked", pa.int64()),
-            ]))
+            OUT_SCHEMAS["annotated_documents"])
     return out
 
 
@@ -499,15 +469,18 @@ def run_pipeline_resumable(docs: ray.data.Dataset, entities_tbl: pa.Table, run_d
     links = link_mentions(scored)
     clusters = cluster_links(links, hot_cap=hot_cap, num_partitions=num_partitions)
     return {
-        "mentions": mentions_ck,
-        "scored": scored,
-        "scored_pairs": explode_scored_pairs(scored),
-        "links": links,
-        "clusters": clusters,
+        "mentions": _ensure_typed(mentions_ck, OUT_SCHEMAS["mentions"]),
+        "scored": _ensure_typed(scored, OUT_SCHEMAS["scored"]),
+        "scored_pairs": _ensure_typed(explode_scored_pairs(scored),
+                                      OUT_SCHEMAS["scored_pairs"]),
+        "links": _ensure_typed(links, OUT_SCHEMAS["links"]),
+        "clusters": _ensure_typed(clusters, OUT_SCHEMAS["clusters"]),
         # scored is checkpoint-backed (parquet), so links re-reads are
         # cheap and the broadcast attach is safe to build here
-        "annotated_documents": annotate_documents(
-            docs, links, num_partitions=num_partitions, mode="broadcast"),
+        "annotated_documents": _ensure_typed(
+            annotate_documents(docs, links, num_partitions=num_partitions,
+                               mode="broadcast"),
+            OUT_SCHEMAS["annotated_documents"]),
     }
 
 
@@ -843,26 +816,31 @@ class FusedLinkStage:
     uses (``run_pipeline(fused=True)``)."""
 
     def __init__(self, alias_ref, kb_ref, k: int = 10, ann_k: int = 5,
-                 threshold: float | None = None, stopwords=None):
+                 threshold: float | None = None, stopwords=None,
+                 score_weights: "tuple[float, float] | None" = None):
         from ..stages.candidates import CandidateGenerator
         from ..stages.mentions import DEFAULT_STOPWORDS, MentionExtractor
-        from ..stages.pairwise import THRESHOLD
+        from ..stages.pairwise import THRESHOLD, W_COS, W_STR
 
         self.extract = MentionExtractor(
             alias_ref, stopwords=stopwords or DEFAULT_STOPWORDS)
         self.gen = CandidateGenerator(kb_ref, k=k, ann_k=ann_k)
         self.threshold = THRESHOLD if threshold is None else threshold
+        self.w_str, self.w_cos = (score_weights if score_weights is not None
+                                  else (W_STR, W_COS))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mentions = self.extract(batch)
         cands = self.gen(mentions)
-        return score_and_link(cands, threshold=self.threshold)
+        return score_and_link(cands, w_str=self.w_str, w_cos=self.w_cos,
+                              threshold=self.threshold)
 
 
 def run_pipeline_fused(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
                        k: int = 10, ann_k: int = 5, threshold: float | None = None,
                        concurrency: int | tuple = 4, hot_cap: int = 1000,
                        num_partitions: int = 16,
+                       score_weights: tuple[float, float] | None = None,
                        batch_size: int = 256) -> dict[str, ray.data.Dataset]:
     """run_pipeline with the front three stages fused into one actor pool.
     Identical outputs (the fused stage applies the same callables)."""
@@ -876,7 +854,8 @@ def run_pipeline_fused(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
     scored = docs.map_batches(
         FusedLinkStage,
         fn_constructor_kwargs={"alias_ref": alias_ref, "kb_ref": kb_ref,
-                               "k": k, "ann_k": ann_k, "threshold": threshold},
+                               "k": k, "ann_k": ann_k, "threshold": threshold,
+                               "score_weights": score_weights},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -887,8 +866,6 @@ def run_pipeline_fused(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
     n_mentions = links.count()
     num_partitions = max(2, min(num_partitions, n_mentions // 500_000 + 2))
     clusters = cluster_links(links, hot_cap=hot_cap, num_partitions=num_partitions)
-    from .. import schemas as _s
-
     return {
         "mentions": _ensure_typed(
             scored.drop_columns(["cands", "entity_id", "best_score"]),
@@ -901,12 +878,7 @@ def run_pipeline_fused(docs: ray.data.Dataset, entities_tbl: pa.Table, *,
         "annotated_documents": _ensure_typed(
             annotate_documents(docs, links, num_partitions=num_partitions,
                                mode="broadcast"),
-            pa.schema([
-                pa.field("doc_id", pa.string()),
-                pa.field("spans", pa.list_(_s.SPAN_STRUCT)),
-                pa.field("n_mentions", pa.int64()),
-                pa.field("n_linked", pa.int64()),
-            ])),
+            OUT_SCHEMAS["annotated_documents"]),
     }
 
 

@@ -3864,7 +3864,7 @@ def _q_doc_compression_ratio(sf_dir: str):
     "doc_compression_pinned",
     """
     SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
-           length((SELECT d.text FROM documents d WHERE d.doc_id = v.doc_id))
+           strlen((SELECT d.text FROM documents d WHERE d.doc_id = v.doc_id))
                AS raw_len,
            CAST(v.compressed_len AS BIGINT) AS compressed_len,
            CAST(v.ratio_pct AS BIGINT) AS ratio_pct,

@@ -87,13 +87,38 @@ CANDIDATES = pa.schema(
     ]
 )
 
+# nested per-mention candidate struct AFTER scoring (pairwise.score_and_link
+# appends score + rank to the retrieval-time CAND fields)
+CAND_SCORED_STRUCT = pa.struct(
+    [
+        pa.field("entity_id", pa.string()),
+        pa.field("source", pa.string()),
+        pa.field("retrieval_score", pa.float32()),
+        pa.field("strsim", pa.float32()),
+        pa.field("cosine", pa.float32()),
+        pa.field("score", pa.float32()),
+        pa.field("rank", pa.int32()),
+    ]
+)
+
+SCORED = pa.schema(
+    list(MENTIONS)
+    + [
+        pa.field("cands", pa.list_(CAND_SCORED_STRUCT)),
+        pa.field("entity_id", pa.string()),  # best link or "NIL"
+        pa.field("best_score", pa.float32()),
+    ]
+)
+
 SCORED_PAIRS = pa.schema(
     [
         pa.field("doc_id", pa.string()),
         pa.field("span_idx", pa.int32()),
+        pa.field("offset", pa.int32()),
         pa.field("entity_id", pa.string()),
         pa.field("score", pa.float32()),
         pa.field("rank", pa.int32()),
+        pa.field("source", pa.string()),
     ]
 )
 
@@ -101,8 +126,10 @@ LINKS = pa.schema(
     [
         pa.field("doc_id", pa.string()),
         pa.field("span_idx", pa.int32()),
+        pa.field("offset", pa.int32()),
         pa.field("entity_id", pa.string()),  # "NIL" when no accepted candidate
         pa.field("score", pa.float32()),
+        pa.field("node", pa.int64()),        # 63-bit mention node hash
     ]
 )
 
@@ -110,7 +137,17 @@ CLUSTERS = pa.schema(
     [
         pa.field("doc_id", pa.string()),
         pa.field("span_idx", pa.int32()),
+        pa.field("offset", pa.int32()),
         pa.field("cluster_id", pa.string()),
+    ]
+)
+
+ANNOTATED_DOCUMENTS = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(SPAN_STRUCT)),  # byte-identical pass-through
+        pa.field("n_mentions", pa.int64()),
+        pa.field("n_linked", pa.int64()),
     ]
 )
 

@@ -114,6 +114,3 @@ def test_empty_corpus_typed_outputs():
         ds = out[name]
         assert ds.count() == 0
         assert ds.schema() is not None and ds.schema().names == sch.names, name
-    ann = out["annotated_documents"]
-    assert ann.count() == 0
-    assert ann.schema().names == ["doc_id", "spans", "n_mentions", "n_linked"]
