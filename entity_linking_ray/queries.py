@@ -1041,6 +1041,39 @@ def _q_media(sf_dir: str):
     return extract_media_features(derive_documents(sf_dir), concurrency=2)
 
 
+@register(
+    "doc_bigram_novelty",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    big AS (
+      SELECT DISTINCT doc_id, bg FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(l)),
+                      j -> l[j] || ' ' || l[j + 1])) AS bg
+        FROM docs WHERE len(l) >= 2)
+    ),
+    dfs AS (SELECT bg, count(*) AS df FROM big GROUP BY bg)
+    SELECT b.doc_id,
+           cast(count(*) AS bigint) AS n_bigrams,
+           cast(sum(d.df) AS bigint) AS df_sum,
+           cast(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS unique_bigrams
+    FROM big b JOIN dfs d USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def _q_doc_bigram_novelty(sf_dir: str):
+    """CCNet-style rare-n-gram novelty: per doc, the distinct-bigram
+    count, the summed corpus document-frequency of those bigrams and the
+    count unique to the doc (stages/tfidf.bigram_novelty — two-pass
+    explode → bucketed df → one hash join, all-integer so the oracle is
+    value-hash exact)."""
+    from .stages.tfidf import bigram_novelty
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_novelty(docs)
+
+
 def _split_sql() -> str:
     from .oracles import MASK63, fnv1a_sql
 

@@ -99,3 +99,71 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     scored = joined.map_batches(score, batch_format="pyarrow")
     return topn_per_group(scored, key_col=id_col, order_col="score",
                           id_col="term", n=k, keep_cols=("tf", "df"))
+
+
+def bigram_novelty(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                   col: str = "text",
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """→ (id, n_bigrams, df_sum, unique_bigrams) — the CCNet-style rare-
+    n-gram novelty signal: how ordinary a document's word bigrams are
+    across the corpus. ``n_bigrams`` = the doc's DISTINCT bigram count,
+    ``df_sum`` = Σ corpus document-frequency over those bigrams (low ⇒
+    novel/noisy text, high ⇒ boilerplate), ``unique_bigrams`` = how many
+    appear in no other document. All-integer arithmetic — exact under
+    the DuckDB value-hash oracle (no float log surface).
+
+    Same two-pass broadcastless shape as :func:`tfidf_top_terms`:
+    in-batch vectorized bigram explode + dedup, bucketed Arrow groupby
+    for the global df, ONE hash join back on the bigram, then a
+    combiner-collapsed per-doc sum. Docs with fewer than two tokens have
+    no bigrams and are absent from the output (inner semantics, mirrored
+    by the oracle SQL)."""
+    from ray.data.aggregate import Sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[col], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(b), dtype=np.int64),
+                        lens.astype(np.int64))
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return pa.table({id_col: pa.array([], b[id_col].type),
+                             "bg": pa.array([], pa.string())})
+        left = flat.slice(0, n - 1)
+        right = flat.slice(1, n - 1)
+        bg = pc.binary_join_element_wise(left, right, " ")
+        same_doc = rep[:-1] == rep[1:]
+        t = pa.table({id_col: b[id_col].take(pa.array(rep[:-1][same_doc])),
+                      "bg": pa.array(bg.to_numpy(zero_copy_only=False)
+                                     [same_doc], pa.string())})
+        # in-batch distinct (docs are row-local, so this IS per-doc distinct)
+        return (t.group_by([id_col, "bg"]).aggregate([])
+                .select([id_col, "bg"]))
+
+    grams = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    df = (document_frequencies(grams.rename_columns({"bg": "term"}))
+          .rename_columns({"term": "bg"})
+          .repartition(num_partitions))
+    joined = grams.join(df, "inner", num_partitions,
+                        on=("bg",), right_on=("bg",))
+
+    def part(b: pa.Table) -> pa.Table:
+        dfv = b["df"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            id_col: b[id_col],
+            "n_bigrams": pa.array(np.ones(len(b), np.int64)),
+            "df_sum": b["df"],
+            "unique_bigrams": pa.array((dfv == 1).astype(np.int64)),
+        })
+        return (t.group_by(id_col).aggregate(
+            [("n_bigrams", "sum"), ("df_sum", "sum"),
+             ("unique_bigrams", "sum")])
+            .rename_columns([id_col, "n_bigrams", "df_sum",
+                             "unique_bigrams"]))
+
+    return (joined.map_batches(part, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                       Sum("df_sum", alias_name="df_sum"),
+                       Sum("unique_bigrams", alias_name="unique_bigrams")))
