@@ -1074,6 +1074,55 @@ def _q_doc_bigram_novelty(sf_dir: str):
     return bigram_novelty(docs)
 
 
+@register(
+    "docs_containment_pairs",
+    """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(l, 1, len(l) // 2), ' ') AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      WHERE doc_id < 10 AND len(l) // 2 >= 8
+    ),
+    elig AS (
+      SELECT doc_id, text FROM aug
+      WHERE len(string_split(text, ' ')) >= 8
+    )
+    SELECT a.doc_id AS id_contained, b.doc_id AS id_container
+    FROM elig a JOIN elig b ON a.doc_id <> b.doc_id
+    WHERE (' ' || b.text || ' ') LIKE ('% ' || a.text || ' %')
+    """,
+)
+def _q_docs_containment(sf_dir: str):
+    """Token-sequence containment dedup (stages/dedup.containment_pairs):
+    the testdata has no natural containment pairs, so ten truncated
+    copies are planted (doc_id < 10 re-emitted as id+1e6 with the first
+    half of their tokens — the same augmentation expressed in the oracle,
+    which brute-forces ALL pairs). The distributed path must find every
+    pair, planted or chance, via the min-window-hash probe — candidate
+    recall is exact by the winnowing argument, so the value-hash match
+    proves both the candidate and verify stages."""
+    import pyarrow as pa
+
+    from .stages.dedup import containment_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids, txts = [], []
+        for did, tx in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ids.append(did); txts.append(tx)
+            toks = tx.split(" ") if tx else []
+            if did < 10 and len(toks) // 2 >= 8:
+                ids.append(did + 1_000_000)
+                txts.append(" ".join(toks[:len(toks) // 2]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(txts, pa.string())})
+
+    return containment_pairs(docs.map_batches(aug, batch_format="pyarrow"))
+
+
 def _split_sql() -> str:
     from .oracles import MASK63, fnv1a_sql
 

@@ -1323,3 +1323,113 @@ def _best(df: pd.DataFrame, id_col: str, rank_col: str,
     cnt = df.groupby("content_hash", sort=False)[out_count].sum()
     best[out_count] = cnt.loc[best["content_hash"]].to_numpy(np.int64)
     return best[["content_hash", id_col, rank_col, out_count]]
+
+
+def _window_hashes_u64(toks: list, w: int) -> np.ndarray:
+    """All w-token window hashes of a token list (uint64, order-sensitive
+    polynomial over per-token FNV hashes — w vectorized mult-adds)."""
+    from ..functions.hashing import fnv1a_64
+
+    ht = np.array([fnv1a_64(t.encode("utf-8")) for t in toks],
+                  dtype=np.uint64)
+    n = len(ht)
+    m = n - w + 1
+    base = np.uint64(1099511628211)
+    acc = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(w):
+            acc = acc * base + ht[j:j + m]
+    return acc
+
+
+def containment_pairs(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
+                      col: str = "text", w: int = 8,
+                      num_partitions: int = 8,
+                      broadcast_texts_cap: int = 200_000_000
+                      ) -> "ray.data.Dataset":
+    """Token-sequence containment dedup → (id_contained, id_container):
+    document A whose full token sequence appears verbatim inside B — the
+    truncation/quotation near-dup family beside MinHash (partial overlap)
+    and exact dedup (full equality).
+
+    Candidate recall is EXACT by the winnowing argument: if A's tokens are
+    a contiguous subsequence of B's, every w-token window of A is a window
+    of B, so in particular A's MINIMUM window hash appears among B's
+    window hashes. The dataflow ships one probe row (min window hash) per
+    doc against the full window-hash table — an equi-join on an int64 key,
+    never all-pairs — then verifies each candidate with the exact
+    token-aligned substring check. Docs with fewer than ``w`` tokens are
+    out of scope (a shorter probe window would explode candidate
+    multiplicity; the oracle SQL mirrors the same eligibility rule).
+
+    Verify joins candidate pairs against a broadcast id→text map (cap
+    ``broadcast_texts_cap`` bytes — beyond it, swap the broadcast for the
+    repo's standard two-hash-join text fetch as in dedup_new_against_corpus)."""
+    def windows(b: pa.Table) -> pa.Table:
+        ids_out, hs_out, probe = [], [], []
+        for did, text in zip(b[id_col].to_pylist(), b[col].to_pylist()):
+            toks = text.split(" ") if text else []
+            if len(toks) < w:
+                continue
+            hw = _window_hashes_u64(toks, w)
+            hi = (hw & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            uniq = np.unique(hi)
+            ids_out.append(np.full(len(uniq), did, dtype=np.int64))
+            hs_out.append(uniq)
+            probe.append(int(hi.min()))
+        if not ids_out:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "is_probe": pa.array([], pa.bool_())})
+        ids_np = np.concatenate(ids_out)
+        hs_np = np.concatenate(hs_out)
+        prb = np.zeros(len(hs_np), dtype=bool)
+        # the probe hash is each doc's min window hash — mark one row per doc
+        off = 0
+        for k, arr in enumerate(hs_out):
+            prb[off + int(np.searchsorted(arr, probe[k]))] = True
+            off += len(arr)
+        return pa.table({"id": pa.array(ids_np), "h": pa.array(hs_np),
+                         "is_probe": pa.array(prb)})
+
+    win = docs.map_batches(windows, batch_format="pyarrow").materialize()
+    probes = (win.filter(expr="is_probe == True")
+              .select_columns(["id", "h"])
+              .rename_columns({"id": "id_contained"}))
+    table = (win.select_columns(["id", "h"])
+             .rename_columns({"id": "id_container"}))
+    cand = probes.join(table, "inner", num_partitions,
+                       on=("h",), right_on=("h",))
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        t = b.select(["id_contained", "id_container"])
+        t = t.filter(pc.not_equal(t["id_contained"], t["id_container"]))
+        return t.group_by(["id_contained", "id_container"]).aggregate([])
+
+    cand = (cand.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby(["id_contained", "id_container"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+
+    texts: dict[int, str] = {}
+    total = 0
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        for did, tx in zip(b[id_col].to_pylist(), b[col].to_pylist()):
+            texts[int(did)] = tx
+            total += len(tx)
+    if total > broadcast_texts_cap:  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "corpus text exceeds the broadcast cap; wire the two-hash-join "
+            "text fetch (see dedup_new_against_corpus) for this size")
+    texts_ref = ray.put(texts)
+
+    def verify(b: pa.Table) -> pa.Table:
+        tmap = ray.get(texts_ref)
+        keep = []
+        for a_, b__ in zip(b["id_contained"].to_pylist(),
+                           b["id_container"].to_pylist()):
+            ta, tb = tmap.get(int(a_)), tmap.get(int(b__))
+            keep.append(ta is not None and tb is not None
+                        and (" " + ta + " ") in (" " + tb + " "))
+        return b.filter(pa.array(keep))
+
+    return cand.map_batches(verify, batch_format="pyarrow")
