@@ -371,3 +371,29 @@ def test_survivorship_argmax_and_tiebreak(ray_session):
     # x: max n_chars 9 tie -> doc 2; y: tie at 4 -> doc 4; z singleton
     assert [tuple(r) for r in out.itertuples(index=False)] == [
         (2, 9, 3), (4, 4, 2), (6, 7, 1)]
+
+
+def test_containment_pairs_semantics():
+    """Planted containment, bidirectional equality, sub-window exclusion,
+    and no false positives."""
+    from entity_linking_ray.stages.dedup import containment_pairs
+
+    base = "the fast key order sort table scan part small join batch dup"
+    rows = {
+        1: base + " group row data slow",          # container
+        2: base,                                    # contained in 1 (prefix)
+        3: "value agg column big " + base,          # also contains 2 (suffix)
+        4: "filter line value agg column big small join batch dup group row",
+        5: base,                                    # identical to 2 → both ways
+        6: "short text only",                       # < w tokens: out of scope
+    }
+    t = pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                  "text": pa.array(list(rows.values()), pa.string())})
+    out = containment_pairs(ray.data.from_arrow(t)).to_pandas()
+    got = {(r.id_contained, r.id_container) for r in out.itertuples()}
+    assert (2, 1) in got and (2, 3) in got
+    assert (5, 1) in got and (5, 3) in got
+    assert (2, 5) in got and (5, 2) in got          # identical texts: both ways
+    assert all(a != b for a, b in got)
+    assert not any(6 in p for p in got)             # sub-window doc excluded
+    assert (4, 1) not in got and (1, 4) not in got  # unrelated: no false pair
