@@ -150,3 +150,39 @@ def b_cubed(clusters_df: pd.DataFrame, gold_df: pd.DataFrame) -> dict:
           if precision + recall else 0.0)
     return {"precision": precision, "recall": recall, "f1": f1,
             "n_mentions": int(n)}
+
+
+def adjusted_rand_index(clusters_df: pd.DataFrame,
+                        gold_df: pd.DataFrame) -> dict:
+    """Adjusted Rand Index (Hubert & Arabie 1985) — chance-corrected pair
+    agreement, the third standard ER cluster metric beside pairwise F1
+    and B³ (ARI is symmetric and rewards correct NON-links too). Same
+    input/NIL/singleton conventions as :func:`b_cubed`; all pair counts
+    are exact integer combinatorics (only the final ratio is float)."""
+    g = gold_df.merge(clusters_df, on=["doc_id", "span_idx", "offset"],
+                      how="left").reset_index(drop=True)
+    g["cluster_id"] = g["cluster_id"].fillna(
+        "u:" + g["doc_id"].astype(str) + ":" + g["span_idx"].astype(str)
+        + ":" + g["offset"].astype(str))
+    gold_cls = np.where(
+        g["entity_id"].to_numpy() == "NIL",
+        np.char.add("nil:", np.arange(len(g)).astype(str)),
+        g["entity_id"].astype(str).to_numpy())
+    pred = g["cluster_id"].astype(str).to_numpy()
+
+    def pairs2(sizes: np.ndarray) -> int:
+        s = sizes.astype(np.int64)
+        return int((s * (s - 1) // 2).sum())
+
+    df = pd.DataFrame({"g": gold_cls, "p": pred})
+    sum_ij = pairs2(df.groupby(["g", "p"]).size().to_numpy())
+    sum_g = pairs2(df.groupby("g").size().to_numpy())
+    sum_p = pairs2(df.groupby("p").size().to_numpy())
+    n_pairs = len(df) * (len(df) - 1) // 2
+    if n_pairs == 0:
+        return {"ari": 1.0, "n_mentions": int(len(df))}
+    expected = sum_g * sum_p / n_pairs
+    max_index = (sum_g + sum_p) / 2.0
+    denom = max_index - expected
+    ari = 1.0 if denom == 0 else float((sum_ij - expected) / denom)
+    return {"ari": ari, "n_mentions": int(len(df))}

@@ -89,3 +89,37 @@ def test_benchmark_report_zero_mention_dataset(tmp_path, ray_session):
     row = rep.set_index("dataset").loc["none"]
     assert row["support"] == 0 and row["recall_at_gen"] == 0.0
     assert rep.set_index("dataset").loc["overall"]["support"] == 1
+
+
+def test_adjusted_rand_index():
+    import pandas as pd
+
+    from entity_linking_ray.pipelines.eval import adjusted_rand_index
+
+    gold = pd.DataFrame({
+        "doc_id": ["d"] * 6, "span_idx": range(6), "offset": range(6),
+        "mention": list("abcdef"),
+        "entity_id": ["E1", "E1", "E1", "E2", "E2", "NIL"],
+    })
+    perfect = pd.DataFrame({
+        "doc_id": ["d"] * 6, "span_idx": range(6), "offset": range(6),
+        "cluster_id": ["c1", "c1", "c1", "c2", "c2", "c3"],
+    })
+    assert adjusted_rand_index(perfect, gold)["ari"] == 1.0
+    # one mention moved across clusters: hand-computed ARI
+    # contingency: g1={c1:2,c2:1}, g2={c2:2}, nil={c3:1}
+    moved = perfect.copy()
+    moved.loc[2, "cluster_id"] = "c2"
+    r = adjusted_rand_index(moved, gold)
+    sum_ij = 1 + 0 + 1 + 0  # C(2,2 rows): c(2,2)=1 for (g1,c1); (g2,c2)=1
+    sum_g, sum_p = (3 + 1 + 0), (1 + 3 + 0)  # C(3,2)+C(2,2)... computed below
+    import math
+    sum_g = math.comb(3, 2) + math.comb(2, 2) + math.comb(1, 2)
+    sum_p = math.comb(2, 2) + math.comb(3, 2) + math.comb(1, 2)
+    n_pairs = math.comb(6, 2)
+    exp = sum_g * sum_p / n_pairs
+    want = (sum_ij - exp) / ((sum_g + sum_p) / 2 - exp)
+    assert abs(r["ari"] - want) < 1e-12
+    # everything merged into one cluster ≠ gold: ARI well below 1
+    allone = perfect.copy(); allone["cluster_id"] = "x"
+    assert adjusted_rand_index(allone, gold)["ari"] < 0.5

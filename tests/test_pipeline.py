@@ -114,3 +114,9 @@ def test_empty_corpus_typed_outputs():
         ds = out[name]
         assert ds.count() == 0
         assert ds.schema() is not None and ds.schema().names == sch.names, name
+
+
+def test_ari_gate(corpus, pipeline_output):
+    r = ev.adjusted_rand_index(pipeline_output["clusters"],
+                               corpus["mentions_gold"].to_pandas())
+    assert r["ari"] == 1.0, r
