@@ -65,7 +65,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="join/shuffle width (0 = derive from cluster size)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--hot-cap", type=int, default=50_000)
+    ap.add_argument("--ann-k", type=int, default=5,
+                    help="dense-backfill width (0 = exact channel only)")
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="link-acceptance score threshold")
+    ap.add_argument("--score-weights", default=None, metavar="WSTR,WCOS",
+                    help="scorer weights, e.g. '1.0,0.0' for the "
+                         "deterministic strsim-only configuration")
+    ap.add_argument("--lexical-channel", action="store_true",
+                    help="enable the BM25-style third candidate source")
+    ap.add_argument("--oov-channel", action="store_true",
+                    help="enable the statistical OOV mention proposer")
+    ap.add_argument("--near-dup-edges", action="store_true",
+                    help="add MinHash-LSH mention-mention edges (general CC)")
+    ap.add_argument("--sn-edges", action="store_true",
+                    help="add sorted-neighborhood mention-mention edges")
     args = ap.parse_args(argv)
+    weights = (tuple(float(x) for x in args.score_weights.split(","))
+               if args.score_weights else None)
 
     import ray
 
@@ -88,13 +105,23 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     if args.resume_dir:
+        if (args.lexical_channel or args.oov_channel or args.near_dup_edges
+                or args.sn_edges):
+            ap.error("--resume-dir supports the default channel config only "
+                     "(the checkpoint digest does not cover channel flags)")
         out = run_pipeline_resumable(
             docs, entities, args.resume_dir,
-            k=args.k, concurrency=(1, args.concurrency),
+            k=args.k, ann_k=args.ann_k, threshold=args.threshold,
+            score_weights=weights, concurrency=(1, args.concurrency),
             hot_cap=args.hot_cap, num_partitions=nparts)
     else:
         out = run_pipeline(
-            docs, entities, k=args.k, concurrency=(1, args.concurrency),
+            docs, entities, k=args.k, ann_k=args.ann_k,
+            threshold=args.threshold, score_weights=weights,
+            lexical_channel=args.lexical_channel,
+            oov_channel=args.oov_channel,
+            near_dup_edges=args.near_dup_edges, sn_edges=args.sn_edges,
+            concurrency=(1, args.concurrency),
             hot_cap=args.hot_cap, num_partitions=nparts, annotate=None)
 
     os.makedirs(args.output, exist_ok=True)
