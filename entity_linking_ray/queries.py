@@ -4280,3 +4280,78 @@ def _q_simhash_fingerprints_pinned(sf_dir: str):
     scheme as `doc_fingerprints_pinned` (VALUES literals at sf0.01 +
     live count + distinct count); the full output stays rows-only."""
     return _fingerprint_pinned(sf_dir, "simhash_fingerprints", "simhash")
+
+
+@register(
+    "embeddings_semdedup_pairs",
+    """
+    SELECT cast(v.id_a AS bigint) AS id_a,
+           cast(v.id_b AS bigint) AS id_b,
+           cast(v.cid AS bigint) AS cid
+    FROM (VALUES
+    (6000,41,56,6),(6000,44,472,6),(6000,50,73,0),(6000,52,322,2),
+    (6000,53,134,3),(6000,54,165,4),(6000,60,496,2),(6000,64,455,5),
+    (6000,65,292,3),(6000,80,455,5),(6000,85,227,3),(6000,93,243,0),
+    (6000,119,403,5),(6000,159,384,1),(6000,165,215,4),(6000,193,243,0),
+    (6000,215,462,4),(6000,256,355,5),(6000,319,362,7),(6000,322,397,2),
+    (6000,329,361,6),(6000,352,411,0),(6000,365,429,4),(6000,372,418,2),
+    (6000,397,471,2),
+    (60000,7,340,4),(60000,45,298,5),(60000,53,234,3),(60000,53,300,3),
+    (60000,53,430,3),(60000,70,210,2),(60000,75,256,7),(60000,131,456,1),
+    (60000,159,202,3),(60000,195,317,4),(60000,198,468,0),(60000,200,204,7),
+    (60000,202,245,3),(60000,207,326,2),(60000,234,384,3),(60000,269,340,4),
+    (60000,350,395,3)
+    ) AS v(sf_key, id_a, id_b, cid)
+    WHERE v.sf_key = (SELECT count(*) FROM lineitem)
+    """,
+)
+def _q_semdedup_pairs(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) semantic near-dup pairs: exact
+    fixed-point k-means clusters the embedding space (bit-reproducible
+    — stages/knn.kmeans_fit_actors), cosine runs ONLY within clusters
+    (work Σ c_i², never n²; k is the scale knob), rows id-sorted per
+    cluster so every dot product sees identical operands regardless of
+    partitioning. k-means has no SQL form, so the full deterministic
+    output is PINNED as VALUES at the two correctness scales keyed by
+    the lineitem count — drift in training, assignment, tiling or the
+    pair emit breaks the value-hash. Within-cluster recall vs the
+    brute-force pair set is pytest-gated (found ⊆ brute)."""
+    from .stages.dedup import semdedup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup_pairs(ds, k=8, cosine_threshold=0.4)
+
+
+@register(
+    "embeddings_semdedup_keep",
+    """
+    SELECT e.vec_id, cast(e.label AS int) AS label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (
+      SELECT v.loser FROM (VALUES
+      (6000,56),(6000,73),(6000,80),(6000,134),(6000,165),(6000,193),
+      (6000,215),(6000,227),(6000,243),(6000,292),(6000,322),(6000,355),
+      (6000,361),(6000,362),(6000,384),(6000,397),(6000,403),(6000,411),
+      (6000,418),(6000,429),(6000,455),(6000,462),(6000,471),(6000,472),
+      (6000,496),
+      (60000,202),(60000,204),(60000,210),(60000,234),(60000,245),
+      (60000,256),(60000,269),(60000,298),(60000,300),(60000,317),
+      (60000,326),(60000,340),(60000,384),(60000,395),(60000,430),
+      (60000,456),(60000,468)
+      ) AS v(sf_key, loser)
+      WHERE v.sf_key = (SELECT count(*) FROM lineitem))
+    """,
+)
+def _q_semdedup_keep(sf_dir: str):
+    """SemDeDup keep-set end-to-end: pairs → connected components →
+    min-id winner per component → losers removed by the keyed anti join
+    (stages/dedup.semdedup; the vector column rides the join packed as
+    binary — Acero rejects list<float> payloads). The oracle pins the
+    LOSER ids (small by construction) and re-derives the keep-set from
+    the live embeddings view, so the row count scales with the input
+    while the dropped set stays exact."""
+    from .stages.dedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return semdedup(ds, k=8, cosine_threshold=0.4).select_columns(
+        ["vec_id", "label"])

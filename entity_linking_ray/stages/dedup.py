@@ -490,7 +490,10 @@ def _drop_losers_keyed(ds: ray.data.Dataset, pairs: ray.data.Dataset,
         return pa.table({id_col: sel["member_id"],
                          "__lose": pa.array(np.ones(sel.num_rows, np.int8))})
 
-    losers = labeled_members.map_batches(to_losers, batch_format="pyarrow")
+    # same untyped-empty scrub as above: with few pairs most loser
+    # partitions are empty, and the final hash join chokes on them
+    losers = (labeled_members.map_batches(to_losers, batch_format="pyarrow")
+              .repartition(num_partitions))
     joined = ds.join(losers, "left_outer", num_partitions,
                      on=(id_col,), right_on=(id_col,))
 
@@ -1433,3 +1436,138 @@ def containment_pairs(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
         return b.filter(pa.array(keep))
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def semdedup_pairs(ds: "ray.data.Dataset", *, k: int = 16, iters: int = 3,
+                   cosine_threshold: float = 0.42,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   centroids: "np.ndarray | None" = None,
+                   max_cluster_size: int = 100_000,
+                   row_tile: int = 2048) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) candidate stage →
+    (id_a, id_b, cid): semantic near-duplicate pairs found by k-means
+    clustering the embedding space and comparing cosine similarity ONLY
+    within each cluster — the all-pairs n² matrix is never formed; total
+    work is Σ c_i² over cluster sizes, and k is the knob that bounds it
+    (pick k ≈ n / target_cluster_size at scale).
+
+    This is the IVF-shaped scale path beside the SRP-LSH one
+    (:func:`embedding_dup_pairs`): LSH bounds work probabilistically per
+    band; SemDeDup bounds it structurally per centroid, and additionally
+    yields the cluster id — the unit the paper dedups within.
+
+    Determinism (what makes the output pinnable as a VALUES oracle):
+    training is the exact int64 fixed-point k-means
+    (:func:`~entity_linking_ray.stages.knn.kmeans_fit_actors`,
+    bit-reproducible across partitionings), assignment is argmax cosine
+    with ties to the lowest centroid index, and each cluster's rows are
+    sorted by id before the pairwise pass so every pair's dot product is
+    computed from identical operands in identical order no matter how
+    blocks were split. Pairs are emitted with ``id_a < id_b``.
+
+    Memory: the within-cluster pass is row-tiled (``row_tile`` × c floats
+    live at once, never c²); clusters beyond ``max_cluster_size`` raise
+    with guidance (raise k) rather than silently degrade — same loud-cap
+    policy as the LSH/broadcast families."""
+    from .knn import _normalize, _to_matrix, kmeans_fit_actors
+
+    if centroids is None:
+        centroids = kmeans_fit_actors(ds, k=k, iters=iters,
+                                      vec_col=vec_col, id_col=id_col)
+    Cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    c_ref = ray.put(Cn)
+
+    def assign(b: pa.Table) -> pa.Table:
+        Vn = _normalize(_to_matrix(b[vec_col].to_pylist()))
+        cid = np.argmax(Vn @ ray.get(c_ref).T, axis=1)  # ties -> lowest
+        packed = [row.tobytes() for row in Vn]
+        return pa.table({
+            "cid": pa.array(cid.astype(np.int64), pa.int64()),
+            id_col: b[id_col],
+            "__vec": pa.array(packed, pa.binary()),
+        })
+
+    def pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cid": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        if n > max_cluster_size:  # pragma: no cover - scale guard
+            raise ValueError(
+                f"semdedup cluster of {n} rows exceeds max_cluster_size="
+                f"{max_cluster_size}; raise k (target c ~ n/k) or the cap")
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.frombuffer(
+            b"".join(g["__vec"].take(pa.array(order)).to_pylist()),
+            np.float64).reshape(n, -1)
+        cid = int(g["cid"][0].as_py())
+        out_a, out_b = [], []
+        for lo in range(0, n, row_tile):
+            hi = min(lo + row_tile, n)
+            C = V[lo:hi] @ V.T  # (tile, n)
+            ti, tj = np.nonzero(C >= cosine_threshold)
+            m = (ti + lo) < tj  # strict upper triangle in global coords
+            out_a.append(ids[ti[m] + lo])
+            out_b.append(ids[tj[m]])
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b_ = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        if not len(a):
+            return empty
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b_, pa.int64()),
+                         "cid": pa.array(np.full(len(a), cid), pa.int64())})
+
+    # Materialize the pair list: it is slim (3 int64 columns, bounded by
+    # the near-dup pair count, not n) and every consumer branches on it —
+    # without this the empty-check count() plus each downstream read
+    # would re-run k-means + assign + the pairwise pass from scratch.
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+             .groupby("cid").map_groups(pairs, batch_format="pyarrow")
+             .materialize())
+    if out.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cid": pa.array([], pa.int64())}))
+    return out
+
+
+def semdedup(ds: "ray.data.Dataset", *, k: int = 16, iters: int = 3,
+             cosine_threshold: float = 0.42, vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             num_partitions: int = 16) -> "ray.data.Dataset":
+    """SemDeDup keep-set: rows of ``ds`` that survive semantic dedup.
+    Pairs from :func:`semdedup_pairs` feed the repo's standard keyed
+    winner machinery (:func:`_drop_losers_keyed`): connected components
+    over the pair graph, min-id winner per component, losers removed by
+    anti join — no driver-side loser set.
+
+    The vector column rides the anti join packed as fixed-width binary:
+    Acero hash joins reject ``list<float>`` non-key payloads
+    (ArrowInvalid), and the pack/unpack pair is two zero-loss vectorized
+    passes either side of the join."""
+    pairs = semdedup_pairs(ds, k=k, iters=iters,
+                           cosine_threshold=cosine_threshold,
+                           vec_col=vec_col, id_col=id_col)
+    if pairs.count() == 0:
+        return ds
+
+    def pack(b: pa.Table) -> pa.Table:
+        vals = [np.asarray(v, np.float32).tobytes()
+                for v in b[vec_col].to_pylist()]
+        i = b.schema.get_field_index(vec_col)
+        return b.set_column(i, vec_col, pa.array(vals, pa.binary()))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        vals = [np.frombuffer(v, np.float32) for v in b[vec_col].to_pylist()]
+        i = b.schema.get_field_index(vec_col)
+        return b.set_column(i, vec_col, pa.array(vals, pa.list_(pa.float32())))
+
+    kept = _drop_losers_keyed(ds.map_batches(pack, batch_format="pyarrow"),
+                              pairs.drop_columns(["cid"]), id_col,
+                              num_partitions=num_partitions)
+    return kept.map_batches(unpack, batch_format="pyarrow")

@@ -397,3 +397,114 @@ def test_containment_pairs_semantics():
     assert all(a != b for a, b in got)
     assert not any(6 in p for p in got)             # sub-window doc excluded
     assert (4, 1) not in got and (1, 4) not in got  # unrelated: no false pair
+
+
+def _semdedup_fixture(n=80, d=16, n_dups=8, seed=7):
+    """n base vectors + n_dups tiny perturbations (planted semantic dups)."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, d))
+    vecs = list(base)
+    for i in range(n_dups):
+        vecs.append(base[i] + rng.normal(scale=0.01, size=d))
+    V = np.stack(vecs)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(V)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32())),
+    }))
+    return V, ds
+
+
+def test_semdedup_pairs_sound_and_within_cluster(ray_session):
+    """Every emitted pair must (a) exceed the cosine threshold under the
+    exact all-pairs computation and (b) appear at most once with
+    id_a < id_b — soundness; the planted near-identical pairs land in
+    the same cluster (cosine ≈ 1 → same argmax centroid) so recall on
+    the planted set is exact."""
+    from entity_linking_ray.stages.dedup import semdedup_pairs
+
+    V, ds = _semdedup_fixture()
+    # float32 storage quantizes the vectors: compare against the stored
+    # values, exactly as the operator sees them
+    V32 = np.stack([np.asarray(v, np.float32).astype(np.float64) for v in V])
+    Vn = V32 / np.linalg.norm(V32, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    got = semdedup_pairs(ds, k=4, cosine_threshold=0.9).to_pandas()
+    assert (got["id_a"] < got["id_b"]).all()
+    assert not got.duplicated(subset=["id_a", "id_b"]).any()
+    for a, b in zip(got["id_a"], got["id_b"]):
+        assert C[int(a), int(b)] >= 0.9
+    planted = {(i, 80 + i) for i in range(8)}
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert planted <= got_pairs
+
+
+def test_semdedup_pairs_partition_invariant(ray_session):
+    """Bit-identical output no matter how the input is blocked (the
+    pinnability argument: exact fixed-point k-means + id-sorted groups)."""
+    from entity_linking_ray.stages.dedup import semdedup_pairs
+
+    _, ds = _semdedup_fixture()
+    a = (semdedup_pairs(ds, k=4, cosine_threshold=0.9).to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    b = (semdedup_pairs(ds.repartition(7), k=4, cosine_threshold=0.9)
+         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_semdedup_keep_drops_component_losers(ray_session):
+    """Keep-set = all rows minus non-min members of each pair-graph
+    component (computed brute-force here), with the vector column intact
+    after its binary pack/unpack ride through the anti join."""
+    import pandas as pd
+
+    from entity_linking_ray.stages.dedup import semdedup, semdedup_pairs
+
+    V, ds = _semdedup_fixture()
+    pairs = semdedup_pairs(ds, k=4, cosine_threshold=0.9).to_pandas()
+    # brute union-find over the pair graph
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), set()).add(x)
+    losers = set()
+    for members in comp.values():
+        losers |= members - {min(members)}
+
+    kept = semdedup(ds, k=4, cosine_threshold=0.9,
+                    num_partitions=2).to_pandas()
+    assert set(kept["vec_id"]) == set(range(len(V))) - losers
+    # vectors survive the pack/unpack round trip losslessly (float32)
+    row = kept[kept["vec_id"] == 0].iloc[0]
+    np.testing.assert_array_equal(
+        np.asarray(row["embedding"], np.float32),
+        np.asarray(V[0], np.float32))
+
+
+def test_semdedup_pairs_no_dups_typed_empty(ray_session):
+    """Far-apart vectors → zero pairs, and the result still carries the
+    (id_a, id_b, cid) schema (typed-empty contract)."""
+    from entity_linking_ray.stages.dedup import semdedup_pairs
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(12, 16))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(12), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32())),
+    }))
+    out = semdedup_pairs(ds, k=2, cosine_threshold=0.999)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"id_a", "id_b", "cid"}
