@@ -49,6 +49,60 @@ def hash_split(ds: ray.data.Dataset, key_col: str,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def mixture_sample_tokens(ds: ray.data.Dataset, budgets: dict[str, int], *,
+                          group_col: str = "source", text_col: str = "text",
+                          id_col: str = "doc_id",
+                          scale: int = 1_000_000) -> ray.data.Dataset:
+    """Token-budget mixture sampling — the data-mixing step of a training
+    pipeline: down-sample each group (source/domain/language) toward its
+    token budget with a deterministic key-hash Bernoulli, so the output
+    corpus approximates the requested mixture without a shuffle.
+
+    Two passes:
+
+    1. per-group token totals — an in-batch combiner collapses each block
+       to ≤|groups| partial rows before the groupby, and only the final
+       O(|groups|) totals reach the driver (bounded by the mixture spec,
+       not the corpus);
+    2. integer keep-thresholds ``thresh_g = min(scale, budget_g * scale
+       // total_g)`` ride the task closure; a row survives iff
+       ``fnv63(id) % scale < thresh_g``.
+
+    All arithmetic is integer, so the DuckDB oracle replicates the exact
+    keep-set; sampling is a pure row function of the key — resume-stable,
+    partition-invariant, and incremental batches agree with a full run
+    (same properties as :func:`hash_split`). Groups without a budget
+    entry are kept whole. Output adds ``n_tokens`` (the whitespace token
+    count the budgeting used)."""
+    import pyarrow.compute as pc
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(
+            pc.split_pattern(b[text_col], " ")), pa.int64())
+        return (pa.table({group_col: b[group_col], "__t": n})
+                .group_by(group_col).aggregate([("__t", "sum")])
+                .rename_columns([group_col, "__t"]))
+
+    totals = {}  # O(|groups|) driver state — bounded by the mixture spec
+    for b in (ds.map_batches(tok_partial, batch_format="pyarrow")
+              .groupby(group_col).sum("__t").iter_batches(batch_format="pyarrow")):
+        for g, t in zip(b[group_col].to_pylist(), b["sum(__t)"].to_pylist()):
+            totals[g] = int(t)
+    thresh = {g: (min(scale, budgets[g] * scale // t) if g in budgets else scale)
+              for g, t in totals.items()}
+
+    def keep(b: pa.Table) -> pa.Table:
+        h = np.asarray(hash_strings([str(v) for v in b[id_col].to_pylist()]))
+        th = np.asarray([thresh.get(g, scale)
+                         for g in b[group_col].to_pylist()], np.int64)
+        n = pc.cast(pc.list_value_length(
+            pc.split_pattern(b[text_col], " ")), pa.int64())
+        return (b.append_column("n_tokens", n)
+                .filter(pa.array(h % scale < th)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def sample_hard_negatives(mentions_gold: ray.data.Dataset, alias_to_ids: dict,
                           n_negatives: int = 2, seed: int = 42) -> ray.data.Dataset:
     """mentions_gold(doc_id, span_idx, mention, entity_id, offset) →

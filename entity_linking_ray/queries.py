@@ -4355,3 +4355,52 @@ def _q_semdedup_keep(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     return semdedup(ds, k=8, cosine_threshold=0.4).select_columns(
         ["vec_id", "label"])
+
+
+def _mixture_sql() -> str:
+    from .oracles import MASK63, fnv1a_sql
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             cast(len(string_split(text, ' ')) AS bigint) AS n_tokens
+      FROM documents),
+    tot AS (
+      SELECT source, cast(sum(n_tokens) AS bigint) AS total
+      FROM tok GROUP BY source),
+    bud AS (
+      SELECT * FROM (VALUES
+        ('src0', 500), ('src1', 500), ('src2', 500), ('src3', 500),
+        ('src4', 500), ('src5', 100000), ('src6', 100000),
+        ('src7', 100000), ('src8', 100000), ('src9', 100000)
+      ) b(source, budget)),
+    th AS (
+      SELECT t.source,
+             cast(CASE WHEN b.budget IS NULL THEN 1000000
+                  ELSE least(1000000,
+                             cast(b.budget AS bigint) * 1000000 // t.total)
+                  END AS bigint) AS thresh
+      FROM tot t LEFT JOIN bud b ON t.source = b.source)
+    SELECT k.doc_id, k.source, k.n_tokens
+    FROM tok k JOIN th ON k.source = th.source
+    WHERE ({fnv1a_sql("CAST(k.doc_id AS VARCHAR)")} & {MASK63})
+          % 1000000 < th.thresh
+    """
+
+
+@register("docs_mixture_sample", _mixture_sql())
+def _q_mixture_sample(sf_dir: str):
+    """Token-budget mixture sampling (pipelines/train_prep.
+    mixture_sample_tokens): srcs 0-4 budgeted at 500 tokens (real
+    down-sampling at every sf), 5-9 at 100k (clamps to keep-all), 10-19
+    unbudgeted (kept whole) — all three branches exercised. Thresholds
+    derive from live per-source token totals, so the same SQL is exact
+    at every scale; the keep decision is the FNV-1a hash-bucket rule
+    replicated bit-exactly by the oracle (oracles.py)."""
+    from .pipelines.train_prep import mixture_sample_tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    budgets = {f"src{i}": 500 for i in range(5)}
+    budgets.update({f"src{i}": 100_000 for i in range(5, 10)})
+    return mixture_sample_tokens(docs, budgets).select_columns(
+        ["doc_id", "source", "n_tokens"])

@@ -78,3 +78,51 @@ def test_hash_split_properties():
     sub = hash_split(ray.data.from_arrow(t.slice(0, 50)), "doc_id").to_pandas()
     m = sub.merge(out.drop_duplicates("doc_id"), on="doc_id", suffixes=("_s", "_f"))
     assert (m["split_s"] == m["split_f"]).all()
+
+
+def test_mixture_sample_tokens(ray_session):
+    """Keep-set must equal the integer-threshold rule computed brute-force
+    (budgeted group down-sampled, over-budgeted group clamped to keep-all,
+    unbudgeted group kept whole); deterministic across repartitioning."""
+    import numpy as np
+
+    from entity_linking_ray.functions.hashing import hash_strings
+    from entity_linking_ray.pipelines.train_prep import mixture_sample_tokens
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(600):
+        grp = ["a", "b", "c"][i % 3]
+        n_tok = int(rng.integers(5, 40))
+        rows.append((i, grp, " ".join(["w"] * n_tok)))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+    budgets = {"a": 1000, "b": 10_000_000}  # c unbudgeted
+    SCALE = 1_000_000
+    totals = {}
+    for _, g, tx in rows:
+        totals[g] = totals.get(g, 0) + len(tx.split(" "))
+    thresh = {g: (min(SCALE, budgets[g] * SCALE // tot) if g in budgets else SCALE)
+              for g, tot in totals.items()}
+    expect = {i for i, g, _ in rows
+              if hash_strings([str(i)])[0] % SCALE < thresh[g]}
+
+    ds = ray.data.from_arrow(t)
+    out = mixture_sample_tokens(ds, budgets).to_pandas()
+    assert set(out["doc_id"]) == expect
+    # clamped + unbudgeted groups keep every row
+    assert (out["source"] == "b").sum() == 200
+    assert (out["source"] == "c").sum() == 200
+    # budgeted group actually down-sampled, in the budget's neighborhood
+    a_tokens = out[out["source"] == "a"]["n_tokens"].sum()
+    assert 0 < a_tokens < totals["a"]
+    # n_tokens column matches the whitespace count
+    row = out.iloc[0]
+    assert row["n_tokens"] == len(
+        t["text"][int(row["doc_id"])].as_py().split(" "))
+    # partition-invariant
+    out2 = mixture_sample_tokens(ds.repartition(7), budgets).to_pandas()
+    assert set(out2["doc_id"]) == expect
