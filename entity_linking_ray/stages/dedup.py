@@ -361,8 +361,6 @@ def minhash_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id
       state; the 100-TB path.
     - ``"auto"`` (default): broadcast below the cap, join above.
     """
-    from .clustering import connected_components
-
     pairs = lsh_candidate_pairs(ds, col, id_col, num_perm, num_bands,
                                 shingle_k, jaccard_threshold,
                                 num_partitions=num_partitions).materialize()
@@ -373,9 +371,22 @@ def minhash_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id
         winner_mode = "broadcast" if n_pairs <= _BROADCAST_PAIRS_CAP else "join"
     if winner_mode == "join":
         return _drop_losers_keyed(ds, pairs, id_col, num_partitions=num_partitions)
+    return _drop_losers_broadcast(ds, pairs, id_col)
+
+
+def _drop_losers_broadcast(ds: ray.data.Dataset, pairs: ray.data.Dataset,
+                           id_col: str) -> ray.data.Dataset:
+    """Broadcast winner selection + loser removal — the small-pair-set
+    twin of :func:`_drop_losers_keyed` (same min-id winner semantics,
+    equivalence-tested): components + loser set collected on the driver
+    (O(|dup pairs|) memory, callers gate on ``_BROADCAST_PAIRS_CAP``) and
+    broadcast once via ``ray.put``; removal is a single filter pass over
+    ``ds`` — no joins, no shuffle, and payload columns (including
+    ``list<float>`` vectors Acero joins reject) pass through untouched."""
+    from .clustering import connected_components
 
     # node-hash ↔ id map for the ids that appear in any dup pair (bounded by
-    # |pairs|, small relative to the corpus; scale path: winner_mode="join")
+    # |pairs|, small relative to the corpus; scale path: _drop_losers_keyed)
     hash_to_id: dict[int, object] = {}
     edge_list: list[tuple[int, int]] = []
     for b in pairs.iter_batches(batch_format="pyarrow"):
@@ -1538,23 +1549,34 @@ def semdedup_pairs(ds: "ray.data.Dataset", *, k: int = 16, iters: int = 3,
 
 def semdedup(ds: "ray.data.Dataset", *, k: int = 16, iters: int = 3,
              cosine_threshold: float = 0.42, vec_col: str = "embedding",
-             id_col: str = "vec_id",
+             id_col: str = "vec_id", winner_mode: str = "auto",
              num_partitions: int = 16) -> "ray.data.Dataset":
     """SemDeDup keep-set: rows of ``ds`` that survive semantic dedup.
-    Pairs from :func:`semdedup_pairs` feed the repo's standard keyed
-    winner machinery (:func:`_drop_losers_keyed`): connected components
-    over the pair graph, min-id winner per component, losers removed by
-    anti join — no driver-side loser set.
+    Pairs from :func:`semdedup_pairs` feed the repo's standard winner
+    machinery — connected components over the pair graph, min-id winner
+    per component, losers removed — with the same ``winner_mode``
+    dispatch as :func:`minhash_dedup` (equivalence-tested):
 
-    The vector column rides the anti join packed as fixed-width binary:
-    Acero hash joins reject ``list<float>`` non-key payloads
-    (ArrowInvalid), and the pack/unpack pair is two zero-loss vectorized
-    passes either side of the join."""
+    - ``"broadcast"``: loser set collected once on the driver
+      (O(|dup pairs|) memory) and applied as a single filter pass — no
+      joins; right up to ``_BROADCAST_PAIRS_CAP`` pairs.
+    - ``"join"``: fully distributed anti join; no pair-scaled driver
+      state — the 100-TB path. The vector column rides the joins packed
+      as fixed-width binary: Acero hash joins reject ``list<float>``
+      non-key payloads (ArrowInvalid), and the pack/unpack pair is two
+      zero-loss vectorized passes either side of the join.
+    - ``"auto"`` (default): broadcast below the cap, join above.
+    """
     pairs = semdedup_pairs(ds, k=k, iters=iters,
                            cosine_threshold=cosine_threshold,
                            vec_col=vec_col, id_col=id_col)
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ds
+    if winner_mode == "auto":
+        winner_mode = "broadcast" if n_pairs <= _BROADCAST_PAIRS_CAP else "join"
+    if winner_mode == "broadcast":
+        return _drop_losers_broadcast(ds, pairs, id_col)
 
     def pack(b: pa.Table) -> pa.Table:
         vals = [np.asarray(v, np.float32).tobytes()

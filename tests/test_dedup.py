@@ -493,6 +493,27 @@ def test_semdedup_keep_drops_component_losers(ray_session):
         np.asarray(V[0], np.float32))
 
 
+def test_semdedup_winner_modes_equivalent(ray_session):
+    """broadcast and join winner paths keep the identical row set (the
+    minhash_dedup equivalence contract, extended to semdedup), and the
+    vector column survives both (untouched in broadcast, pack/unpack in
+    join)."""
+    from entity_linking_ray.stages.dedup import semdedup
+
+    V, ds = _semdedup_fixture()
+    bc = semdedup(ds, k=4, cosine_threshold=0.9,
+                  winner_mode="broadcast").to_pandas()
+    jn = semdedup(ds, k=4, cosine_threshold=0.9, winner_mode="join",
+                  num_partitions=2).to_pandas()
+    assert set(bc["vec_id"]) == set(jn["vec_id"])
+    assert len(bc) == len(jn)
+    for df in (bc, jn):
+        row = df[df["vec_id"] == 0].iloc[0]
+        np.testing.assert_array_equal(
+            np.asarray(row["embedding"], np.float32),
+            np.asarray(V[0], np.float32))
+
+
 def test_semdedup_pairs_no_dups_typed_empty(ray_session):
     """Far-apart vectors → zero pairs, and the result still carries the
     (id_a, id_b, cid) schema (typed-empty contract)."""
