@@ -4404,3 +4404,65 @@ def _q_mixture_sample(sf_dir: str):
     budgets.update({f"src{i}": 100_000 for i in range(5, 10)})
     return mixture_sample_tokens(docs, budgets).select_columns(
         ["doc_id", "source", "n_tokens"])
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (CCNet/C4-style corpus scrub)
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_SQL = """
+    WITH corpus AS (
+      SELECT doc_id,
+             text || chr(10) || 'subscribe to our newsletter' || chr(10)
+                  || substr(text, 1, 40) AS t
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM corpus),
+    lines AS (
+      SELECT doc_id, unnest(l) AS line, unnest(range(1, len(l) + 1)) AS ord
+      FROM ls
+    ),
+    counts AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+    kept AS (
+      SELECT l.doc_id, l.line, l.ord
+      FROM lines l JOIN counts c USING (line) WHERE c.n < 2
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS kept_lines,
+             string_agg(line, chr(10) ORDER BY ord) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT ls.doc_id,
+           coalesce(a.kept_lines, 0) AS kept_lines,
+           len(ls.l) - coalesce(a.kept_lines, 0) AS dropped_lines,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM ls LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("docs_line_dedup", _LINE_DEDUP_SQL)
+def _q_docs_line_dedup(sf_dir: str):
+    """Corpus-wide line-level boilerplate scrub (stages/dedup.line_dedup;
+    CCNet/C4-style): every occurrence of a line duplicated across the
+    corpus is removed from every document, per-doc clean_text preserving
+    surviving-line order. The testdata documents are single-line, so the
+    query derives a deterministic 3-line corpus both sides build
+    identically: body + a shared footer (dropped everywhere) + the
+    40-char body prefix (dropped exactly where prefixes collide).
+    Dispatch (broadcast vs keyed join) follows the duplicated-line count;
+    the two paths are equivalence-tested in tests/test_dedup.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.dedup import line_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def corpus(b: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(
+            b["text"], "subscribe to our newsletter",
+            pc.utf8_slice_codeunits(b["text"], 0, 40), "\n")
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    return line_dedup(docs.map_batches(corpus, batch_format="pyarrow"),
+                      min_count=2)

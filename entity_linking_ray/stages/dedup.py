@@ -1593,3 +1593,196 @@ def semdedup(ds: "ray.data.Dataset", *, k: int = 16, iters: int = 3,
                               pairs.drop_columns(["cid"]), id_col,
                               num_partitions=num_partitions)
     return kept.map_batches(unpack, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (CCNet/C4-style): a line duplicated across
+# the corpus is removed from EVERY document that carries it.
+
+_LINE_BROADCAST_CAP = 2_000_000  # duplicated-line strings held driver-side
+
+
+def duplicated_lines(ds: ray.data.Dataset, col: str = "text",
+                     min_count: int = 2) -> ray.data.Dataset:
+    """Corpus-wide duplicated-line table (line, n) with n >= min_count.
+
+    Combiner-shaped: each batch pre-counts its own lines (one Arrow
+    group_by per batch), so the shuffle carries at most one row per
+    DISTINCT line per block — never one row per occurrence. The merge
+    groupby runs over a coarse 256-way hash bucket with a vectorized
+    per-bucket Arrow aggregate (the exact_dedup pattern; a per-line Ray
+    group would make every distinct line its own Python group)."""
+    _CB = 256
+
+    def partial(b: pa.Table) -> pa.Table:
+        lines = pc.list_flatten(
+            pc.split_pattern(b[col].combine_chunks(), "\n"))
+        part = (pa.table({"line": lines}).group_by("line")
+                .aggregate([("line", "count")])
+                .rename_columns(["line", "n"]))
+        cb = hash_strings(part["line"].to_pylist()) % _CB
+        return part.append_column("__cb", pa.array(cb, pa.int64()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        full = (group.group_by("line").aggregate([("n", "sum")])
+                .rename_columns(["line", "n"]))
+        return full.filter(pc.greater_equal(full["n"],
+                                            pa.scalar(min_count, pa.int64())))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__cb").map_groups(merge, batch_format="pyarrow"))
+
+
+def _line_scrub_table(b: pa.Table, col: str, id_col: str,
+                      is_dup) -> pa.Table:
+    """Vectorized per-batch line scrub: split -> flag -> rebuild -> join.
+    ``is_dup(flat_lines: np.ndarray) -> bool mask`` abstracts the
+    membership test (broadcast searchsorted vs join-marked column)."""
+    split = pc.split_pattern(b[col].combine_chunks(), "\n")
+    flat = pc.list_flatten(split)
+    lens = np.diff(split.offsets.to_numpy())
+    keep = ~is_dup(flat.to_numpy(zero_copy_only=False))
+    row = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+    kept_per_row = np.bincount(row[keep], minlength=b.num_rows)
+    new_off = np.concatenate(
+        [[0], np.cumsum(kept_per_row)]).astype(np.int64)
+    kept_lists = pa.ListArray.from_arrays(
+        pa.array(new_off.astype(np.int32), pa.int32()),
+        flat.filter(pa.array(keep)))
+    return pa.table({
+        id_col: b[id_col],
+        "kept_lines": pa.array(kept_per_row.astype(np.int64), pa.int64()),
+        "dropped_lines": pa.array((lens - kept_per_row).astype(np.int64),
+                                  pa.int64()),
+        "clean_text": pc.binary_join(kept_lists, "\n"),
+    })
+
+
+def line_dedup(ds: ray.data.Dataset, col: str = "text",
+               id_col: str = "doc_id", min_count: int = 2,
+               mode: str = "auto",
+               num_partitions: int = 16) -> ray.data.Dataset:
+    """Remove every occurrence of any line whose corpus-wide occurrence
+    count is >= ``min_count`` (the CCNet/C4 boilerplate scrub — headers,
+    footers, nav text). Output: one row per input row —
+    (id, kept_lines, dropped_lines, clean_text), clean_text preserving
+    the original order of the surviving lines ('' if none survive).
+
+    Engine extension beyond the reference (its dedup is whole-alias
+    ``set()`` only, SURVEY.md §2.7 D1); the operator the reference's
+    corpus prep would need first at web scale.
+
+    Two equivalence-tested paths, dispatched on the duplicated-line
+    count (the minhash_dedup winner-dispatch pattern):
+
+    - broadcast (<= _LINE_BROADCAST_CAP dup lines): the dup set is
+      ray.put once, each batch scrubs via one sorted-array searchsorted
+      — no second shuffle of document text.
+    - join (scale path): documents explode to (row hash of id, ord,
+      line) WITHOUT carrying text bodies, left-join the dup table on
+      line, and a coarse-bucketed vectorized reassembly rebuilds
+      clean_text — document text crosses the wire once, as its lines.
+    """
+    dup = duplicated_lines(ds, col, min_count).materialize()
+    n_dup = dup.count()
+
+    if mode == "auto":
+        mode = "broadcast" if n_dup <= _LINE_BROADCAST_CAP else "join"
+
+    def _typed_empty_seed(out: ray.data.Dataset) -> ray.data.Dataset:
+        # the repo's pinned "typed empty out for empty in" contract
+        # (windows._union_typed_empty): empty input otherwise yields zero
+        # blocks with schema() None, breaking downstream unions
+        in_schema = ds.schema()
+        id_type = (dict(zip(in_schema.names, in_schema.types))
+                   .get(id_col, pa.string())
+                   if in_schema is not None else pa.string())
+        return out.union(ray.data.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            "kept_lines": pa.array([], pa.int64()),
+            "dropped_lines": pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.string()),
+        })))
+
+    if mode == "broadcast":
+        dup_sorted = np.sort(np.asarray(
+            [s for b in dup.iter_batches(batch_format="pyarrow")
+             for s in b["line"].to_pylist()], dtype=object)) \
+            if n_dup else np.empty(0, object)
+        dup_ref = ray.put(dup_sorted)
+
+        def scrub(b: pa.Table) -> pa.Table:
+            d = ray.get(dup_ref)
+
+            def is_dup(flat: np.ndarray) -> np.ndarray:
+                if not len(d) or not len(flat):
+                    return np.zeros(len(flat), bool)
+                idx = np.searchsorted(d, flat)
+                ok = idx < len(d)
+                ok[ok] = d[idx[ok]] == flat[ok]
+                return ok
+
+            return _line_scrub_table(b, col, id_col, is_dup)
+
+        return _typed_empty_seed(
+            ds.map_batches(scrub, batch_format="pyarrow"))
+
+    # ---- join path: explode lines, mark dups, reassemble per doc ----
+    _NB = 64
+
+    def explode(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b[col].combine_chunks(), "\n")
+        flat = pc.list_flatten(split)
+        lens = np.diff(split.offsets.to_numpy())
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        ord_ = (np.arange(len(flat), dtype=np.int64)
+                - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]),
+                            lens))
+        ids = b[id_col].take(pa.array(row, pa.int64()))
+        return pa.table({id_col: ids,
+                         "__ord": pa.array(ord_, pa.int64()),
+                         "line": flat})
+
+    marked = (ds.select_columns([id_col, col])
+              .map_batches(explode, batch_format="pyarrow")
+              .join(dup.map_batches(
+                  lambda t: pa.table({
+                      "line": t["line"],
+                      "__dup": pa.array(np.ones(t.num_rows, np.int8))}),
+                  batch_format="pyarrow").repartition(num_partitions),
+                  "left_outer", num_partitions,
+                  on=("line",), right_on=("line",)))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        if pa.types.is_integer(b[id_col].type):
+            k = splitmix64(b[id_col].to_numpy(zero_copy_only=False)
+                           .astype(np.uint64)).astype(np.int64) % _NB
+        else:
+            k = hash_strings([str(x) for x in b[id_col].to_pylist()]) % _NB
+        return b.append_column("__db", pa.array(k, pa.int64()))
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(ids, return_inverse=True)
+        order = np.lexsort((g["__ord"].to_numpy(zero_copy_only=False),
+                            codes))
+        s = g.take(pa.array(order, pa.int64()))
+        codes = codes[order]
+        lens = np.bincount(codes)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        keep = pc.is_null(s["__dup"]).to_numpy(zero_copy_only=False)
+        kept_per_row = np.bincount(codes[keep], minlength=len(lens))
+        new_off = np.concatenate([[0], np.cumsum(kept_per_row)])
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), pa.int32()),
+            s["line"].combine_chunks().filter(pa.array(keep)))
+        return pa.table({
+            id_col: s[id_col].take(pa.array(starts, pa.int64())),
+            "kept_lines": pa.array(kept_per_row.astype(np.int64)),
+            "dropped_lines": pa.array((lens - kept_per_row).astype(np.int64)),
+            "clean_text": pc.binary_join(kept_lists, "\n"),
+        })
+
+    return _typed_empty_seed(
+        marked.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__db").map_groups(reassemble, batch_format="pyarrow"))

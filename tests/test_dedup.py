@@ -529,3 +529,74 @@ def test_semdedup_pairs_no_dups_typed_empty(ray_session):
     out = semdedup_pairs(ds, k=2, cosine_threshold=0.999)
     assert out.count() == 0
     assert set(out.schema().names) == {"id_a", "id_b", "cid"}
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup
+# ---------------------------------------------------------------------------
+
+
+def _line_docs():
+    rows = [
+        {"doc_id": "d1", "text": "unique alpha\nFOOTER\nbody one"},
+        {"doc_id": "d2", "text": "unique beta\nFOOTER\nbody two"},
+        {"doc_id": "d3", "text": "FOOTER"},            # all lines dropped
+        {"doc_id": "d4", "text": ""},                   # one unique empty line
+        {"doc_id": "d5", "text": "twice\ntwice\nkeep"},  # in-doc repeat counts
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_line_dedup_semantics(ray_session):
+    from entity_linking_ray.stages.dedup import line_dedup
+
+    out = {r["doc_id"]: r for r in
+           line_dedup(_line_docs(), min_count=2).take_all()}
+    assert out["d1"]["clean_text"] == "unique alpha\nbody one"
+    assert out["d1"]["kept_lines"] == 2 and out["d1"]["dropped_lines"] == 1
+    assert out["d2"]["clean_text"] == "unique beta\nbody two"
+    # every line duplicated -> doc survives with empty clean_text
+    assert out["d3"]["clean_text"] == "" and out["d3"]["kept_lines"] == 0
+    # the empty line appears once corpus-wide -> kept
+    assert out["d4"]["kept_lines"] == 1 and out["d4"]["clean_text"] == ""
+    # within-doc repetition counts toward the corpus total
+    assert out["d5"]["clean_text"] == "keep"
+    assert out["d5"]["dropped_lines"] == 2
+
+
+def test_line_dedup_paths_equivalent(ray_session):
+    from entity_linking_ray.stages.dedup import line_dedup
+
+    def canon(ds):
+        return sorted((r["doc_id"], r["kept_lines"], r["dropped_lines"],
+                       r["clean_text"]) for r in ds.take_all())
+
+    a = canon(line_dedup(_line_docs(), mode="broadcast"))
+    b = canon(line_dedup(_line_docs(), mode="join"))
+    assert a == b and len(a) == 5
+
+
+def test_line_dedup_no_dups_passthrough(ray_session):
+    from entity_linking_ray.stages.dedup import line_dedup
+
+    docs = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": "a", "text": "one\ntwo"},
+         {"doc_id": "b", "text": "three"}]))
+    out = {r["doc_id"]: r for r in line_dedup(docs).take_all()}
+    assert out["a"]["clean_text"] == "one\ntwo"
+    assert out["b"]["clean_text"] == "three"
+    assert all(r["dropped_lines"] == 0 for r in out.values())
+
+
+def test_line_dedup_typed_empty(ray_session):
+    from entity_linking_ray.stages.dedup import line_dedup
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    out = line_dedup(empty)
+    schema = out.schema()
+    assert schema is not None
+    assert set(schema.names) == {"doc_id", "kept_lines", "dropped_lines",
+                                 "clean_text"}
+    assert out.count() == 0
