@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.hashing import hash_strings
+from ..functions.hashing import hash_strings, hash_strings_arrow
 from ..stages.candidates import generate_candidates, make_kb_blob
 from ..stages.clustering import connected_components
 from ..stages.mentions import extract_mentions
@@ -232,7 +232,7 @@ def annotate_documents(docs: ray.data.Dataset, links: ray.data.Dataset,
     if mode == "broadcast":
         hs, ms, ls = [], [], []
         for b in per_doc.iter_batches(batch_format="pyarrow"):
-            hs.append(hash_strings(b["doc_id"].to_pylist()))
+            hs.append(hash_strings_arrow(b["doc_id"]))
             ms.append(b["n_mentions"].to_numpy(zero_copy_only=False))
             ls.append(b["n_linked"].to_numpy(zero_copy_only=False))
         if hs:
@@ -246,7 +246,7 @@ def annotate_documents(docs: ray.data.Dataset, links: ray.data.Dataset,
 
         def attach(batch: pa.Table) -> pa.Table:
             hh, mm, ll = ray.get(lut_ref)
-            bh = hash_strings(batch["doc_id"].to_pylist())
+            bh = hash_strings_arrow(batch["doc_id"])
             if len(hh):
                 pos = np.clip(np.searchsorted(hh, bh), 0, len(hh) - 1)
                 found = hh[pos] == bh
@@ -500,7 +500,7 @@ def entity_cluster_state(links: ray.data.Dataset) -> ray.data.Dataset:
             .aggregate([("node", "min"), ("node", "count")])
             .rename_columns(["entity_id", "m_min", "n"])
         )
-        bk = hash_strings(part["entity_id"].to_pylist()) % _N_BUCKETS
+        bk = hash_strings_arrow(part["entity_id"]) % _N_BUCKETS
         return part.append_column("__bucket", pa.array(bk, pa.int64()))
 
     def bucket_merge(group: pa.Table) -> pa.Table:
@@ -528,7 +528,7 @@ def merge_cluster_states(*states: ray.data.Dataset) -> ray.data.Dataset:
     _N_BUCKETS = 64
 
     def rebucket(b: pa.Table) -> pa.Table:
-        bk = hash_strings(b["entity_id"].to_pylist()) % _N_BUCKETS
+        bk = hash_strings_arrow(b["entity_id"]) % _N_BUCKETS
         return pa.table({
             "entity_id": b["entity_id"],
             "m_min": pc.cast(b["m_min"], pa.int64()),
@@ -680,7 +680,7 @@ def _changed_label_pairs(prior_state: ray.data.Dataset,
 
     def tag(side: int):
         def f(b: pa.Table) -> pa.Table:
-            bk = hash_strings(b["entity_id"].to_pylist()) % 64
+            bk = hash_strings_arrow(b["entity_id"]) % 64
             return pa.table({
                 "entity_id": b["entity_id"],
                 "m_min": pc.cast(b["m_min"], pa.int64()),

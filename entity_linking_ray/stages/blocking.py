@@ -24,13 +24,13 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.hashing import hash_strings, splitmix64
+from ..functions.hashing import hash_strings, hash_strings_arrow, splitmix64
 from ..functions.minhash import band_keys, signature_matrix
 
 
 def add_block_key(batch: pa.Table, col: str = "norm_mention") -> pa.Table:
     """Primary blocking key: stable u64 hash of the normalized surface."""
-    keys = hash_strings(batch[col].to_pylist())
+    keys = hash_strings_arrow(batch[col])
     return batch.append_column("block_key", pa.array(keys, pa.int64()))
 
 

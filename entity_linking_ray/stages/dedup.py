@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.hashing import hash_strings, splitmix64
+from ..functions.hashing import hash_strings, hash_strings_arrow, splitmix64
 from ..functions.minhash import (band_keys, shingle_hashes, signature_matrix,
                                  word_shingle_hashes)
 from ..functions.simhash import simhash64
@@ -39,7 +39,7 @@ U64 = np.uint64
 
 
 def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_hash") -> pa.Table:
-    return batch.append_column(out, pa.array(hash_strings(batch[col].to_pylist()), pa.int64()))
+    return batch.append_column(out, pa.array(hash_strings_arrow(batch[col]), pa.int64()))
 
 
 def exact_dedup(ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
@@ -1620,7 +1620,7 @@ def duplicated_lines(ds: ray.data.Dataset, col: str = "text",
         part = (pa.table({"line": lines}).group_by("line")
                 .aggregate([("line", "count")])
                 .rename_columns(["line", "n"]))
-        cb = hash_strings(part["line"].to_pylist()) % _CB
+        cb = hash_strings_arrow(part["line"]) % _CB
         return part.append_column("__cb", pa.array(cb, pa.int64()))
 
     def merge(group: pa.Table) -> pa.Table:

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from ..functions.hashing import hash_strings, splitmix64
+from ..functions.hashing import hash_strings, hash_strings_arrow, splitmix64
 
 FEATURE_DIM = 32
 
@@ -219,7 +219,7 @@ class MediaResizer:
             src_h = np.array([t[1] for t in triples], np.int32)
             pixels = pa.array([t[2] for t in triples], pa.binary())
         elif n:
-            h = hash_strings(ref.to_pylist()).astype(np.uint64)
+            h = hash_strings_arrow(ref).astype(np.uint64)
             src_w = 16 + (h % np.uint64(4096)).astype(np.int32)
             src_h = 16 + ((h >> np.uint64(12)) % np.uint64(4096)).astype(np.int32)
             npx = self.width * self.height
@@ -275,7 +275,7 @@ class FrameSampler:
                 "frame_ts_us": pa.array([], pa.int64()),
                 "frame": pa.array([], pa.binary()),
             })
-        h = hash_strings(ref.to_pylist()).astype(np.uint64)
+        h = hash_strings_arrow(ref).astype(np.uint64)
         n_frames = 1 + (h % np.uint64(600)).astype(np.int64)
         fps = 10.0 + ((h >> np.uint64(10)) % np.uint64(50)).astype(np.float64)
         # frames per span: every stride-th frame, capped at max_frames

@@ -153,3 +153,56 @@ def test_morton2_bit_interleave():
     big = morton2(np.array([0x7FFF_FFFF_FFFF_FFFF], np.int64),
                   np.array([0x7FFF_FFFF_FFFF_FFFF], np.int64))
     assert big[0] == ref(0xFFFF, 0xFFFF) and big[0] >= 0
+
+
+class TestBulkFnv:
+    """The vectorized FNV-1a kernel must be bit-identical to the scalar
+    twin (these hashes are pinned in DuckDB oracles)."""
+
+    def _ref(self, strings, seed=0):
+        import numpy as np
+
+        from entity_linking_ray.functions.hashing import fnv1a_64
+
+        out = np.empty(len(strings), dtype=np.int64)
+        s64 = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        for i, s in enumerate(strings):
+            out[i] = (fnv1a_64(s.encode("utf-8")) ^ s64) & 0x7FFFFFFFFFFFFFFF
+        return out
+
+    @given(st.lists(st.text(max_size=200), max_size=60),
+           st.integers(min_value=0, max_value=7))
+    @settings(max_examples=60, deadline=None)
+    def test_hash_strings_matches_scalar(self, strings, seed):
+        import numpy as np
+
+        from entity_linking_ray.functions.hashing import hash_strings
+
+        assert np.array_equal(hash_strings(strings, seed),
+                              self._ref(strings, seed))
+
+    @given(st.lists(st.text(max_size=200), max_size=60))
+    @settings(max_examples=40, deadline=None)
+    def test_hash_strings_arrow_matches_scalar(self, strings):
+        import numpy as np
+        import pyarrow as pa
+
+        from entity_linking_ray.functions.hashing import hash_strings_arrow
+
+        assert np.array_equal(hash_strings_arrow(pa.array(strings, pa.string())),
+                              self._ref(strings))
+        assert np.array_equal(
+            hash_strings_arrow(pa.array(strings, pa.large_string())),
+            self._ref(strings))
+
+    def test_arrow_slice_and_long_tail(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from entity_linking_ray.functions.hashing import hash_strings_arrow
+
+        # one huge string among many small ones exercises the scalar tail;
+        # a sliced array exercises non-zero buffer offsets
+        vals = ["x" * 50_000] + [f"s{i}" for i in range(100)]
+        arr = pa.array(vals).slice(0, 80)
+        assert np.array_equal(hash_strings_arrow(arr), self._ref(vals[:80]))
