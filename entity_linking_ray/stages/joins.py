@@ -617,50 +617,54 @@ def asof_join_value(left: ray.data.Dataset, right: ray.data.Dataset, *,
         return b.append_column("__kb", pa.array(kb.astype(np.int64),
                                                 pa.int64()))
 
-    def match(group: pd.DataFrame) -> pd.DataFrame:
-        # (key, t, rid) sort puts each key's right rows in (t, rid)
-        # order, so searchsorted's last-≤ index IS the max-(t, rid) row
-        g = group.sort_values([key, "__t", "__rid"], kind="mergesort")
-        keys = g[key].to_numpy()
-        n = len(g)
-        new = np.ones(n, dtype=bool)
-        if n > 1:
-            new[1:] = keys[1:] != keys[:-1]
-        starts = np.nonzero(new)[0]
-        ends = np.append(starts[1:], n)
-        sides = g["__side"].to_numpy()
-        ts_ = g["__t"].to_numpy(np.int64)
-        ids = g["__id"].to_numpy(np.int64)
-        vals = g["__v"].to_numpy(np.int64)
-        out_id, out_key, out_t, out_v = [], [], [], []
-        for s, e in zip(starts, ends):
-            lmask = sides[s:e] == 0
-            lt = ts_[s:e][lmask]
-            if not len(lt):
-                continue
-            rt = ts_[s:e][~lmask]
-            rv = vals[s:e][~lmask]
-            if len(rt):
-                pos = np.searchsorted(rt, lt, side="right") - 1
-                v = np.where(pos >= 0, rv[np.clip(pos, 0, None)], default)
-            else:
-                v = np.full(len(lt), default, np.int64)
-            out_id.append(ids[s:e][lmask])
-            out_key.append(keys[s:e][lmask])
-            out_t.append(lt)
-            out_v.append(v)
-        if not out_id:
-            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
-                                 key: pd.Series([], dtype=group[key].dtype),
-                                 "t": pd.Series([], dtype="int64"),
-                                 out_col: pd.Series([], dtype="int64")})
-        return pd.DataFrame({left_id: np.concatenate(out_id),
-                             key: np.concatenate(out_key),
-                             "t": np.concatenate(out_t),
-                             out_col: np.concatenate(out_v).astype(np.int64)})
+    def match(group: pa.Table) -> pa.Table:
+        # Arrow-native AND loop-free (the pandas version walked key
+        # segments in Python): factorize the key, lexsort the right
+        # rows by (key, t, rid), then ONE searchsorted of every left
+        # probe (key, t, +inf) into the i8,i8,i8 structured view —
+        # pos−1 is the max-(t, rid) at-or-before row, validated by a
+        # same-key check. Keys gathered back zero-copy via take.
+        keys_np = group[key].to_numpy(zero_copy_only=False)
+        sides = group["__side"].to_numpy(zero_copy_only=False)
+        ts_ = group["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, inv = np.unique(keys_np, return_inverse=True)
+        inv = inv.astype(np.int64)
+        lmask = sides == 0
+        lt = ts_[lmask]
+        if not len(lt):
+            return pa.table({left_id: pa.array([], pa.int64()),
+                             key: group[key].slice(0, 0),
+                             "t": pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        ids = group["__id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[lmask]
+        linv = inv[lmask]
+        rinv, rt = inv[~lmask], ts_[~lmask]
+        rrid = group["__rid"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[~lmask]
+        rv = group["__v"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[~lmask]
+        v = np.full(len(lt), default, np.int64)
+        if len(rt):
+            o = np.lexsort((rrid, rt, rinv))
+            rinv_s, rt_s, rv_s = rinv[o], rt[o], rv[o]
+            ev = np.ascontiguousarray(np.column_stack(
+                [rinv_s, rt_s, rrid[o]])).view("i8,i8,i8").ravel()
+            pv = np.ascontiguousarray(np.column_stack(
+                [linv, lt, np.full(len(lt), np.iinfo(np.int64).max)])
+            ).view("i8,i8,i8").ravel()
+            pos = np.searchsorted(ev, pv, side="left") - 1
+            posc = np.clip(pos, 0, None)
+            ok = (pos >= 0) & (rinv_s[posc] == linv)
+            v = np.where(ok, rv_s[posc], default)
+        lidx = pa.array(np.nonzero(lmask)[0], pa.int64())
+        return pa.table({left_id: pa.array(ids),
+                         key: group[key].take(lidx),
+                         "t": pa.array(lt),
+                         out_col: pa.array(v.astype(np.int64))})
 
     return (tagged.map_batches(add_kb, batch_format="pyarrow")
-            .groupby("__kb").map_groups(match, batch_format="pandas"))
+            .groupby("__kb").map_groups(match, batch_format="pyarrow"))
 
 
 def range_join_sum(left: ray.data.Dataset, right: ray.data.Dataset, *,
@@ -703,45 +707,53 @@ def range_join_sum(left: ray.data.Dataset, right: ray.data.Dataset, *,
         return b.append_column("__kb", pa.array(kb.astype(np.int64),
                                                 pa.int64()))
 
-    def match(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([key, "__t"], kind="mergesort")
-        keys = g[key].to_numpy()
-        n = len(g)
-        new = np.ones(n, dtype=bool)
-        if n > 1:
-            new[1:] = keys[1:] != keys[:-1]
-        starts = np.nonzero(new)[0]
-        ends = np.append(starts[1:], n)
-        sides = g["__side"].to_numpy()
-        ts_ = g["__t"].to_numpy(np.int64)
-        ids = g["__id"].to_numpy(np.int64)
-        vals = g["__v"].to_numpy(np.int64)
-        out = {left_id: [], key: [], "t": [], out_col: [], n_col: []}
-        for s, e in zip(starts, ends):
-            lmask = sides[s:e] == 0
-            lt = ts_[s:e][lmask]
-            if not len(lt):
-                continue
-            rt = ts_[s:e][~lmask]
-            rv = vals[s:e][~lmask]
-            csum = np.concatenate(([0], np.cumsum(rv)))
-            lo = np.searchsorted(rt, lt - before_us, side="left")
-            hi = np.searchsorted(rt, lt + after_us, side="right")
-            out[left_id].append(ids[s:e][lmask])
-            out[key].append(keys[s:e][lmask])
-            out["t"].append(lt)
-            out[out_col].append(csum[hi] - csum[lo])
-            out[n_col].append((hi - lo).astype(np.int64))
-        if not out[left_id]:
-            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
-                                 key: pd.Series([], dtype=group[key].dtype),
-                                 "t": pd.Series([], dtype="int64"),
-                                 out_col: pd.Series([], dtype="int64"),
-                                 n_col: pd.Series([], dtype="int64")})
-        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+    def match(group: pa.Table) -> pa.Table:
+        # Arrow-native AND loop-free: right rows lexsorted by (key, t),
+        # one GLOBAL cumsum over the sorted values, and the window
+        # bounds from two structured-view searchsorteds of (key, t−b) /
+        # (key, t+a) — per-key windows fall out because the composite
+        # keys of other keys sort strictly outside [(k,·)]; an empty key
+        # segment yields lo == hi → 0 sum, 0 count.
+        keys_np = group[key].to_numpy(zero_copy_only=False)
+        sides = group["__side"].to_numpy(zero_copy_only=False)
+        ts_ = group["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, inv = np.unique(keys_np, return_inverse=True)
+        inv = inv.astype(np.int64)
+        lmask = sides == 0
+        lt = ts_[lmask]
+        if not len(lt):
+            z = pa.array([], pa.int64())
+            return pa.table({left_id: z, key: group[key].slice(0, 0),
+                             "t": z, out_col: z, n_col: z})
+        ids = group["__id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[lmask]
+        linv = inv[lmask]
+        rinv, rt = inv[~lmask], ts_[~lmask]
+        rv = group["__v"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[~lmask]
+        if len(rt):
+            o = np.lexsort((rt, rinv))
+            ev = np.ascontiguousarray(np.column_stack(
+                [rinv[o], rt[o]])).view("i8,i8").ravel()
+            csum = np.concatenate(([0], np.cumsum(rv[o])))
+            lo = np.searchsorted(ev, np.ascontiguousarray(np.column_stack(
+                [linv, lt - before_us])).view("i8,i8").ravel(), side="left")
+            hi = np.searchsorted(ev, np.ascontiguousarray(np.column_stack(
+                [linv, lt + after_us])).view("i8,i8").ravel(), side="right")
+            sums = (csum[hi] - csum[lo]).astype(np.int64)
+            cnts = (hi - lo).astype(np.int64)
+        else:
+            sums = np.zeros(len(lt), np.int64)
+            cnts = np.zeros(len(lt), np.int64)
+        lidx = pa.array(np.nonzero(lmask)[0], pa.int64())
+        return pa.table({left_id: pa.array(ids),
+                         key: group[key].take(lidx),
+                         "t": pa.array(lt),
+                         out_col: pa.array(sums),
+                         n_col: pa.array(cnts)})
 
     return (tagged.map_batches(add_kb, batch_format="pyarrow")
-            .groupby("__kb").map_groups(match, batch_format="pandas"))
+            .groupby("__kb").map_groups(match, batch_format="pyarrow"))
 
 
 def _distinct_keys(ds: ray.data.Dataset, on: tuple,
@@ -844,46 +856,53 @@ def interpolate_asof(left: ray.data.Dataset, right: ray.data.Dataset, *,
               .union(right.map_batches(tag_r, batch_format="pyarrow"))
               .map_batches(_add_key_bucket(key), batch_format="pyarrow"))
 
-    def interp(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0]
-        r = group[group["__side"] == 1].sort_values(
-            [key, "__t", "__id"], kind="mergesort")
-        out_id, out_v = [], []
-        rk = r[key].to_numpy()
-        rt = r["__t"].to_numpy(np.int64)
-        rv = r["__v"].to_numpy(np.int64)
-        for k, lseg in l.groupby(key, sort=False):
-            s, e = np.searchsorted(rk, k, side="left"), \
-                np.searchsorted(rk, k, side="right")
-            t = lseg["__t"].to_numpy(np.int64)
-            ids = lseg["__id"].to_numpy(np.int64)
-            if s == e:
-                out_id.append(ids)
-                out_v.append(np.full(len(t), default, np.int64))
-                continue
-            kt, kv = rt[s:e], rv[s:e]
-            # prev: last index with kt <= t; next: first with kt > t
-            nxt = np.searchsorted(kt, t, side="right")
+    def interp(group: pa.Table) -> pa.Table:
+        # Arrow-native AND loop-free (the pandas version looped per
+        # key): right rows lexsorted by (key, t, id); nxt = structured
+        # searchsorted of (key, t, +inf) — the earliest strictly-after
+        # row (ties → min id) — and prv = nxt−1 the latest at-or-before
+        # (ties → max id); same-key checks gate the edge cases.
+        keys_np = group[key].to_numpy(zero_copy_only=False)
+        sides = group["__side"].to_numpy(zero_copy_only=False)
+        ts_ = group["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_all = group["__id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        _, inv = np.unique(keys_np, return_inverse=True)
+        inv = inv.astype(np.int64)
+        lmask = sides == 0
+        t, ids, linv = ts_[lmask], ids_all[lmask], inv[lmask]
+        if not len(t):
+            z = pa.array([], pa.int64())
+            return pa.table({left_id: z, out_col: z})
+        rinv, rt, rid_ = inv[~lmask], ts_[~lmask], ids_all[~lmask]
+        rv = group["__v"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[~lmask]
+        vi = np.full(len(t), default, np.int64)
+        if len(rt):
+            o = np.lexsort((rid_, rt, rinv))
+            rinv_s, rt_s, rv_s = rinv[o], rt[o], rv[o]
+            ev = np.ascontiguousarray(np.column_stack(
+                [rinv_s, rt_s, rid_[o]])).view("i8,i8,i8").ravel()
+            pv = np.ascontiguousarray(np.column_stack(
+                [linv, t, np.full(len(t), np.iinfo(np.int64).max)])
+            ).view("i8,i8,i8").ravel()
+            nxt = np.searchsorted(ev, pv, side="left")
             prv = nxt - 1
-            has0, has1 = prv >= 0, nxt < len(kt)
-            t0 = np.where(has0, kt[np.clip(prv, 0, None)], 0)
-            v0 = np.where(has0, kv[np.clip(prv, 0, None)], 0)
-            t1 = np.where(has1, kt[np.clip(nxt, None, len(kt) - 1)], 0)
-            v1 = np.where(has1, kv[np.clip(nxt, None, len(kt) - 1)], 0)
+            p = np.clip(prv, 0, None)
+            nx = np.clip(nxt, None, len(rt) - 1)
+            has0 = (prv >= 0) & (rinv_s[p] == linv)
+            has1 = (nxt < len(rt)) & (rinv_s[nx] == linv)
+            t0 = np.where(has0, rt_s[p], 0)
+            v0 = np.where(has0, rv_s[p], 0)
+            t1 = np.where(has1, rt_s[nx], 0)
+            v1 = np.where(has1, rv_s[nx], 0)
             both = has0 & has1
-            vi = np.full(len(t), default, np.int64)
             den = np.where(both, t1 - t0, 1)
             vi = np.where(both,
                           (v0 * (t1 - t) + v1 * (t - t0)) // den, vi)
             vi = np.where(has0 & ~has1, v0, vi)
             vi = np.where(~has0 & has1, v1, vi)
-            out_id.append(ids)
-            out_v.append(vi.astype(np.int64))
-        return pd.DataFrame({
-            left_id: np.concatenate(out_id) if out_id
-            else np.array([], np.int64),
-            out_col: np.concatenate(out_v) if out_v
-            else np.array([], np.int64),
-        })
+        return pa.table({left_id: pa.array(ids),
+                         out_col: pa.array(vi.astype(np.int64))})
 
-    return tagged.groupby("__kb").map_groups(interp, batch_format="pandas")
+    return tagged.groupby("__kb").map_groups(interp, batch_format="pyarrow")
