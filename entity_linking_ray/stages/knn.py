@@ -214,20 +214,35 @@ def cosine_self_join(ds: ray.data.Dataset, *, threshold: float,
             vec_col: b[vec_col].take(idx),
         })
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        pk = int(group["__pair"].iloc[0])
+    def pairs(group: pa.Table) -> pa.Table:
+        # Arrow-native: the vector matrix comes off the flattened list
+        # buffer in one reshape (fixed-d embeddings; no per-row stack),
+        # first-occurrence dedup via np.unique — no pandas frame
+        pk = int(group["__pair"][0].as_py())
         i, j = pk // T, pk % T
-        out_empty = pd.DataFrame({
-            "id_a": group[id_col].iloc[:0], "id_b": group[id_col].iloc[:0],
-            "cosine": pd.Series([], dtype="float64")})
+        ids_np = group[id_col].to_numpy(zero_copy_only=False)
+        tiles = group["__tile"].to_numpy(zero_copy_only=False)
+        flat = np.asarray(group[vec_col].combine_chunks().flatten(),
+                          dtype=np.float64)
+        M = flat.reshape(len(group), flat.size // max(len(group), 1))
+
+        def out_empty() -> pa.Table:
+            return pa.table({"id_a": group[id_col].slice(0, 0),
+                             "id_b": group[id_col].slice(0, 0),
+                             "cosine": pa.array([], pa.float64())})
+
+        def first_uniq(sel: np.ndarray) -> np.ndarray:
+            _, ui = np.unique(ids_np[sel], return_index=True)
+            return sel[np.sort(ui)]
+
         if i == j:
-            g = group[group["__tile"] == i].drop_duplicates(subset=[id_col])
-            if len(g) < 2:
-                return out_empty
-            ids = g[id_col].to_numpy()
-            V = _normalize(_to_matrix(g[vec_col]))
+            sel = first_uniq(np.nonzero(tiles == i)[0])
+            if len(sel) < 2:
+                return out_empty()
+            ids = ids_np[sel]
+            V = _normalize(M[sel])
             C = V @ V.T
-            iu, ju = np.triu_indices(len(g), k=1)
+            iu, ju = np.triu_indices(len(sel), k=1)
             keep = C[iu, ju] >= threshold
             # group rows need not arrive id-ascending — normalize like the
             # off-diagonal branch so the id_a < id_b contract always holds
@@ -235,30 +250,29 @@ def cosine_self_join(ds: ray.data.Dataset, *, threshold: float,
             b_ = np.maximum(ids[iu[keep]], ids[ju[keep]])
             cos = C[iu[keep], ju[keep]]
         else:
-            gi_ = group[group["__tile"] == i].drop_duplicates(subset=[id_col])
-            gj_ = group[group["__tile"] == j].drop_duplicates(subset=[id_col])
-            if not len(gi_) or not len(gj_):
-                return out_empty
-            ia, ib = gi_[id_col].to_numpy(), gj_[id_col].to_numpy()
-            C = _normalize(_to_matrix(gi_[vec_col])) @ \
-                _normalize(_to_matrix(gj_[vec_col])).T
+            si = first_uniq(np.nonzero(tiles == i)[0])
+            sj = first_uniq(np.nonzero(tiles == j)[0])
+            if not len(si) or not len(sj):
+                return out_empty()
+            ia, ib = ids_np[si], ids_np[sj]
+            C = _normalize(M[si]) @ _normalize(M[sj]).T
             ii, jj = np.nonzero(C >= threshold)
             a = np.minimum(ia[ii], ib[jj])
             b_ = np.maximum(ia[ii], ib[jj])
             cos = C[ii, jj]
         order = np.argsort(a, kind="stable")
-        out = pd.DataFrame({"id_a": a[order], "id_b": b_[order],
-                            "cosine": cos[order]})
+        a, b_, cos = a[order], b_[order], cos[order]
         if per_group_top_k is not None:
             # tournament partial: each tile-pair group owns each of its
-            # pairs exactly once, so its local top-k bounds the merge
-            out = out.sort_values(["cosine", "id_a", "id_b"],
-                                  ascending=[False, True, True]) \
-                .head(per_group_top_k)
-        return out
+            # pairs exactly once, so its local top-k bounds the merge;
+            # (cosine desc, id_a, id_b) — same total order as before
+            o2 = np.lexsort((b_, a, -cos))[:per_group_top_k]
+            a, b_, cos = a[o2], b_[o2], cos[o2]
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b_),
+                         "cosine": pa.array(cos, pa.float64())})
 
     return (ds.map_batches(explode, batch_format="pyarrow")
-            .groupby("__pair").map_groups(pairs, batch_format="pandas"))
+            .groupby("__pair").map_groups(pairs, batch_format="pyarrow"))
 
 
 _KM_SCALE = 1_000_000  # fixed-point quantization for the k-means reduce
