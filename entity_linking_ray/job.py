@@ -81,8 +81,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sn-edges", action="store_true",
                     help="add sorted-neighborhood mention-mention edges")
     args = ap.parse_args(argv)
-    weights = (tuple(float(x) for x in args.score_weights.split(","))
-               if args.score_weights else None)
+    weights = None
+    if args.score_weights:
+        try:
+            weights = tuple(float(x) for x in args.score_weights.split(","))
+        except ValueError:
+            ap.error(f"--score-weights must be WSTR,WCOS "
+                     f"(two floats): {args.score_weights!r}")
+        if len(weights) != 2:  # fail at parse time, not mid-pipeline
+            ap.error(f"--score-weights takes exactly two weights "
+                     f"(WSTR,WCOS), got {len(weights)}: "
+                     f"{args.score_weights!r}")
 
     import ray
 

@@ -1091,7 +1091,9 @@ def _q_doc_bigram_novelty(sf_dir: str):
     )
     SELECT a.doc_id AS id_contained, b.doc_id AS id_container
     FROM elig a JOIN elig b ON a.doc_id <> b.doc_id
-    WHERE (' ' || b.text || ' ') LIKE ('% ' || a.text || ' %')
+    -- contains() is a LITERAL substring test (LIKE would treat %/_ in
+    -- document text as wildcards and over-match vs the engine's check)
+    WHERE contains(' ' || b.text || ' ', ' ' || a.text || ' ')
     """,
 )
 def _q_docs_containment(sf_dir: str):

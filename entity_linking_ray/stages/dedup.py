@@ -1341,11 +1341,17 @@ def _best(df: pd.DataFrame, id_col: str, rank_col: str,
 
 def _window_hashes_u64(toks: list, w: int) -> np.ndarray:
     """All w-token window hashes of a token list (uint64, order-sensitive
-    polynomial over per-token FNV hashes — w vectorized mult-adds)."""
-    from ..functions.hashing import fnv1a_64
+    polynomial over per-token FNV hashes — w vectorized mult-adds). Token
+    hashing goes through the vectorized bulk FNV kernel (bit-identical to
+    the scalar twin), not a per-token Python loop."""
+    from ..functions.hashing import _fnv1a_bulk
 
-    ht = np.array([fnv1a_64(t.encode("utf-8")) for t in toks],
-                  dtype=np.uint64)
+    enc = [t.encode("utf-8") for t in toks]
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    offsets = np.zeros(len(enc) + 1, np.int64)
+    offsets[1:] = np.cumsum(np.fromiter((len(e) for e in enc),
+                                        np.int64, len(enc)))
+    ht = _fnv1a_bulk(data, offsets)
     n = len(ht)
     m = n - w + 1
     base = np.uint64(1099511628211)
@@ -1380,6 +1386,8 @@ def containment_pairs(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
     ``broadcast_texts_cap`` bytes — beyond it, swap the broadcast for the
     repo's standard two-hash-join text fetch as in dedup_new_against_corpus)."""
     def windows(b: pa.Table) -> pa.Table:
+        # ids keep their native type (string or int — same contract as
+        # the sibling dedup operators)
         ids_out, hs_out, probe = [], [], []
         for did, text in zip(b[id_col].to_pylist(), b[col].to_pylist()):
             toks = text.split(" ") if text else []
@@ -1388,14 +1396,15 @@ def containment_pairs(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
             hw = _window_hashes_u64(toks, w)
             hi = (hw & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
             uniq = np.unique(hi)
-            ids_out.append(np.full(len(uniq), did, dtype=np.int64))
+            ids_out.append([did] * len(uniq))
             hs_out.append(uniq)
             probe.append(int(hi.min()))
         if not ids_out:
-            return pa.table({"id": pa.array([], pa.int64()),
+            return pa.table({"id": b[id_col].slice(0, 0),
                              "h": pa.array([], pa.int64()),
                              "is_probe": pa.array([], pa.bool_())})
-        ids_np = np.concatenate(ids_out)
+        ids_flat = pa.array([d for sub in ids_out for d in sub],
+                            type=b[id_col].type)
         hs_np = np.concatenate(hs_out)
         prb = np.zeros(len(hs_np), dtype=bool)
         # the probe hash is each doc's min window hash — mark one row per doc
@@ -1403,7 +1412,7 @@ def containment_pairs(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
         for k, arr in enumerate(hs_out):
             prb[off + int(np.searchsorted(arr, probe[k]))] = True
             off += len(arr)
-        return pa.table({"id": pa.array(ids_np), "h": pa.array(hs_np),
+        return pa.table({"id": ids_flat, "h": pa.array(hs_np),
                          "is_probe": pa.array(prb)})
 
     win = docs.map_batches(windows, batch_format="pyarrow").materialize()
@@ -1422,18 +1431,33 @@ def containment_pairs(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
 
     cand = (cand.map_batches(distinct_pairs, batch_format="pyarrow")
             .groupby(["id_contained", "id_container"])
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .materialize())
 
-    texts: dict[int, str] = {}
+    id_type = win.schema().base_schema.field("id").type
+    if cand.count() == 0:  # no candidates → never touch the corpus text
+        return ray.data.from_arrow(pa.table({
+            "id_contained": pa.array([], id_type),
+            "id_container": pa.array([], id_type)}))
+
+    # verify texts are bounded by the CANDIDATE id set (2×|cand| ids),
+    # not the whole corpus — only those docs' texts reach the driver
+    need: set = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        need.update(b["id_contained"].to_pylist())
+        need.update(b["id_container"].to_pylist())
+    texts: dict = {}
     total = 0
     for b in docs.iter_batches(batch_format="pyarrow"):
         for did, tx in zip(b[id_col].to_pylist(), b[col].to_pylist()):
-            texts[int(did)] = tx
-            total += len(tx)
+            if did in need:
+                texts[did] = tx
+                total += len(tx)
     if total > broadcast_texts_cap:  # pragma: no cover - scale path
         raise NotImplementedError(
-            "corpus text exceeds the broadcast cap; wire the two-hash-join "
-            "text fetch (see dedup_new_against_corpus) for this size")
+            "candidate texts exceed the broadcast cap; wire the "
+            "two-hash-join text fetch (see dedup_new_against_corpus) "
+            "for this size")
     texts_ref = ray.put(texts)
 
     def verify(b: pa.Table) -> pa.Table:
@@ -1441,7 +1465,7 @@ def containment_pairs(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
         keep = []
         for a_, b__ in zip(b["id_contained"].to_pylist(),
                            b["id_container"].to_pylist()):
-            ta, tb = tmap.get(int(a_)), tmap.get(int(b__))
+            ta, tb = tmap.get(a_), tmap.get(b__)
             keep.append(ta is not None and tb is not None
                         and (" " + ta + " ") in (" " + tb + " "))
         return b.filter(pa.array(keep))
@@ -1578,16 +1602,24 @@ def semdedup(ds: "ray.data.Dataset", *, k: int = 16, iters: int = 3,
     if winner_mode == "broadcast":
         return _drop_losers_broadcast(ds, pairs, id_col)
 
+    # pack/unpack round-trips the column's OWN value dtype and list type,
+    # so join mode emits byte-identical vectors to broadcast mode (a
+    # fixed float32 pack would silently truncate float64 corpora and
+    # make the output schema depend on which mode the pair count picked)
+    vec_type = ds.schema().base_schema.field(vec_col).type
+    np_dt = np.float32 if pa.types.is_float32(vec_type.value_type) \
+        else np.float64
+
     def pack(b: pa.Table) -> pa.Table:
-        vals = [np.asarray(v, np.float32).tobytes()
+        vals = [np.asarray(v, np_dt).tobytes()
                 for v in b[vec_col].to_pylist()]
         i = b.schema.get_field_index(vec_col)
         return b.set_column(i, vec_col, pa.array(vals, pa.binary()))
 
     def unpack(b: pa.Table) -> pa.Table:
-        vals = [np.frombuffer(v, np.float32) for v in b[vec_col].to_pylist()]
+        vals = [np.frombuffer(v, np_dt) for v in b[vec_col].to_pylist()]
         i = b.schema.get_field_index(vec_col)
-        return b.set_column(i, vec_col, pa.array(vals, pa.list_(pa.float32())))
+        return b.set_column(i, vec_col, pa.array(vals, vec_type))
 
     kept = _drop_losers_keyed(ds.map_batches(pack, batch_format="pyarrow"),
                               pairs.drop_columns(["cid"]), id_col,

@@ -399,6 +399,34 @@ def test_containment_pairs_semantics():
     assert (4, 1) not in got and (1, 4) not in got  # unrelated: no false pair
 
 
+def test_containment_pairs_string_ids(ray_session):
+    """The operator-family contract: doc ids may be strings (like
+    line_dedup/minhash_dedup); ids round-trip untouched."""
+    from entity_linking_ray.stages.dedup import containment_pairs
+
+    base = "the fast key order sort table scan part small join batch dup"
+    t = pa.table({"doc_id": pa.array(["d-big", "d-small"], pa.string()),
+                  "text": pa.array([base + " extra tail words", base])})
+    out = containment_pairs(ray.data.from_arrow(t)).to_pandas()
+    got = {(r.id_contained, r.id_container) for r in out.itertuples()}
+    assert got == {("d-small", "d-big")}
+
+
+def test_containment_pairs_no_candidates_typed_empty(ray_session):
+    """Zero candidates → typed empty out, and the corpus text is never
+    collected (the verify stage is skipped entirely)."""
+    from entity_linking_ray.stages.dedup import containment_pairs
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c d e f g h i j k",
+                          "z y x w v u t s r q p"])})
+    out = containment_pairs(ray.data.from_arrow(t))
+    assert out.count() == 0
+    assert out.schema() is not None
+    assert set(out.schema().names) == {"id_contained", "id_container"}
+
+
 def _semdedup_fixture(n=80, d=16, n_dups=8, seed=7):
     """n base vectors + n_dups tiny perturbations (planted semantic dups)."""
     rng = np.random.default_rng(seed)
@@ -512,6 +540,26 @@ def test_semdedup_winner_modes_equivalent(ray_session):
         np.testing.assert_array_equal(
             np.asarray(row["embedding"], np.float32),
             np.asarray(V[0], np.float32))
+
+
+def test_semdedup_join_mode_preserves_float64(ray_session):
+    """join mode's pack/unpack must round-trip the column's OWN dtype:
+    a float64 corpus comes back float64 and byte-identical (a fixed
+    float32 pack would silently truncate)."""
+    from entity_linking_ray.stages.dedup import semdedup
+
+    V, _ = _semdedup_fixture()
+    ds64 = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(V)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float64())),
+    }))
+    jn = semdedup(ds64, k=4, cosine_threshold=0.9, winner_mode="join",
+                  num_partitions=2).to_pandas()
+    row = jn[jn["vec_id"] == 0].iloc[0]
+    arr = np.asarray(row["embedding"])
+    assert arr.dtype == np.float64
+    np.testing.assert_array_equal(arr, V[0])  # exact, not approx
 
 
 def test_semdedup_pairs_no_dups_typed_empty(ray_session):

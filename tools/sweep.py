@@ -34,8 +34,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df = df[sorted(df.columns)]
     sort_cols = list(df.columns)
-    # stringify for a stable order-insensitive sort
-    key = df.astype(str)
+    # stable order-insensitive sort key: floats round to the compare
+    # tolerance FIRST (stringifying raw floats would misalign rows whose
+    # values are tolerance-equal but print differently, e.g.
+    # 0.30000000000000004 vs 0.3), everything else stringifies
+    key = pd.DataFrame({
+        c: (pd.to_numeric(df[c], errors="coerce").round(8).astype(str)
+            if pd.api.types.is_float_dtype(df[c]) else df[c].astype(str))
+        for c in df.columns})
     order = key.sort_values(sort_cols, kind="mergesort").index
     return df.loc[order].reset_index(drop=True)
 
