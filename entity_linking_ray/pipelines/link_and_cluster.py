@@ -979,27 +979,60 @@ def near_dup_mention_edges(scored: ray.data.Dataset,
         cb = pc.bit_wise_and(b["band_key"], pa.scalar(_CB - 1, pa.int64()))
         return b.append_column("__cb", cb)
 
-    def cand_pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["band_key", "node"]) \
-                 .sort_values(["band_key", "node"], kind="mergesort")
-        g = g[g.groupby("band_key").cumcount() < max_rows_per_key]
-        m = g.merge(g, on="band_key", suffixes=("_a", "_b"))
-        m = m[m["node_a"] < m["node_b"]]
-        if not len(m):
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        hj = (_popcount64_2d(m["__sk0_a"].to_numpy().astype(np.int64).view(U64)
-                             ^ m["__sk0_b"].to_numpy().astype(np.int64).view(U64))
-              + _popcount64_2d(m["__sk1_a"].to_numpy().astype(np.int64).view(U64)
-                               ^ m["__sk1_b"].to_numpy().astype(np.int64).view(U64)))
-        hv = _popcount64_2d(m["__vsk_a"].to_numpy().astype(np.int64).view(U64)
-                            ^ m["__vsk_b"].to_numpy().astype(np.int64).view(U64))
-        m = m[(hj <= jcut) & (hv <= vcut)]
-        return pd.DataFrame({"id_a": m["node_a"].to_numpy(),
-                             "id_b": m["node_b"].to_numpy()})
+    def cand_pairs_bulk(group: pa.Table) -> pa.Table:
+        # Arrow-native: lexsort + segment arithmetic replace the pandas
+        # self-merge (which materialized every within-key row pair as a
+        # frame before the filters); dedup/cap/pair-expansion all run on
+        # the raw int64 buffers. node_a < node_b falls out of the sorted
+        # ai < bi expansion over deduped (strictly ascending) nodes.
+        _empty = pa.table({"id_a": pa.array([], pa.int64()),
+                           "id_b": pa.array([], pa.int64())})
+        bk = group["band_key"].to_numpy(zero_copy_only=False)
+        nd = group["node"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((nd, bk))
+        bk, nd = bk[o], nd[o]
+        sk0 = group["__sk0"].to_numpy(zero_copy_only=False)[o]
+        sk1 = group["__sk1"].to_numpy(zero_copy_only=False)[o]
+        vsk = group["__vsk"].to_numpy(zero_copy_only=False)[o]
+        n = len(bk)
+        uniq = np.ones(n, dtype=bool)
+        uniq[1:] = (bk[1:] != bk[:-1]) | (nd[1:] != nd[:-1])
+        bk, nd = bk[uniq], nd[uniq]
+        sk0, sk1, vsk = sk0[uniq], sk1[uniq], vsk[uniq]
+
+        def _segments(keys: np.ndarray):
+            new = np.ones(len(keys), dtype=bool)
+            new[1:] = keys[1:] != keys[:-1]
+            starts = np.nonzero(new)[0]
+            seg = np.cumsum(new) - 1
+            return starts, np.diff(np.append(starts, len(keys))), seg
+
+        starts, cnt, seg = _segments(bk)
+        cap = (np.arange(len(bk)) - starts[seg]) < max_rows_per_key
+        bk, nd = bk[cap], nd[cap]
+        sk0, sk1, vsk = sk0[cap], sk1[cap], vsk[cap]
+        if not len(bk):
+            return _empty
+        starts, cnt, seg = _segments(bk)
+        pos = np.arange(len(bk)) - starts[seg]
+        reps = cnt[seg] - pos - 1
+        ai = np.repeat(np.arange(len(bk)), reps)
+        if not len(ai):
+            return _empty
+        off = (np.arange(int(reps.sum()))
+               - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]),
+                           reps) + 1)
+        bi = ai + off
+        hj = (_popcount64_2d((sk0[ai] ^ sk0[bi]).view(U64))
+              + _popcount64_2d((sk1[ai] ^ sk1[bi]).view(U64)))
+        hv = _popcount64_2d((vsk[ai] ^ vsk[bi]).view(U64))
+        keep = (hj <= jcut) & (hv <= vcut)
+        return pa.table({"id_a": pa.array(nd[ai[keep]]),
+                         "id_b": pa.array(nd[bi[keep]])})
 
     cand = (rows.map_batches(coarse, batch_format="pyarrow")
-            .groupby("__cb").map_groups(cand_pairs_bulk, batch_format="pandas")
+            .groupby("__cb").map_groups(cand_pairs_bulk,
+                                        batch_format="pyarrow")
             .materialize())
 
     def _typed_empty() -> ray.data.Dataset:
@@ -1189,14 +1222,35 @@ def sn_mention_edges(scored: ray.data.Dataset, *, window: int = 4,
                   .map_batches(_add_key_bucket("k"),
                                batch_format="pyarrow"))
 
-        def join(g: pd.DataFrame) -> pd.DataFrame:
-            pm = g[g["__side"] == 0][["k", f"surf_{side}", f"vec_{side}"]]
-            pr = g[g["__side"] == 1].drop(
-                columns=["__side", "__kb", f"surf_{side}", f"vec_{side}"])
-            return pr.merge(pm, on="k", how="inner").drop(columns="k")
+        def join(g: pa.Table) -> pa.Table:
+            # Arrow-native: searchsorted the pair rows' k against the
+            # (unique) mention nodes, gather BOTH sides' columns by
+            # take — the string/binary payloads never convert to pandas
+            sides = g["__side"].to_numpy(zero_copy_only=False)
+            k = g["k"].to_numpy(zero_copy_only=False)
+            midx = np.nonzero(sides == 0)[0]
+            pidx = np.nonzero(sides == 1)[0]
+            mk = k[midx]
+            o = np.argsort(mk, kind="stable")
+            mk, msorted = mk[o], midx[o]
+            pk = k[pidx]
+            if len(mk) and len(pk):
+                pos = np.clip(np.searchsorted(mk, pk), 0, len(mk) - 1)
+                ok = mk[pos] == pk
+            else:
+                pos = np.zeros(len(pk), np.int64)
+                ok = np.zeros(len(pk), bool)
+            pr_take = pa.array(pidx[ok], pa.int64())
+            pm_take = pa.array(msorted[pos[ok]] if len(mk)
+                               else np.array([], np.int64), pa.int64())
+            out = {c: g[c].take(pr_take) for c in ("id_a", "id_b")}
+            for c in ("surf_a", "vec_a", "surf_b", "vec_b"):
+                out[c] = g[c].take(pm_take if c.endswith(side)
+                                   else pr_take)
+            return pa.table(out)
 
         return tagged.groupby("__kb").map_groups(join,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
     withp = attach(attach(pairs.drop_columns(["dist"]), "a"), "b")
     # after both attaches every payload column is real (placeholders only
