@@ -76,12 +76,15 @@ def _token_hash_cached(tok: str) -> int:
 
 def embed_texts(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
     """[n, dim] float32, rows L2-normalized (zero vector for empty text).
-
     Vectorized across the whole batch: all texts' (deduped) tokens are
     flattened into one hashed u64 array with per-text segment ids; the
     probe scatter runs as ``np.add.at`` on the full 2-D output — no
     per-text numpy calls (binary bag-of-tokens: repeats within a text are
-    deduped so boilerplate doesn't dominate the norm)."""
+    deduped so boilerplate doesn't dominate the norm). An all-Arrow
+    tokenize+hash fast path was A/B'd and REVERTED: corpus token
+    vocabularies repeat heavily, so the memoized dict path is pure C-level
+    hits and beat the vectorized re-hash-every-occurrence variant ~3×
+    on the bench corpus (the measurement lives in BASELINE.md)."""
     n = len(texts)
     out = np.zeros((n, dim), dtype=np.float32)
     if n == 0:

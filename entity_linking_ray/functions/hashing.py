@@ -93,20 +93,18 @@ def hash_strings(strings, seed: int = 0) -> np.ndarray:
     return _finish63(_fnv1a_bulk(data, offsets), seed)
 
 
-def hash_strings_arrow(arr, seed: int = 0) -> np.ndarray:
-    """:func:`hash_strings` over a pyarrow string array/chunked array —
-    ZERO-COPY: hashes straight off the Arrow utf-8 data buffer (no
-    to_pylist, no encode pass). Identical output to
-    ``hash_strings(arr.to_pylist())`` (property-tested). Nulls are
-    rejected loudly — the scalar path would crash on None.encode too."""
+def fnv1a_64_arrow(arr) -> np.ndarray:
+    """Raw full-width u64 FNV-1a over a pyarrow string array/chunked
+    array — the Arrow twin of :func:`fnv1a_64`, ZERO-COPY off the utf-8
+    data buffer (no to_pylist, no encode pass). Nulls rejected loudly."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count:
-        raise ValueError("hash_strings_arrow: null strings not supported")
+        raise ValueError("fnv1a_64_arrow: null strings not supported")
     if len(arr) == 0:
-        return np.empty(0, np.int64)
+        return np.empty(0, np.uint64)
     if pa.types.is_large_string(arr.type):
         off_dtype = np.int64
     elif pa.types.is_string(arr.type):
@@ -117,7 +115,18 @@ def hash_strings_arrow(arr, seed: int = 0) -> np.ndarray:
     offsets = np.frombuffer(bufs[1], off_dtype)[
         arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(bufs[2], np.uint8)
-    return _finish63(_fnv1a_bulk(data, offsets), seed)
+    return _fnv1a_bulk(data, offsets)
+
+
+def hash_strings_arrow(arr, seed: int = 0) -> np.ndarray:
+    """:func:`hash_strings` over a pyarrow string array/chunked array —
+    zero-copy raw hash (:func:`fnv1a_64_arrow`) + the 63-bit seed
+    finish. Identical output to ``hash_strings(arr.to_pylist())``
+    (property-tested)."""
+    raw = fnv1a_64_arrow(arr)
+    if not len(raw):
+        return np.empty(0, np.int64)
+    return _finish63(raw, seed)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:

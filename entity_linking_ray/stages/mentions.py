@@ -97,17 +97,20 @@ class AliasMatcher:
         return out
 
     def find(self, text: str):
-        """Yields (start, end, norm_surface) matches in *text* (char offsets
+        """(start, end, norm_surface) matches in *text* (char offsets
         valid in the original string)."""
-        if self.pattern is None:
-            return
-        norm = self.normalize_keep_length(text)
-        for m in self.pattern.finditer(norm):
-            yield m.start(), m.end(), m.group(0)
+        return self.find_batch([text])[0]
 
     def find_batch(self, texts: list[str]):
-        """Interface parity with HashAliasMatcher.find_batch."""
-        return [list(self.find(t)) for t in texts]
+        """Interface parity with HashAliasMatcher.find_batch. Direct list
+        builds (a generator per text costs one frame resumption per
+        match — measured ~30% of the scan on the bench corpus)."""
+        pat = self.pattern
+        if pat is None:
+            return [[] for _ in texts]
+        norm = self.normalize_keep_length
+        return [[(m.start(), m.end(), m.group(0))
+                 for m in pat.finditer(norm(t))] for t in texts]
 
 
 _RK_BASE = 1099511628211  # odd → invertible mod 2^64
@@ -302,45 +305,79 @@ class MentionExtractor:
         self.context_chars = context_chars
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        spans_col = batch["spans"].to_pylist()
-        out = {
-            "doc_id": [], "span_idx": [], "mention": [], "norm_mention": [],
-            "context_left": [], "context_right": [], "offset": [],
-        }
+        # span explode stays Arrow-side (flatten + field, no struct→dict
+        # conversion); doc_id/span_idx/offset columns are gathered by
+        # take/numpy; only the matcher scan and the mention/context
+        # string slices run per match in Python
+        import pyarrow.compute as pc
+
         cw = self.context_chars
-        # gather all text spans first → ONE batch-level matcher call (the
-        # hash engine hashes the whole batch per alias length in one
-        # vectorized pass; the regex engine just loops)
-        meta: list[tuple[str, int, str, int]] = []  # (doc_id, span_idx, text, base)
-        for doc_id, spans in zip(doc_ids, spans_col):
-            if not spans:
-                continue
-            for si, sp in enumerate(spans):
-                if sp["kind"] != "text" or not sp["text"]:
-                    continue
-                meta.append((doc_id, si, sp["text"], sp["offset"]))
-        matches = self.matcher.find_batch([m[2] for m in meta])
-        for (doc_id, si, text, base), found in zip(meta, matches):
-            for s, e, norm_surface in found:
-                out["doc_id"].append(doc_id)
-                out["span_idx"].append(si)
-                out["mention"].append(text[s:e])
-                out["norm_mention"].append(norm_surface)
-                out["context_left"].append(text[max(0, s - cw):s])
-                out["context_right"].append(text[e:e + cw])
-                out["offset"].append(base + s)
-        return pa.table(
-            {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "span_idx": pa.array(out["span_idx"], pa.int32()),
-                "mention": pa.array(out["mention"], pa.string()),
-                "norm_mention": pa.array(out["norm_mention"], pa.string()),
-                "context_left": pa.array(out["context_left"], pa.string()),
-                "context_right": pa.array(out["context_right"], pa.string()),
-                "offset": pa.array(out["offset"], pa.int32()),
-            }
-        )
+        col = batch["spans"].combine_chunks()
+        la = (col.chunk(0) if isinstance(col, pa.ChunkedArray)
+              and col.num_chunks else
+              col if isinstance(col, pa.Array) else
+              pa.array([], batch.schema.field("spans").type))
+        empty = pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "span_idx": pa.array([], pa.int32()),
+            "mention": pa.array([], pa.string()),
+            "norm_mention": pa.array([], pa.string()),
+            "context_left": pa.array([], pa.string()),
+            "context_right": pa.array([], pa.string()),
+            "offset": pa.array([], pa.int32()),
+        })
+        if len(la) == 0:
+            return empty
+        counts = pc.fill_null(pc.list_value_length(la), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = la.flatten()  # respects list offsets; drops null rows
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        row_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        span_idx = (np.arange(int(counts.sum()), dtype=np.int64)
+                    - np.repeat(row_starts, counts))
+        kind = flat.field("kind")
+        text_a = flat.field("text")
+        keep = pc.fill_null(
+            pc.and_(pc.equal(kind, "text"),
+                    pc.greater(pc.utf8_length(pc.fill_null(text_a, "")), 0)),
+            False).to_numpy(zero_copy_only=False)
+        sel = np.nonzero(keep)[0]
+        if not len(sel):
+            return empty
+        sel_pa = pa.array(sel, pa.int64())
+        texts = text_a.take(sel_pa).to_pylist()
+        base = flat.field("offset").take(sel_pa) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sp_parent, sp_idx = parent[sel], span_idx[sel]
+
+        matches = self.matcher.find_batch(texts)
+        n_m = np.fromiter((len(f) for f in matches), np.int64, len(matches))
+        tot = int(n_m.sum())
+        if tot == 0:
+            return empty
+        rep = np.repeat(np.arange(len(matches), dtype=np.int64), n_m)
+        flatm = [x for f in matches for x in f]
+        s_arr = np.fromiter((x[0] for x in flatm), np.int64, tot)
+        e_l = [x[1] for x in flatm]
+        s_l = s_arr.tolist()
+        rep_l = rep.tolist()
+        return pa.table({
+            "doc_id": batch["doc_id"].take(
+                pa.array(sp_parent[rep], pa.int64())),
+            "span_idx": pa.array(sp_idx[rep].astype(np.int32), pa.int32()),
+            "mention": pa.array(
+                [texts[r][s:e] for r, s, e in zip(rep_l, s_l, e_l)],
+                pa.string()),
+            "norm_mention": pa.array([x[2] for x in flatm], pa.string()),
+            "context_left": pa.array(
+                [texts[r][s - cw if s > cw else 0:s]
+                 for r, s in zip(rep_l, s_l)], pa.string()),
+            "context_right": pa.array(
+                [texts[r][e:e + cw] for r, e in zip(rep_l, e_l)],
+                pa.string()),
+            "offset": pa.array((base[rep] + s_arr).astype(np.int32),
+                               pa.int32()),
+        })
 
 
 # worker-process-level matcher cache for the task-pool path: Ray reuses
