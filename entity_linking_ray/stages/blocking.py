@@ -17,7 +17,6 @@ standard blocking trade; per-block metrics record the truncation).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -167,14 +166,17 @@ def sorted_neighborhood_pairs(ds: "ray.data.Dataset", *, val_col: str,
         return pa.table({"__kb": pa.array(kb.astype(np.int64)),
                          "__r": pa.array(rr), id_col: pa.array(ii)})
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        kb = int(group["__kb"].iloc[0])
-        g = group.sort_values("__r", kind="mergesort")
-        r = g["__r"].to_numpy(np.int64)
-        ids = g[id_col].to_numpy(np.int64)
+    def pairs(group: pa.Table) -> pa.Table:
+        # Arrow-native: argsort off the buffers; the j-offset loop is
+        # O(window) numpy passes either way (window is small by design)
+        kb = int(group["__kb"][0].as_py())
+        r0 = group["__r"].to_numpy(zero_copy_only=False)
+        o = np.argsort(r0, kind="stable")
+        r = r0[o].astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)[o].astype(np.int64)
         lo = kb * span + 1  # own pairs whose RIGHT end is native here
         out_a, out_b, out_d = [], [], []
-        m = len(g)
+        m = len(r)
         for j in range(1, window):
             a = np.arange(0, m - j)
             ok = (r[a + j] - r[a] <= window - 1) & (r[a + j] >= lo) \
@@ -182,11 +184,12 @@ def sorted_neighborhood_pairs(ds: "ray.data.Dataset", *, val_col: str,
             out_a.append(ids[a[ok]])
             out_b.append(ids[a[ok] + j])
             out_d.append(r[a[ok] + j] - r[a[ok]])
-        return pd.DataFrame({
-            "id_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
-            "id_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
-            "dist": np.concatenate(out_d) if out_d else np.array([], np.int64),
+        z = np.array([], np.int64)
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a) if out_a else z),
+            "id_b": pa.array(np.concatenate(out_b) if out_b else z),
+            "dist": pa.array(np.concatenate(out_d) if out_d else z),
         })
 
     return (ranked.map_batches(route, batch_format="pyarrow")
-            .groupby("__kb").map_groups(pairs, batch_format="pandas"))
+            .groupby("__kb").map_groups(pairs, batch_format="pyarrow"))

@@ -18,7 +18,6 @@ row cap fails loudly rather than letting one degenerate block go O(n²).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -70,34 +69,34 @@ def fuzzy_value_pairs(ds: ray.data.Dataset, *, col: str,
             "__cb": pa.array(bh % num_buckets, pa.int64()),
         })
 
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame({
-            "name_a": pd.Series([], dtype="object"),
-            "name_b": pd.Series([], dtype="object"),
-            "dist": pd.Series([], dtype="int64"),
-        })
+    def _empty() -> pa.Table:
+        return pa.table({"name_a": pa.array([], pa.string()),
+                         "name_b": pa.array([], pa.string()),
+                         "dist": pa.array([], pa.int64())})
 
-    def pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        if col not in group.columns or not len(group):
+    def pairs_bulk(group: pa.Table) -> pa.Table:
+        # Arrow-native group; the per-pair levenshtein stays Python (it
+        # is the verify itself), only the frame copy went away
+        if col not in group.schema.names or not group.num_rows:
             return _empty()
-        g = group.drop_duplicates(subset=[col]).sort_values(
-            ["__bh", col], kind="mergesort")
-        sizes = g.groupby("__bh", sort=False).size()
-        if int(sizes.max()) > max_block_values:
+        vals0 = np.asarray(group[col].to_pylist(), dtype=object)
+        bh0 = group["__bh"].to_numpy(zero_copy_only=False)
+        _, ui = np.unique(vals0, return_index=True)  # distinct values
+        vals0, bh0 = vals0[ui], bh0[ui]
+        o = np.lexsort((vals0, bh0))
+        vals, bhs = vals0[o], bh0[o]
+        starts = np.nonzero(np.concatenate(
+            ([True], bhs[1:] != bhs[:-1])))[0]
+        ends = np.append(starts[1:], len(vals))
+        biggest = int((ends - starts).max())
+        if biggest > max_block_values:
             raise ValueError(
-                f"fuzzy_value_pairs: a block holds {int(sizes.max())} "
+                f"fuzzy_value_pairs: a block holds {biggest} "
                 f"distinct values (> max_block_values={max_block_values}) "
                 "— the quadratic verify would blow up; choose a more "
                 "selective blocking key or raise the cap explicitly")
-        vals = g[col].to_numpy()
-        bhs = g["__bh"].to_numpy()
         lens = np.fromiter((len(v) for v in vals), np.int64, len(vals))
         out_a, out_b, out_d = [], [], []
-        # per-block self-merge indices without pandas merge: blocks are
-        # contiguous after the sort
-        starts = np.nonzero(np.concatenate(
-            ([True], bhs[1:] != bhs[:-1])))[0]
-        ends = np.append(starts[1:], len(g))
         for s, e in zip(starts, ends):
             for i in range(s, e):
                 for j in range(i + 1, e):
@@ -108,11 +107,9 @@ def fuzzy_value_pairs(ds: ray.data.Dataset, *, col: str,
                         out_a.append(vals[i])
                         out_b.append(vals[j])
                         out_d.append(d)
-        return pd.DataFrame({
-            "name_a": pd.Series(out_a, dtype="object"),
-            "name_b": pd.Series(out_b, dtype="object"),
-            "dist": pd.Series(out_d, dtype="int64"),
-        })
+        return pa.table({"name_a": pa.array(out_a, pa.string()),
+                         "name_b": pa.array(out_b, pa.string()),
+                         "dist": pa.array(out_d, pa.int64())})
 
     return (ds.map_batches(distinct_partial, batch_format="pyarrow")
-            .groupby("__cb").map_groups(pairs_bulk, batch_format="pandas"))
+            .groupby("__cb").map_groups(pairs_bulk, batch_format="pyarrow"))
