@@ -24,7 +24,6 @@ deterministic, so an SQL window oracle can verify it exactly.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -125,13 +124,19 @@ def prefix_sum(ds: ray.data.Dataset, *, order_col: str, val_col: str,
                         totals["__t"].to_numpy(np.int64))[:-1]])))
 
     # phase 2: in-bucket ordered cumsum + broadcast bucket offset
-    def scan(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-        base = offs[int(g["__b"].iloc[0])]
-        g[out_col] = base + np.cumsum(g[val_col].to_numpy(np.int64))
-        return g.drop(columns="__b")
+    # (Arrow-native: argsort + take, no pandas frame)
+    def scan(group: pa.Table) -> pa.Table:
+        o = np.argsort(group[order_col].to_numpy(zero_copy_only=False),
+                       kind="stable")
+        base = offs[int(group["__b"][0].as_py())]
+        run = base + np.cumsum(group[val_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)[o])
+        idx = pa.array(o, pa.int64())
+        out = {c: group[c].take(idx) for c in cols}
+        out[out_col] = pa.array(run)
+        return pa.table(out)
 
-    return tagged.groupby("__b").map_groups(scan, batch_format="pandas")
+    return tagged.groupby("__b").map_groups(scan, batch_format="pyarrow")
 
 
 def pack_by_token_budget(ds: ray.data.Dataset, *, order_col: str,
@@ -208,14 +213,19 @@ def global_rank(ds: ray.data.Dataset, *, val_col: str, id_col: str,
                     np.concatenate([[0], np.cumsum(
                         counts["__c"].to_numpy(np.int64))[:-1]])))
 
-    def rank(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([val_col, id_col],
-                              kind="mergesort").reset_index(drop=True)
-        base = offs[int(g["__b"].iloc[0])]
-        g[out_col] = base + np.arange(1, len(g) + 1, dtype=np.int64)
-        return g.drop(columns="__b")
+    def rank(group: pa.Table) -> pa.Table:
+        o = np.lexsort((group[id_col].to_numpy(zero_copy_only=False),
+                        group[val_col].to_numpy(zero_copy_only=False)))
+        base = offs[int(group["__b"][0].as_py())]
+        idx = pa.array(o, pa.int64())
+        return pa.table({
+            id_col: group[id_col].take(idx),
+            val_col: group[val_col].take(idx),
+            out_col: pa.array(base + np.arange(1, len(o) + 1,
+                                               dtype=np.int64)),
+        })
 
-    return tagged.groupby("__b").map_groups(rank, batch_format="pandas")
+    return tagged.groupby("__b").map_groups(rank, batch_format="pyarrow")
 
 
 def global_ntile(ds: ray.data.Dataset, *, val_col: str, id_col: str,
@@ -268,12 +278,16 @@ def global_ntile(ds: ray.data.Dataset, *, val_col: str, id_col: str,
             t[~big] = r + (rank0[~big] - boundary) // q + 1
         return t
 
-    def rank(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([val_col, id_col],
-                              kind="mergesort").reset_index(drop=True)
-        base = offs[int(g["__b"].iloc[0])]
-        rank0 = base + np.arange(len(g), dtype=np.int64)
-        g[out_col] = tile_of(rank0)
-        return g.drop(columns="__b")
+    def rank(group: pa.Table) -> pa.Table:
+        o = np.lexsort((group[id_col].to_numpy(zero_copy_only=False),
+                        group[val_col].to_numpy(zero_copy_only=False)))
+        base = offs[int(group["__b"][0].as_py())]
+        idx = pa.array(o, pa.int64())
+        return pa.table({
+            id_col: group[id_col].take(idx),
+            val_col: group[val_col].take(idx),
+            out_col: pa.array(tile_of(
+                base + np.arange(len(o), dtype=np.int64))),
+        })
 
-    return tagged.groupby("__b").map_groups(rank, batch_format="pandas")
+    return tagged.groupby("__b").map_groups(rank, batch_format="pyarrow")
