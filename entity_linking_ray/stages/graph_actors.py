@@ -194,9 +194,12 @@ class EdgeShard:
         ok = (idx < len(self.nodes))
         ok[ok] = self.nodes[idx[ok]] == mine[ok]
         self.hop[idx[ok]] = 0
-        # seeds absent from the edge set still carry hop 0 (parity with
-        # the shuffle path, which keeps them in the label table)
-        self.extra_seeds = np.unique(mine[~ok])
+        # SINK nodes (no out-edges here — seeds absent from the src set,
+        # and on directed graphs any dst-only node) still carry a hop,
+        # matching the shuffle path's label table. Sorted arrays, grown
+        # per level in bfs_apply.
+        self.xnodes = np.unique(mine[~ok])
+        self.xhop = np.zeros(len(self.xnodes), np.int64)
 
     def bfs_expand(self, h: int) -> list:
         """Out-neighbors of this shard's level-h frontier, deduped and
@@ -209,21 +212,36 @@ class EdgeShard:
 
     def bfs_apply(self, refs: list, h: int) -> int:
         newly = 0
+        sinks: list[np.ndarray] = []
         for ref in refs:
             u = ray.get(ref)
             if not len(u):
                 continue
-            _, sel = self._own_idx(u)
+            ok, sel = self._own_idx(u)
             fresh = sel[self.hop[sel] == -1]
             self.hop[fresh] = h + 1
             newly += len(fresh)
+            if not ok.all():
+                sinks.append(u[~ok])
+        if sinks:
+            cand = np.unique(np.concatenate(sinks))
+            pos = np.searchsorted(self.xnodes, cand)
+            seen = pos < len(self.xnodes)
+            seen[seen] = self.xnodes[pos[seen]] == cand[seen]
+            new = cand[~seen]
+            if len(new):
+                self.xnodes = np.concatenate([self.xnodes, new])
+                self.xhop = np.concatenate(
+                    [self.xhop, np.full(len(new), h + 1, np.int64)])
+                o = np.argsort(self.xnodes, kind="mergesort")
+                self.xnodes, self.xhop = self.xnodes[o], self.xhop[o]
+                newly += len(new)
         return newly
 
     def bfs_result(self) -> pa.Table:
         m = self.hop >= 0
-        node = np.concatenate([self.nodes[m], self.extra_seeds])
-        hop = np.concatenate([self.hop[m],
-                              np.zeros(len(self.extra_seeds), np.int64)])
+        node = np.concatenate([self.nodes[m], self.xnodes])
+        hop = np.concatenate([self.hop[m], self.xhop])
         return pa.table({"node": pa.array(node, pa.int64()),
                          "hop": pa.array(hop, pa.int64())})
 

@@ -64,6 +64,38 @@ def test_engine_bfs_equals_shuffle(ray_session, edge_table):
     assert (got["hop"].to_numpy() == want["hop"].to_numpy()).all()
 
 
+def test_engine_bfs_directed_sinks_equal_shuffle(ray_session):
+    """DIRECTED graph with dst-only sink nodes: the shuffle path keeps a
+    reached sink in its label table; the actor engine must too (sinks own
+    no out-edges, so they live outside the CSR node set)."""
+    from entity_linking_ray.stages.graph import bfs_hops
+    from entity_linking_ray.stages.graph_actors import GraphEngine
+
+    rng = np.random.default_rng(11)
+    # layered DAG: 0..9 → 100..139 → 1000..1019 (last layer all sinks),
+    # plus a few sink hubs reached at different levels
+    src = np.concatenate([
+        rng.integers(0, 10, 60), rng.integers(100, 140, 60),
+        np.array([0, 3, 105]),
+    ]).astype(np.int64)
+    dst = np.concatenate([
+        rng.integers(100, 140, 60), rng.integers(1000, 1020, 60),
+        np.array([7777, 7777, 8888]),
+    ]).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    seeds = [0, 1, 2, 3]
+    want = (bfs_hops(ray.data.from_arrow(t), seeds=seeds, max_hops=4,
+                     num_buckets=8)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    for shards in (1, 4):
+        with GraphEngine(ray.data.from_arrow(t).repartition(3),
+                         num_shards=shards) as eng:
+            got = (eng.bfs(seeds=seeds, max_hops=4).to_pandas()
+                   .sort_values("node").reset_index(drop=True))
+        assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
+        assert (got["hop"].to_numpy() == want["hop"].to_numpy()).all()
+
+
 def test_engine_cc_equals_union_find(ray_session):
     from entity_linking_ray.stages.clustering import union_find_reference
     from entity_linking_ray.stages.graph_actors import GraphEngine
