@@ -4507,3 +4507,32 @@ def _q_docs_dup_substring_spans(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return dup_substring_spans(docs, window=40, min_count=2)
+
+
+_DOC_CHUNKS_SQL = """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    k AS (SELECT doc_id, text, n,
+            unnest(range(0, 1 + (greatest(n - 200, 0) + 159) // 160)) AS k
+          FROM d)
+    SELECT doc_id, cast(k as bigint) AS chunk_idx,
+           cast(k * 160 as bigint) AS chunk_start,
+           cast(least(k * 160 + 200, n) as bigint) AS chunk_end,
+           substr(text, cast(k * 160 + 1 as int),
+                  cast(least(k * 160 + 200, n) - k * 160 as int))
+             AS chunk_text
+    FROM k
+"""
+
+
+@register("doc_chunks", _DOC_CHUNKS_SQL)
+def _q_doc_chunks(sf_dir: str):
+    """Sliding-window document chunking (size 200 chars, overlap 40 —
+    stages/chunking.chunk_documents): the context-window prep stage
+    feeding embedding/packing. Integer chunk grid (no float ceil) so
+    the SQL replicates it bit-exactly; chunk strings gather out of one
+    concatenated batch buffer with numpy fancy indexing on the ASCII
+    fast path — no per-chunk Python."""
+    from .stages.chunking import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, size=200, overlap=40)
