@@ -93,18 +93,19 @@ def hash_strings(strings, seed: int = 0) -> np.ndarray:
     return _finish63(_fnv1a_bulk(data, offsets), seed)
 
 
-def fnv1a_64_arrow(arr) -> np.ndarray:
-    """Raw full-width u64 FNV-1a over a pyarrow string array/chunked
-    array — the Arrow twin of :func:`fnv1a_64`, ZERO-COPY off the utf-8
-    data buffer (no to_pylist, no encode pass). Nulls rejected loudly."""
+def string_array_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(utf-8 data bytes, int64 row offsets) of a pyarrow string
+    array/chunked array, ZERO-COPY off the Arrow buffers (no to_pylist,
+    no encode pass). Nulls rejected loudly. Shared by the bulk hash
+    kernel and the ASCII chunk gather (stages/chunking.py)."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count:
-        raise ValueError("fnv1a_64_arrow: null strings not supported")
+        raise ValueError("string_array_bytes: null strings not supported")
     if len(arr) == 0:
-        return np.empty(0, np.uint64)
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
     if pa.types.is_large_string(arr.type):
         off_dtype = np.int64
     elif pa.types.is_string(arr.type):
@@ -115,18 +116,18 @@ def fnv1a_64_arrow(arr) -> np.ndarray:
     offsets = np.frombuffer(bufs[1], off_dtype)[
         arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(bufs[2], np.uint8)
-    return _fnv1a_bulk(data, offsets)
+    return data, offsets
 
 
 def hash_strings_arrow(arr, seed: int = 0) -> np.ndarray:
     """:func:`hash_strings` over a pyarrow string array/chunked array —
-    zero-copy raw hash (:func:`fnv1a_64_arrow`) + the 63-bit seed
+    zero-copy raw FNV-1a off the Arrow buffers + the 63-bit seed
     finish. Identical output to ``hash_strings(arr.to_pylist())``
     (property-tested)."""
-    raw = fnv1a_64_arrow(arr)
-    if not len(raw):
+    data, offsets = string_array_bytes(arr)
+    if len(offsets) <= 1:
         return np.empty(0, np.int64)
-    return _finish63(raw, seed)
+    return _finish63(_fnv1a_bulk(data, offsets), seed)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:

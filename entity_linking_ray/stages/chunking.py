@@ -62,6 +62,8 @@ def chunk_documents(ds: ray.data.Dataset, *, size: int = 200,
 
     def chunk(b: pa.Table) -> pa.Table:
         arr = b[col].combine_chunks()
+        if arr.null_count:
+            raise ValueError("chunk_documents: null text not supported")
         if len(arr) == 0:
             return pa.table({
                 id_col: b[id_col],
@@ -73,17 +75,29 @@ def chunk_documents(ds: ray.data.Dataset, *, size: int = 200,
         lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         doc_row, k, start, end = _chunk_grid(lens, size, stride)
+        counts = end - start
+        total = int(counts.sum())
         ascii_only = bool(pc.all(pc.equal(
             pc.utf8_length(arr), pc.binary_length(arr))).as_py())
+        # Arrow `string` offsets are int32 — a batch whose chunk text
+        # totals >= 2 GiB (overlap inflates by size/stride) cannot build
+        # one array; such a block is itself an upstream block-size bug,
+        # so fail loudly rather than wrap silently
+        if total >= 2**31:
+            raise ValueError(
+                f"chunk_documents: batch expands to {total} chunk bytes "
+                "(>= 2 GiB); reduce the input block size "
+                "(DataContext.target_max_block_size)")
         if ascii_only:
-            texts_cat = "".join(arr.to_pylist())
-            buf = np.frombuffer(texts_cat.encode("ascii"), np.uint8)
-            doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            gs = doc_off[doc_row] + start
-            counts = end - start
+            # zero-copy gather straight off the Arrow utf-8 data buffer
+            # (bytes == chars for ASCII) — no to_pylist/join/encode pass
+            from ..functions.hashing import string_array_bytes
+
+            buf, row_off = string_array_bytes(arr)
+            gs = row_off[:-1][doc_row] + start
             seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
             idx = (np.repeat(gs - seg_start, counts)
-                   + np.arange(int(counts.sum()), dtype=np.int64))
+                   + np.arange(total, dtype=np.int64))
             values = buf[idx]
             offsets = np.concatenate([[0], np.cumsum(counts)]) \
                 .astype(np.int32)

@@ -1836,6 +1836,8 @@ def _window_char_hashes(texts: list, w: int) -> tuple[np.ndarray,
     no per-character Python. → (doc_row, pos, hash63); ``pos`` is the
     0-based CHARACTER offset (DuckDB substr parity for any script,
     not just ASCII)."""
+    if any(t is None for t in texts):
+        raise ValueError("dup_substring_spans: null text not supported")
     cps = [np.frombuffer(t.encode("utf-32-le"), np.uint32) for t in texts]
     lens = np.array([len(c) for c in cps], np.int64)
     n_win = np.maximum(lens - w + 1, 0)
@@ -1854,9 +1856,9 @@ def _window_char_hashes(texts: list, w: int) -> tuple[np.ndarray,
         h = h * _SUBSTR_BASE + cat[j:j + m]
     # valid window starts: doc i occupies [off, off+len) in the glue
     off = np.concatenate([[0], np.cumsum(lens + (w - 1))[:-1]])
-    starts = np.repeat(off, n_win) + _win_pos(n_win)
-    doc_row = np.repeat(np.arange(len(texts), dtype=np.int64), n_win)
     pos = _win_pos(n_win)
+    starts = np.repeat(off, n_win) + pos
+    doc_row = np.repeat(np.arange(len(texts), dtype=np.int64), n_win)
     return doc_row, pos, (h[starts] & np.uint64((1 << 63) - 1)).astype(
         np.int64)
 

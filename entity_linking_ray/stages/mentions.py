@@ -375,8 +375,10 @@ class MentionExtractor:
             "context_right": pa.array(
                 [texts[r][e:e + cw] for r, e in zip(rep_l, e_l)],
                 pa.string()),
-            "offset": pa.array((base[rep] + s_arr).astype(np.int32),
-                               pa.int32()),
+            # pa.array validates the int64→int32 narrowing (ArrowInvalid
+            # past 2^31-1) where .astype would wrap silently — a >2 Gi-
+            # char document must fail loudly, not corrupt offsets
+            "offset": pa.array(base[rep] + s_arr, pa.int32()),
         })
 
 

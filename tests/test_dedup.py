@@ -701,14 +701,35 @@ def test_dup_substring_spans_modes_match_bruteforce(ray_session):
         assert sorted(zip(got.doc_id, got.span_start,
                           got.span_end)) == ref, mode
 
-    # unicode parity: positions are CHARACTER offsets
-    u = pa.table({"doc_id": pa.array(["a", "b"]),
-                  "text": pa.array(["héllo wörld×" * 4, "zz héllo wörld×" * 4])})
-    got = dup_substring_spans(ray.data.from_arrow(u), window=6,
+    # unicode parity: positions are CHARACTER offsets (byte offsets
+    # would shift every span on these multibyte texts — the brute-force
+    # reference below indexes Python strings, i.e. characters)
+    udocs = ["αβγ unique-one héllo wörld× tail",
+             "ζη another-doc héllo wörld× end×"]
+    Wu = 12
+    ucnt = Counter()
+    for d in udocs:
+        for p in range(len(d) - Wu + 1):
+            ucnt[d[p:p + Wu]] += 1
+    uref = []
+    for i, d in enumerate(udocs):
+        spans, prev = [], None
+        for p in range(len(d) - Wu + 1):
+            if ucnt[d[p:p + Wu]] < 2:
+                continue
+            if prev is None or p - prev > Wu:
+                spans.append([p, p + Wu])
+            else:
+                spans[-1][1] = p + Wu
+            prev = p
+        uref += [(f"u{i}", s, e) for s, e in spans]
+    assert uref  # the shared ' héllo wörld×' region really is flagged
+    u = pa.table({"doc_id": pa.array(["u0", "u1"]),
+                  "text": pa.array(udocs)})
+    got = dup_substring_spans(ray.data.from_arrow(u), window=Wu,
                               min_count=2, mode="broadcast").to_pandas()
-    assert (got.span_end <= [len("héllo wörld×" * 4),
-                             len("zz héllo wörld×" * 4)][0] + 100).all()
-    assert len(got) >= 2
+    assert sorted(zip(got.doc_id, got.span_start,
+                      got.span_end)) == sorted(uref)
 
     # typed empty out for empty in
     empty = ray.data.from_arrow(t.slice(0, 0))
