@@ -3534,7 +3534,6 @@ def _q_part_copurchase_triangles(sf_dir: str):
     catalog-bounded; the pair explode is quadratic only in that small
     constant)."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
 
     from .stages.graph import triangle_count
@@ -3545,18 +3544,27 @@ def _q_part_copurchase_triangles(sf_dir: str):
     def dist(b: pa.Table) -> pa.Table:
         return b.group_by(["l_orderkey", "l_partkey"]).aggregate([])
 
+    # ONE shuffle: the batch-local combiner slims the rows, the order
+    # bucket co-group below dedups in-kernel (all rows of an order land
+    # in one group) — the former dedicated distinct groupby cost ~7 s of
+    # the 16 s wall at sf0.1 (Ray's native multi-key aggregate)
     lp = (li.map_batches(dist, batch_format="pyarrow")
-          .groupby(["l_orderkey", "l_partkey"]).count()
-          .drop_columns(["count()"])
           .map_batches(_add_key_bucket("l_orderkey"),
                        batch_format="pyarrow"))
 
-    def order_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["l_orderkey", "l_partkey"],
-                              kind="mergesort")
-        o = g["l_orderkey"].to_numpy(np.int64)
-        p = g["l_partkey"].to_numpy(np.int64)
-        n = len(g)
+    def order_pairs(group: pa.Table) -> pa.Table:
+        o0 = group["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p0 = group["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((p0, o0))
+        o, p = o0[order], p0[order]
+        n = len(o)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:  # in-group distinct (order, part)
+            keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        n = len(o)
         new = np.ones(n, dtype=bool)
         if n > 1:
             new[1:] = o[1:] != o[:-1]
@@ -3569,10 +3577,11 @@ def _q_part_copurchase_triangles(sf_dir: str):
         off = (np.arange(int(reps.sum()))
                - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]),
                            reps) + 1)
-        return pd.DataFrame({"x": p[ai], "y": p[ai + off]})
+        return pa.table({"x": pa.array(p[ai]),
+                         "y": pa.array(p[ai + off])})
 
     edges = lp.groupby("__kb").map_groups(order_pairs,
-                                          batch_format="pandas")
+                                          batch_format="pyarrow")
     # wedge volume scales with m^1.5, not input bytes: floor the bucket
     # count well above the byte-derived width (2 at sf0.1) or the probe
     # kernels serialize on a couple of tasks

@@ -89,14 +89,20 @@ def pagerank(edges: ray.data.Dataset, *, src_col: str = "src",
               .materialize())
 
     # out-degree per src == per-node degree (both directions present)
-    from ray.data.aggregate import Sum
-
     def deg_partial(b: pa.Table) -> pa.Table:
         g = b.group_by([src_col]).aggregate([([], "count_all")])
-        return g.rename_columns(["node", "__d"])
+        g = g.rename_columns(["node", "__d"])
+        kb = _bucket_of(g["node"].to_numpy(zero_copy_only=False),
+                        num_buckets)
+        return g.append_column("__db", pa.array(kb))
+
+    def deg_merge(g: pa.Table) -> pa.Table:
+        # bucketed vectorized sum (see triangle_count.deg_merge)
+        return (g.group_by("node").aggregate([("__d", "sum")])
+                .rename_columns(["node", "d"]))
 
     deg = (dedges.map_batches(deg_partial, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("__d", alias_name="d"))
+           .groupby("__db").map_groups(deg_merge, batch_format="pyarrow")
            .materialize())
     n_nodes = deg.count()
     base = (15 * UNITS) // (100 * n_nodes)
@@ -268,10 +274,20 @@ def triangle_count(edges: ray.data.Dataset, *, a_col: str = "x",
         v = np.concatenate([b["x"].to_numpy(zero_copy_only=False),
                             b["y"].to_numpy(zero_copy_only=False)])
         u, c = np.unique(v, return_counts=True)
-        return pa.table({"v": pa.array(u), "__c": pa.array(c.astype(np.int64))})
+        return pa.table({"v": pa.array(u),
+                         "__c": pa.array(c.astype(np.int64)),
+                         "__db": pa.array(_bucket_of(u, num_buckets))})
+
+    def deg_merge(g: pa.Table) -> pa.Table:
+        # bucketed vectorized sum — Ray's native per-key aggregate costs
+        # ~5 s on 20k keys at sf0.1 (sort-based, per-key overhead); one
+        # Arrow group_by per coarse bucket is <1 s (the clustering
+        # _groupby_min lesson applied to degrees)
+        return (g.group_by("v").aggregate([("__c", "sum")])
+                .rename_columns(["v", "d"]))
 
     deg = (e.map_batches(deg_partial, batch_format="pyarrow")
-           .groupby("v").aggregate(Sum("__c", alias_name="d"))
+           .groupby("__db").map_groups(deg_merge, batch_format="pyarrow")
            .materialize())
 
     def _attach(es: ray.data.Dataset, key: str, out: str) -> ray.data.Dataset:
