@@ -195,9 +195,11 @@ def _q_top_customers(sf_dir: str):
     np_ = _table_partitions(sf_dir, "orders", "customer")
     joined = per_cust.join(
         customer, "inner", np_, on=("o_custkey",), right_on=("c_custkey",))
-    per_cust_tot = joined.groupby(["o_custkey", "c_name"]).aggregate(
-        Sum("sum_fx", alias_name="sum_fx"),
-        Sum("n_orders", alias_name="n_orders"))
+    from .stages.agg import bucketed_agg
+
+    per_cust_tot = bucketed_agg(
+        joined, ["o_custkey", "c_name"],
+        [("sum_fx", "sum", "sum_fx"), ("n_orders", "sum", "n_orders")])
 
     def fin(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -250,8 +252,12 @@ def _q_part_boost(sf_dir: str):
     np_ = _table_partitions(sf_dir, "lineitem", "part")
     joined = li.map_batches(partial, batch_format="pyarrow").join(
         part, "inner", np_, on=("l_partkey",), right_on=("p_partkey",))
-    counts = joined.groupby("l_partkey").aggregate(
-        Sum("n", alias_name="n_lines"))
+    # bucketed sum: partkey cardinality scales with SF and Ray's native
+    # per-key aggregate costs ~5 s at 20k keys (stages/agg.py)
+    from .stages.agg import bucketed_agg
+
+    counts = bucketed_agg(joined, "l_partkey",
+                          [("n", "sum", "n_lines")])
 
     def fin(b: pa.Table) -> pa.Table:
         boost = pc.round(pc.ln(pc.add(pc.cast(b["n_lines"], pa.float64()), 1.0)), 6,
@@ -661,10 +667,11 @@ def _q_distinct_users(sf_dir: str):
         g = b.group_by(["event_type"]).aggregate([([], "count_all")])
         return g.rename_columns(["event_type", "__c"])
 
-    pairs = (ev.map_batches(pair_distinct, batch_format="pyarrow")
-             .groupby(["event_type", "user_id"])
-             .aggregate(Count(alias_name="__dup"))
-             .drop_columns(["__dup"]))
+    from .stages.agg import bucketed_agg
+
+    pairs = bucketed_agg(ev.map_batches(pair_distinct,
+                                        batch_format="pyarrow"),
+                         ["event_type", "user_id"])
     return (pairs.map_batches(count_partial, batch_format="pyarrow")
             .groupby("event_type").aggregate(Sum("__c", alias_name="n_users")))
 
@@ -766,15 +773,15 @@ def _q_word_freq(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.split_pattern(b["text"], " "))
-        return (pa.table({"word": toks}).group_by("word")
-                .aggregate([("word", "count")])
-                .rename_columns(["word", "n"]))
+    from .stages.agg import bucketed_agg
+
+    def explode(b: pa.Table) -> pa.Table:
+        return pa.table({"word": pc.list_flatten(
+            pc.split_pattern(b["text"], " "))})
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word").aggregate(Sum("n", alias_name="n"))
+        bucketed_agg(ds.map_batches(explode, batch_format="pyarrow"),
+                     "word", [("word", "count", "n")])
         .sort(["n", "word"], descending=[True, False])
         .limit(20)
     )
@@ -3001,8 +3008,10 @@ def _q_daily_new_users_cumulative(sf_dir: str):
         g = t.group_by("user_id").aggregate([("__d", "min")])
         return g.rename_columns(["user_id", "__d"])  # per-batch combiner
 
-    first = (ev.map_batches(day, batch_format="pyarrow")
-             .groupby("user_id").aggregate(Min("__d", alias_name="d_us")))
+    from .stages.agg import bucketed_agg
+
+    first = bucketed_agg(ev.map_batches(day, batch_format="pyarrow"),
+                         "user_id", [("__d", "min", "d_us")])
 
     def cpart(b: pa.Table) -> pa.Table:
         g = b.select(["d_us"]).group_by("d_us") \
@@ -3059,14 +3068,16 @@ def _q_event_type_cooccurrence(sf_dir: str):
     def dist(b: pa.Table) -> pa.Table:
         return b.group_by(["user_id", "event_type"]).aggregate([])
 
+    # ONE shuffle: batch-local combiner + in-kernel distinct (all rows
+    # of a user land in one bucket group) — the dedicated distinct
+    # groupby was a second all-to-all on a user-scale key
     pairs_src = (ev.map_batches(dist, batch_format="pyarrow")
-                 .groupby(["user_id", "event_type"]).count()
-                 .drop_columns(["count()"])
                  .map_batches(_add_key_bucket("user_id"),
                               batch_format="pyarrow"))
 
     def pair_kernel(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "event_type"], kind="mergesort")
+        g = g.drop_duplicates(["user_id", "event_type"])
         users = g["user_id"].to_numpy()
         types = g["event_type"].to_numpy()
         n = len(g)
@@ -3437,15 +3448,13 @@ def _q_user_retention_cohorts(sf_dir: str):
     growth-analytics query. Scale shape: BOTH inputs to the user join
     are already combiner-collapsed aggregates (first-seen via per-batch
     Min partials; activity via per-batch distinct (user, day) pairs), so
-    the tag-union co-group on user_id ships one row per user plus one
-    per active user-day — never raw events; a partial-count combiner
-    feeds the tiny final (cohort, offset) groupby."""
+    ONE user-bucket co-group (all of a user's rows co-locate) ships the
+    slim combined (user, day) pairs once — never raw events — and a
+    partial-count combiner feeds the tiny final (cohort, offset)
+    groupby."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
-
-    from ray.data.aggregate import Min, Sum
 
     from .stages.windows import _add_key_bucket
 
@@ -3459,46 +3468,54 @@ def _q_user_retention_cohorts(sf_dir: str):
         t = pa.table({"user_id": b["user_id"], "d": d})
         return t.group_by(["user_id", "d"]).aggregate([])  # batch distinct
 
-    pairs = (ev.map_batches(day_pairs, batch_format="pyarrow")
-             .groupby(["user_id", "d"]).count()
-             .drop_columns(["count()"])
-             .materialize())  # two consumers: first-seen + activity side
+    from .stages.agg import bucketed_agg
 
-    def min_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by("user_id").aggregate([("d", "min")])
-        return g.rename_columns(["user_id", "__c"])
+    # ONE user-bucket co-group computes everything per user locally
+    # (all of a user's rows land in one group): distinct (user, day),
+    # first-seen cohort (= segment-min day on the sorted runs), day
+    # offsets, and the per-(cohort, offset) partial counts. The former
+    # plan shuffled three times (distinct pairs, per-user min, tag-union
+    # co-group); this ships the slim combined pairs once.
+    src = (ev.map_batches(day_pairs, batch_format="pyarrow")
+           .map_batches(_add_key_bucket("user_id"),
+                        batch_format="pyarrow"))
 
-    first = (pairs.map_batches(min_partial, batch_format="pyarrow")
-             .groupby("user_id").aggregate(Min("__c", alias_name="cohort")))
+    def offsets(group: pa.Table) -> pa.Table:
+        u0 = group["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d0 = group["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((d0, u0))
+        u, d = u0[o], d0[o]
+        n = len(u)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:  # in-group distinct (user, day)
+            keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        cohort = d[starts][seg]  # per-row first-seen day (d sorted/user)
+        off = (d - cohort) // DAY
+        # in-bucket combiner: one row per (cohort, offset)
+        o2 = np.lexsort((off, cohort))
+        c2, f2 = cohort[o2], off[o2]
+        nb = np.ones(n, dtype=bool)
+        if n > 1:
+            nb[1:] = (c2[1:] != c2[:-1]) | (f2[1:] != f2[:-1])
+        st = np.nonzero(nb)[0]
+        return pa.table({
+            "cohort": pa.array(c2[st]),
+            "day_offset": pa.array(f2[st]),
+            "__n": pa.array(np.diff(np.append(st, n)).astype(np.int64)),
+        })
 
-    def tag_first(b: pa.Table) -> pa.Table:
-        return pa.table({"user_id": b["user_id"], "v": b["cohort"],
-                         "__side": pa.array(np.zeros(len(b), np.int8))})
-
-    def tag_act(b: pa.Table) -> pa.Table:
-        return pa.table({"user_id": b["user_id"], "v": b["d"],
-                         "__side": pa.array(np.ones(len(b), np.int8))})
-
-    tagged = (first.map_batches(tag_first, batch_format="pyarrow")
-              .union(pairs.map_batches(tag_act, batch_format="pyarrow"))
-              .map_batches(_add_key_bucket("user_id"),
-                           batch_format="pyarrow"))
-
-    def offsets(group: pd.DataFrame) -> pd.DataFrame:
-        f = group[group["__side"] == 0][["user_id", "v"]] \
-            .rename(columns={"v": "cohort"})
-        a = group[group["__side"] == 1][["user_id", "v"]]
-        m = a.merge(f, on="user_id", how="inner")
-        off = ((m["v"].to_numpy(np.int64)
-                - m["cohort"].to_numpy(np.int64)) // DAY)
-        out = pd.DataFrame({"cohort": m["cohort"].to_numpy(np.int64),
-                            "day_offset": off})
-        return out.groupby(["cohort", "day_offset"], as_index=False) \
-            .size().rename(columns={"size": "__n"})  # in-bucket combiner
-
-    agg = (tagged.groupby("__kb").map_groups(offsets, batch_format="pandas")
-           .groupby(["cohort", "day_offset"])
-           .aggregate(Sum("__n", alias_name="n_users")))
+    agg = bucketed_agg(
+        src.groupby("__kb").map_groups(offsets, batch_format="pyarrow"),
+        ["cohort", "day_offset"], [("__n", "sum", "n_users")],
+        num_buckets=8)
 
     def fin(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -4219,11 +4236,10 @@ def _fingerprint_pinned(sf_dir: str, full_name: str, val_col: str):
     full = QUERIES[full_name](sf_dir).materialize()
     n_docs = full.count()
 
-    def uniq_part(b: pa.Table) -> pa.Table:
-        return b.select([val_col]).group_by(val_col).aggregate([])
+    from .stages.agg import bucketed_agg
 
-    n_distinct = (full.map_batches(uniq_part, batch_format="pyarrow")
-                  .groupby(val_col).count().count())
+    n_distinct = bucketed_agg(full.select_columns([val_col]),
+                              val_col).count()
     pinned = (full.filter(expr="doc_id < 5").to_pandas()
               .sort_values("doc_id").reset_index(drop=True))
     pinned["n_docs"] = np.int64(n_docs)

@@ -54,9 +54,12 @@ def explode_aliases(batch: pa.Table) -> pa.Table:
 
 def build_alias_index(entities: ray.data.Dataset) -> ray.data.Dataset:
     """entities → alias_index(norm_alias, entity_id), globally distinct."""
+    from .agg import bucketed_agg
+
     exploded = entities.map_batches(explode_aliases, batch_format="pyarrow")
-    # global exact dedup (D1): one shuffle on the alias key
-    return exploded.groupby(["norm_alias", "entity_id"]).count().drop_columns(["count()"])
+    # global exact dedup (D1): one bucketed shuffle on the alias key
+    # (KB-scale cardinality — stages/agg.py)
+    return bucketed_agg(exploded, ["norm_alias", "entity_id"])
 
 
 def add_description(batch: pa.Table) -> pa.Table:

@@ -582,9 +582,11 @@ def simhash_dup_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "do
     cand = (fps.map_batches(explode, batch_format="pyarrow")
             .map_batches(coarse, batch_format="pyarrow")
             .groupby("__cb").map_groups(pairs_bulk, batch_format="pyarrow"))
-    from ray.data.aggregate import Min
+    from .agg import bucketed_agg
 
-    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    # pair-key cardinality scales with dup volume — bucketed min
+    return bucketed_agg(cand, ["id_a", "id_b"],
+                        [("hamming", "min", "hamming")])
 
 
 def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",

@@ -566,8 +566,6 @@ def bfs_hops(edges: ray.data.Dataset, *, seeds: "list[int]",
     per-batch partials collapse before each shuffle. Early-exits when a
     level discovers nothing new; labels repartition+materialize per
     level (the iterative-fragmentation lesson from pagerank)."""
-    from ray.data.aggregate import Min
-
     def ekey(b: pa.Table) -> pa.Table:
         src = pc.cast(b[src_col], pa.int64())
         kb = _bucket_of(src.to_numpy(zero_copy_only=False), num_buckets)
@@ -625,13 +623,13 @@ def bfs_hops(edges: ray.data.Dataset, *, seeds: "list[int]",
                       .groupby("__kb").map_groups(expand,
                                                   batch_format="pyarrow"))
 
-        def min_partial(b: pa.Table) -> pa.Table:
-            g = b.group_by("node").aggregate([("hop", "min")])
-            return g.rename_columns(["node", "__h"])
+        from .agg import bucketed_agg
 
-        labels = (labels.union(discovered)
-                  .map_batches(min_partial, batch_format="pyarrow")
-                  .groupby("node").aggregate(Min("__h", alias_name="hop"))
+        # bucketed min on the node-scale key (stages/agg.py; the
+        # per-batch combiner lives inside bucketed_agg)
+        labels = (bucketed_agg(labels.union(discovered), "node",
+                               [("hop", "min", "hop")],
+                               num_buckets=num_buckets)
                   .repartition(min(num_buckets, 16))
                   .materialize())
 

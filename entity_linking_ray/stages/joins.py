@@ -78,14 +78,10 @@ def hot_keys(ds: ray.data.Dataset, key: str, hot_rows: int) -> list:
     small groupby-sum shuffle of partials), filtered to keys with >=
     ``hot_rows`` rows. Returns a driver-side python list — bounded by
     total_rows / hot_rows, so always broadcast-able."""
-    from ray.data.aggregate import Sum
+    from .agg import bucketed_agg
 
-    def part(b: pa.Table) -> pa.Table:
-        t = b.select([key]).group_by([key]).aggregate([([], "count_all")])
-        return t.rename_columns([key, "__c"])
-
-    agg = (ds.map_batches(part, batch_format="pyarrow")
-           .groupby(key).aggregate(Sum("__c", alias_name="__n"))
+    agg = (bucketed_agg(ds.select_columns([key]), key,
+                        [(key, "count", "__n")])
            .map_batches(lambda b: b.filter(
                pc.greater_equal(b["__n"], pa.scalar(hot_rows, pa.int64())))
                .select([key]), batch_format="pyarrow")

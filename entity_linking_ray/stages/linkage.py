@@ -143,19 +143,17 @@ def incoming_link_counts(parsed: ray.data.Dataset) -> ray.data.Dataset:
     (enrich_data.py:79-164)."""
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Sum
+    from .agg import bucketed_agg
 
-    def explode_and_count(batch: pa.Table) -> pa.Table:
+    def explode(batch: pa.Table) -> pa.Table:
         lst = batch["links"].combine_chunks()
-        flat = lst.flatten()
-        t = pa.table({"target": flat})
-        return t.group_by("target").aggregate([("target", "count")]).rename_columns(
-            ["target", "n"])
+        return pa.table({"target": lst.flatten()})
 
-    counts = (
-        parsed.map_batches(explode_and_count, batch_format="pyarrow")
-        .groupby("target").aggregate(Sum("n", alias_name="num_incoming_links"))
-    )
+    # bucketed count: target cardinality is KB-scale (stages/agg.py —
+    # the per-batch combiner lives inside bucketed_agg)
+    counts = bucketed_agg(
+        parsed.map_batches(explode, batch_format="pyarrow"),
+        "target", [("target", "count", "num_incoming_links")])
 
     def boost(batch: pa.Table) -> pa.Table:
         b = pc.ln(pc.add(pc.cast(batch["num_incoming_links"], pa.float64()), 1.0))
