@@ -520,16 +520,21 @@ def _existence_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                                 keep_matches=keep_matches)
         return exact if keep_matches else exact.union(absent)
 
-    def mark(b: pa.Table) -> pa.Table:
-        t = b.select(list(right_on)).group_by(list(right_on)).aggregate([])
-        return t.append_column(
-            "__hit", pa.array(np.ones(t.num_rows, np.int8)))
+    from .agg import bucketed_agg
 
-    from ray.data.aggregate import Min
+    def keys_only(b: pa.Table) -> pa.Table:
+        return b.select(list(right_on))
 
-    probe = (right.map_batches(mark, batch_format="pyarrow")
-             .groupby(list(right_on))
-             .aggregate(Min("__hit", alias_name="__hit"))
+    def add_hit(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__hit", pa.array(np.ones(b.num_rows, np.int8)))
+
+    # bucketed distinct on the (data-scale) key set — Ray's native
+    # per-key aggregate costs seconds at 100k keys (stages/agg.py)
+    probe = (bucketed_agg(right.map_batches(keys_only,
+                                            batch_format="pyarrow"),
+                          list(right_on))
+             .map_batches(add_hit, batch_format="pyarrow")
              .repartition(num_partitions))  # scrub untyped empty blocks
     joined = left.join(probe, "left_outer", num_partitions,
                        on=on, right_on=right_on)
