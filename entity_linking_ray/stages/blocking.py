@@ -52,13 +52,12 @@ def block_sizes(ds: ray.data.Dataset, key: str = "block_key") -> ray.data.Datase
     """Per-block mention counts (pre-aggregated per batch before the
     shuffle — the combiner pattern from SURVEY.md §4 skew row)."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        return batch.group_by(key).aggregate([(key, "count")]).rename_columns([key, "n"])
+    from .agg import bucketed_agg
 
-    partials = ds.select_columns([key]).map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-
-    return partials.groupby(key).aggregate(Sum("n", alias_name="block_size"))
+    # block-key cardinality scales with the corpus — bucketed count
+    # (stages/agg.py; the per-batch combiner lives inside)
+    return bucketed_agg(ds.select_columns([key]), key,
+                        [(key, "count", "block_size")])
 
 
 def hot_keys(ds: ray.data.Dataset, cap: int, key: str = "block_key") -> dict[int, int]:
