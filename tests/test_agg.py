@@ -1,0 +1,60 @@
+"""bucketed_agg (stages/agg.py): exact parity with a pandas groupby
+reference across key types, aggregate kinds, and the distinct form."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from entity_linking_ray.stages.agg import bucketed_agg
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(0)
+    n = 50_000
+    return pa.table({
+        "k": pa.array(rng.integers(0, 5000, n)),
+        "s": pa.array([f"g{x}" for x in rng.integers(0, 7, n)]),
+        "v": pa.array(rng.integers(-100, 100, n)),
+    })
+
+
+def test_bucketed_agg_matches_pandas(ray_session, frame):
+    ds = ray.data.from_arrow(frame).repartition(6)
+    df = frame.to_pandas()
+    got = bucketed_agg(ds, ["k", "s"],
+                       [("v", "sum", "v_sum"), ("v", "min", "v_min"),
+                        ("v", "max", "v_max"), ("v", "count", "n")]) \
+        .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    want = (df.groupby(["k", "s"])
+            .agg(v_sum=("v", "sum"), v_min=("v", "min"),
+                 v_max=("v", "max"), n=("v", "size"))
+            .reset_index().sort_values(["k", "s"]).reset_index(drop=True))
+    for c in ["v_sum", "v_min", "v_max", "n"]:
+        assert (got[c].to_numpy(np.int64)
+                == want[c].to_numpy(np.int64)).all(), c
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert list(got["s"]) == list(want["s"])
+
+
+def test_bucketed_agg_distinct_and_string_key(ray_session, frame):
+    ds = ray.data.from_arrow(frame).repartition(6)
+    df = frame.to_pandas()
+    got = bucketed_agg(ds, ["s", "k"]).to_pandas()
+    want = df[["s", "k"]].drop_duplicates()
+    assert (sorted(map(tuple, got[["s", "k"]].values.tolist()))
+            == sorted(map(tuple, want.values.tolist())))
+    # string first key buckets via FNV
+    g2 = bucketed_agg(ds, "s", [("v", "max", "mx")]).to_pandas() \
+        .sort_values("s").reset_index(drop=True)
+    w2 = df.groupby("s")["v"].max().reset_index(name="mx")
+    assert (g2["mx"].to_numpy(np.int64) == w2["mx"].to_numpy(np.int64)).all()
+
+
+def test_bucketed_agg_rejects_unknown_fn(ray_session, frame):
+    with pytest.raises(ValueError):
+        bucketed_agg(ray.data.from_arrow(frame), "k",
+                     [("v", "mean", "m")])
