@@ -1164,7 +1164,12 @@ def dedup_new_against_corpus(new_docs: ray.data.Dataset,
         return exact_survivors
 
     # ---- pass 2: cross-only LSH near-dup probe ----
-    survivors = exact_survivors.materialize()
+    from .joins import drop_empty_blocks
+
+    # the anti-join's hash join emits zero-column blocks for empty
+    # partitions; the band_key join below chokes on them — scrub by
+    # metadata (free; the dataset materializes here anyway)
+    survivors = drop_empty_blocks(exact_survivors.materialize())
     new_bands = minhash_band_rows(survivors, col, id_col, num_perm,
                                   num_bands, shingle_k)
     old_bands = minhash_band_rows(corpus, col, id_col, num_perm,

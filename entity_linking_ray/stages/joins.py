@@ -548,6 +548,31 @@ def _existence_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return joined.map_batches(flt, batch_format="pyarrow")
 
 
+def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Rebuild a MATERIALIZED dataset without its zero-row blocks — by
+    block METADATA only (no fetch, no shuffle; the refs are reused).
+
+    Ray 2.49's hash join and sort-based groupby emit ZERO-COLUMN empty
+    blocks for empty partitions; a later hash-join partition fed only
+    those fails with "No match for FieldRef" (verify-skill gotcha), and
+    map_batches cannot scrub them because UDFs skip empty blocks. The
+    previous mitigation — ``.repartition(n)`` — pays a full extra
+    all-to-all of real rows; this is the free version for datasets that
+    are materialized anyway. Falls back to the input when every block
+    is empty (callers keep their typed-empty handling)."""
+    refs = []
+    dropped = False
+    for rb in ds.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(blk)
+            else:
+                dropped = True
+    if not refs or not dropped:
+        return ds
+    return ray.data.from_arrow_refs(refs)
+
+
 def anti_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               on: tuple, right_on: tuple | None = None,
               num_partitions: int = 16,
