@@ -1108,6 +1108,10 @@ def near_dup_mention_edges(scored: ray.data.Dataset,
     side_b = mcols.map_batches(as_side("b"), batch_format="pyarrow")
     withp = (pairs_d.join(side_a, "inner", num_partitions,
                           on=("id_a",), right_on=("id_a",))
+             # scrub the zero-column blocks a join emits for empty
+             # partitions before the chained second join (a partition
+             # fed only those fails — stages/joins.drop_empty_blocks)
+             .repartition(num_partitions)
              .join(side_b, "inner", num_partitions,
                    on=("id_b",), right_on=("id_b",)))
 

@@ -292,6 +292,11 @@ def lsh_candidate_pairs(ds: ray.data.Dataset, col: str = "text", id_col: str = "
     sig_b = ds.map_batches(as_side("b"), batch_format="pyarrow")
     withs = (pairs_d.join(sig_a, "inner", num_partitions,
                           on=("id_a",), right_on=("id_a",))
+             # scrub the zero-column blocks the first join emits for
+             # empty partitions before they feed the second join
+             # (a join partition fed only those fails — see
+             # stages/joins.drop_empty_blocks)
+             .repartition(num_partitions)
              .join(sig_b, "inner", num_partitions,
                    on=("id_b",), right_on=("id_b",)))
 
@@ -475,7 +480,8 @@ def _drop_losers_keyed(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                .repartition(num_partitions))
 
     with_label = members.join(labels, "inner", num_partitions,
-                              on=("node",), right_on=("node",))
+                              on=("node",), right_on=("node",)) \
+        .repartition(num_partitions)  # feeds the winners join below
 
     def winner_partial(batch: pa.Table) -> pa.Table:
         part = (batch.select(["label", "member_id"]).group_by("label")
@@ -888,6 +894,7 @@ def ngram_jaccard_dup_pairs(ds: ray.data.Dataset, col: str = "text",
     txt_b = ds.map_batches(as_side("b"), batch_format="pyarrow")
     witht = (pairs_d.join(txt_a, "inner", num_partitions,
                           on=("id_a",), right_on=("id_a",))
+             .repartition(num_partitions)  # inter-join empty-block scrub
              .join(txt_b, "inner", num_partitions,
                    on=("id_b",), right_on=("id_b",)))
 
@@ -1041,6 +1048,7 @@ def embedding_dup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
     vecs_b = ds.map_batches(as_side("b"), batch_format="pyarrow")
     withv = (pairs_d.join(vecs_a, "inner", num_partitions,
                           on=("id_a",), right_on=("id_a",))
+             .repartition(num_partitions)  # inter-join empty-block scrub
              .join(vecs_b, "inner", num_partitions,
                    on=("id_b",), right_on=("id_b",)))
 
@@ -1276,6 +1284,11 @@ def dedup_new_against_corpus(new_docs: ray.data.Dataset,
     sig_b = corpus.map_batches(as_side("b", id_col), batch_format="pyarrow")
     withs = (pairs_d.join(sig_a, "inner", num_partitions,
                           on=("id_a",), right_on=("id_a",))
+             # scrub the zero-column blocks the first join emits for
+             # empty partitions before they feed the second join
+             # (a join partition fed only those fails — see
+             # stages/joins.drop_empty_blocks)
+             .repartition(num_partitions)
              .join(sig_b, "inner", num_partitions,
                    on=("id_b",), right_on=("id_b",)))
 
