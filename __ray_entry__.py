@@ -23,7 +23,7 @@ def entry() -> Any:
     from entity_linking_ray.testdata import derive_documents, derive_entities
 
     docs = derive_documents(SF_SMOKE)
-    out = run_pipeline(docs, derive_entities(), concurrency=2)
+    out = run_pipeline(docs, derive_entities(), concurrency=8)
     return out["clusters"]
 
 
@@ -39,7 +39,7 @@ def _q_er_mentions_by_surface(sf_dir: str):
     from ray.data.aggregate import Sum
 
     docs = derive_documents(sf_dir)
-    mentions = extract_mentions(docs, ALIAS_WORDS, concurrency=2)
+    mentions = extract_mentions(docs, ALIAS_WORDS, concurrency=8)
 
     def partial(batch: pa.Table) -> pa.Table:
         return (
@@ -61,7 +61,7 @@ def _q_er_links(sf_dir: str):
     from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
     from entity_linking_ray.testdata import derive_documents, derive_entities
 
-    out = run_pipeline(derive_documents(sf_dir), derive_entities(), concurrency=2)
+    out = run_pipeline(derive_documents(sf_dir), derive_entities(), concurrency=8)
     return out["links"]
 
 
@@ -71,7 +71,7 @@ def _q_er_clusters(sf_dir: str):
     from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
     from entity_linking_ray.testdata import derive_documents, derive_entities
 
-    out = run_pipeline(derive_documents(sf_dir), derive_entities(), concurrency=2)
+    out = run_pipeline(derive_documents(sf_dir), derive_entities(), concurrency=8)
     return out["clusters"]
 
 
@@ -92,7 +92,7 @@ def _run_exact_pipeline(sf_dir: str, pin: str | None = "links",
     # EAGERLY at pipeline-construction time, so queries that never consume
     # annotated_documents should not pay for it
     return run_pipeline(
-        derive_documents(sf_dir), derive_entities(), concurrency=2,
+        derive_documents(sf_dir), derive_entities(), concurrency=8,
         ann_k=0, score_weights=(1.0, 0.0), threshold=0.9, hot_cap=1 << 40,
         pin=pin, annotate=annotate)
 
@@ -164,10 +164,10 @@ def _run_incremental_halves(sf_dir: str, **kw):
     ents = derive_entities()
     first = run_pipeline_incremental(
         docs.map_batches(half(0), batch_format="pyarrow"), ents,
-        concurrency=2, **kw)
+        concurrency=8, **kw)
     second = run_pipeline_incremental(
         docs.map_batches(half(1), batch_format="pyarrow"), ents,
-        concurrency=2, prior_state=first["state"],
+        concurrency=8, prior_state=first["state"],
         prior_clusters=first["clusters"].materialize(), **kw)
     return second["clusters"]
 
