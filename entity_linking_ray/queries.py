@@ -648,20 +648,15 @@ def _q_top_orders(sf_dir: str):
     """,
 )
 def _q_distinct_users(sf_dir: str):
-    """Exact COUNT DISTINCT per group: per-block Arrow group_by collapses
-    to distinct (type, user) pairs BEFORE the shuffle (the combiner that
-    makes this survive 100 TB of repeated users), a two-key groupby
-    dedups globally, then a partial-count combiner + tiny groupby sums
-    per type."""
+    """Exact COUNT DISTINCT per group: bucketed_agg's internal per-block
+    combiner collapses (user, type) pairs before its user-hashed bucket
+    shuffle dedups globally, then a partial-count combiner + tiny
+    groupby sums per type."""
     import pyarrow as pa
 
     from ray.data.aggregate import Count, Sum
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
-
-    def pair_distinct(b: pa.Table) -> pa.Table:
-        return (b.group_by(["event_type", "user_id"]).aggregate([])
-                .select(["event_type", "user_id"]))
 
     def count_partial(b: pa.Table) -> pa.Table:
         g = b.group_by(["event_type"]).aggregate([([], "count_all")])
@@ -669,9 +664,11 @@ def _q_distinct_users(sf_dir: str):
 
     from .stages.agg import bucketed_agg
 
-    pairs = bucketed_agg(ev.map_batches(pair_distinct,
-                                        batch_format="pyarrow"),
-                         ["event_type", "user_id"])
+    # user_id first: it is the high-cardinality key, so the bucket hash
+    # spreads over all 64 buckets instead of the ~5 event types (the
+    # skew caveat in agg.py). bucketed_agg's internal partial IS the
+    # per-batch distinct combiner — no separate pre-pass needed.
+    pairs = bucketed_agg(ev, ["user_id", "event_type"])
     return (pairs.map_batches(count_partial, batch_format="pyarrow")
             .groupby("event_type").aggregate(Sum("__c", alias_name="n_users")))
 
@@ -3049,12 +3046,15 @@ def _q_daily_new_users_cumulative(sf_dir: str):
 def _q_event_type_cooccurrence(sf_dir: str):
     """Market-basket co-occurrence: for every unordered event-type pair,
     how many users did both. The scale shape: per-batch Arrow distinct
-    collapses (user, type) BEFORE the shuffle (the combiner that makes
-    this survive 100 TB of repeated events), one coarse user-hash
-    co-group builds each user's sorted type set and emits its pairs with
-    ONE vectorized segment kernel (k types → k·(k-1)/2 rows, k bounded
-    by the type vocabulary), and a partial-count combiner feeds the tiny
-    final pair groupby."""
+    collapses (user, type) WITHIN each block before the shuffle, one
+    coarse user-hash co-group finishes the dedup in-kernel and emits
+    each user's type pairs with ONE vectorized segment kernel (k types
+    → k·(k-1)/2 rows, k bounded by the type vocabulary), and a
+    partial-count combiner feeds the tiny final pair groupby. Bound:
+    a group holds ≤ n_types × n_blocks_containing_user rows per user
+    (cross-block duplicates survive until the in-kernel dedup) — the
+    price of folding the former global-distinct all-to-all into the
+    single co-group shuffle, measured worth it at this fan-in."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa

@@ -36,11 +36,22 @@ _MERGE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 
 
 def _bucket_col(tbl: pa.Table, key: str, num_buckets: int) -> pa.Array:
+    # Null keys are legal (Arrow group_by groups them); the bucket is
+    # only a co-location hint, so collapsing nulls onto a sentinel
+    # bucket is harmless — fill BEFORE hashing (the string hasher
+    # rejects nulls, and fill_null keeps the int path int64 so large
+    # ids never round-trip through float64).
+    import pyarrow.compute as pc
+
     col = tbl[key]
     if pa.types.is_integer(col.type):
+        if col.null_count:
+            col = pc.fill_null(col, 0)
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         b = (splitmix64(v) % np.uint64(num_buckets)).astype(np.int64)
     else:
+        if col.null_count:
+            col = pc.fill_null(col, "")
         b = hash_strings_arrow(col) % num_buckets
     return pa.array(b, pa.int64())
 
@@ -50,8 +61,9 @@ def bucketed_agg(ds: ray.data.Dataset, keys: "list[str] | str",
                  num_buckets: int = 64) -> ray.data.Dataset:
     """→ one row per distinct ``keys`` tuple with the requested
     aggregates; ``aggs`` entries are ``(col, fn, out_name)`` with fn in
-    {"sum", "min", "max", "count"} ("count" counts rows; pass any
-    column name, it is ignored). Empty ``aggs`` → distinct keys.
+    {"sum", "min", "max", "count"} ("count" counts NON-NULL values of
+    the named column — same as the native groupby Count it replaces, so
+    an all-null group reports 0). Empty ``aggs`` → distinct keys.
     Buckets hash on ``keys[0]`` (int64 splitmix / string FNV) — the
     usual skew caveat: a single hot first-key value serializes into one
     bucket, so pick the high-cardinality key first."""
@@ -64,8 +76,7 @@ def bucketed_agg(ds: ray.data.Dataset, keys: "list[str] | str",
     part_cols = [f"__a{i}" for i in range(len(aggs))]
 
     def partial(b: pa.Table) -> pa.Table:
-        spec = [(c, fn) if fn != "count" else ([], "count_all")
-                for c, fn, _ in aggs]
+        spec = [(c, fn) for c, fn, _ in aggs]
         g = b.group_by(keys).aggregate(spec)
         g = g.rename_columns(keys + part_cols)
         return g.append_column("__ab", _bucket_col(g, keys[0],

@@ -1178,6 +1178,14 @@ def dedup_new_against_corpus(new_docs: ray.data.Dataset,
     # partitions; the band_key join below chokes on them — scrub by
     # metadata (free; the dataset materializes here anyway)
     survivors = drop_empty_blocks(exact_survivors.materialize())
+    if survivors.count() == 0:
+        # every new doc was an exact dup: drop_empty_blocks cannot scrub
+        # an ALL-empty dataset (zero-column blocks carry no schema) and
+        # the band_key join would crash on it — short-circuit with the
+        # typed empty the return contract promises
+        from .scan import _typed_empty_like
+
+        return _typed_empty_like(new_docs, {})
     new_bands = minhash_band_rows(survivors, col, id_col, num_perm,
                                   num_bands, shingle_k)
     old_bands = minhash_band_rows(corpus, col, id_col, num_perm,

@@ -88,21 +88,16 @@ def pagerank(edges: ray.data.Dataset, *, src_col: str = "src",
                                           batch_format="pyarrow")
               .materialize())
 
-    # out-degree per src == per-node degree (both directions present)
-    def deg_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by([src_col]).aggregate([([], "count_all")])
-        g = g.rename_columns(["node", "__d"])
-        kb = _bucket_of(g["node"].to_numpy(zero_copy_only=False),
-                        num_buckets)
-        return g.append_column("__db", pa.array(kb))
+    # out-degree per src == per-node degree (both directions present);
+    # the shared bucketed partial→merge helper (stages/agg.py)
+    from .agg import bucketed_agg
 
-    def deg_merge(g: pa.Table) -> pa.Table:
-        # bucketed vectorized sum (see triangle_count.deg_merge)
-        return (g.group_by("node").aggregate([("__d", "sum")])
-                .rename_columns(["node", "d"]))
+    def as_node(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["node", "d"])
 
-    deg = (dedges.map_batches(deg_partial, batch_format="pyarrow")
-           .groupby("__db").map_groups(deg_merge, batch_format="pyarrow")
+    deg = (bucketed_agg(dedges, src_col, [(src_col, "count", "d")],
+                        num_buckets=num_buckets)
+           .map_batches(as_node, batch_format="pyarrow")
            .materialize())
     n_nodes = deg.count()
     base = (15 * UNITS) // (100 * n_nodes)

@@ -558,8 +558,11 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     map_batches cannot scrub them because UDFs skip empty blocks. The
     previous mitigation — ``.repartition(n)`` — pays a full extra
     all-to-all of real rows; this is the free version for datasets that
-    are materialized anyway. Falls back to the input when every block
-    is empty (callers keep their typed-empty handling)."""
+    are materialized anyway. Falls back to the input UNCHANGED when
+    every block is empty — zero-column blocks carry no schema to
+    rebuild from, so a caller that feeds the result into a join must
+    short-circuit the count()==0 case itself (see
+    ``dedup.dedup_new_against_corpus``)."""
     refs = []
     dropped = False
     for rb in ds.iter_internal_ref_bundles():

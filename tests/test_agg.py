@@ -58,3 +58,30 @@ def test_bucketed_agg_rejects_unknown_fn(ray_session, frame):
     with pytest.raises(ValueError):
         bucketed_agg(ray.data.from_arrow(frame), "k",
                      [("v", "mean", "m")])
+
+
+def test_bucketed_agg_null_keys_and_nonnull_count(ray_session):
+    # null keys group (Arrow semantics) instead of crashing the bucket
+    # hash; "count" counts NON-NULL values of the named column, so the
+    # all-null-key group with null values reports 0 — the native-groupby
+    # behavior bucketed_agg replaced
+    t = pa.table({
+        "s": pa.array(["a", None, "a", None, "b"]),
+        "k": pa.array([1, None, 1, None, 2], pa.int64()),
+        "v": pa.array([10, None, 30, None, 50], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = bucketed_agg(ds, "s", [("v", "count", "n"),
+                                 ("v", "sum", "v_sum")]).to_pandas()
+    by = {("" if s is None or (isinstance(s, float)) else s): (n, v)
+          for s, n, v in zip(got["s"].tolist(), got["n"].tolist(),
+                             got["v_sum"].tolist())}
+    assert by["a"] == (2, 40)
+    assert by["b"] == (1, 50)
+    assert by[""][0] == 0  # null group: zero non-null values counted
+    # int64 null key path
+    got2 = bucketed_agg(ds, "k", [("v", "count", "n")]).to_pandas()
+    ns = {(-1 if k != k else int(k)): int(n)
+          for k, n in zip(got2["k"].astype("float").tolist(),
+                          got2["n"].tolist())}
+    assert ns[1] == 2 and ns[2] == 1 and ns[-1] == 0

@@ -736,3 +736,27 @@ def test_dup_substring_spans_modes_match_bruteforce(ray_session):
     out = dup_substring_spans(empty, window=W, min_count=MC)
     assert out.count() == 0
     assert set(out.schema().names) == {"doc_id", "span_start", "span_end"}
+
+
+def test_dedup_new_against_corpus_all_exact_dups(ray_session):
+    """Nightly re-crawl degenerate case: EVERY new doc byte-duplicates
+    the corpus. Pass 1 leaves only empty (zero-column) join blocks,
+    which drop_empty_blocks cannot scrub — the short-circuit must
+    return a TYPED empty (new schema, 0 rows), not crash the band join."""
+    from entity_linking_ray.stages.dedup import dedup_new_against_corpus
+
+    texts = [f"the quick brown fox number {i} jumps over the lazy dog "
+             f"while counting {i * 7} stars" for i in range(8)]
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([f"old{i}" for i in range(8)]),
+        "text": pa.array(texts),
+    })).repartition(3)
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([f"new{i}" for i in range(4)]),
+        "text": pa.array(texts[:4]),
+    })).repartition(2)
+
+    out = dedup_new_against_corpus(new, corpus, jaccard_threshold=0.7)
+    assert out.count() == 0
+    sch = out.schema()
+    assert sch is not None and set(sch.names) == {"doc_id", "text"}
