@@ -654,7 +654,7 @@ def _q_distinct_users(sf_dir: str):
     groupby sums per type."""
     import pyarrow as pa
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
 
