@@ -85,3 +85,54 @@ def test_bucketed_agg_null_keys_and_nonnull_count(ray_session):
           for k, n in zip(got2["k"].astype("float").tolist(),
                           got2["n"].tolist())}
     assert ns[1] == 2 and ns[2] == 1 and ns[-1] == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _keyed_frames(draw):
+    n = draw(st.integers(1, 120))
+    keys = st.one_of(st.none(), st.sampled_from(["a", "b", "c", "dd"]))
+    vals = st.one_of(st.none(), st.integers(-1000, 1000))
+    return pa.table({
+        "s": pa.array(draw(st.lists(keys, min_size=n, max_size=n))),
+        "k": pa.array(draw(st.lists(
+            st.one_of(st.none(), st.integers(-5, 5)),
+            min_size=n, max_size=n)), pa.int64()),
+        "v": pa.array(draw(st.lists(vals, min_size=n, max_size=n)),
+                      pa.int64()),
+    })
+
+
+@given(_keyed_frames(), st.integers(1, 5), st.booleans())
+@settings(max_examples=12, deadline=None)
+def test_bucketed_agg_property_matches_single_table_arrow(
+        ray_session, tbl, nparts, str_first):
+    """Partition-invariance property: bucketed_agg over ANY block split
+    equals ONE whole-table Arrow group_by — nulls in keys and values
+    included (the exact semantics every call site previously got from a
+    single-node Arrow aggregation)."""
+    keys = ["s", "k"] if str_first else ["k", "s"]
+    ds = ray.data.from_arrow(tbl).repartition(nparts)
+    got = bucketed_agg(ds, keys, [("v", "sum", "v_sum"),
+                                  ("v", "count", "n"),
+                                  ("v", "min", "v_min")]).to_pandas()
+    want = (tbl.group_by(keys)
+            .aggregate([("v", "sum"), ("v", "count"), ("v", "min")])
+            .rename_columns(keys + ["v_sum", "n", "v_min"]).to_pandas())
+    key = lambda r: tuple("␀" if x is None or x != x else x for x in r)
+    gm = {key(r[:2]): r[2:] for r in
+          got[keys + ["v_sum", "n", "v_min"]].itertuples(index=False)}
+    wm = {key(r[:2]): r[2:] for r in
+          want[keys + ["v_sum", "n", "v_min"]].itertuples(index=False)}
+    assert gm.keys() == wm.keys()
+    for kk in wm:
+        g, w = gm[kk], wm[kk]
+        assert int(g[1]) == int(w[1]), (kk, "count")
+        for gi, wi in ((g[0], w[0]), (g[2], w[2])):
+            if wi is None or wi != wi:
+                assert gi is None or gi != gi, kk
+            else:
+                assert int(gi) == int(wi), kk
