@@ -95,3 +95,20 @@ def test_er_blocking_metrics_pinned():
     assert row["reduction_ppm"] > 900_000          # blocks prune >90%
     assert 500_000 < row["completeness_ppm"] < 800_000
     assert row["cand_pairs"] == 84289              # fully deterministic
+
+
+def test_er_twins_share_one_pipeline_run(ray_session):
+    """Shared-subplan memo: the links/clusters twins of one pipeline
+    configuration reuse ONE run dict (same object), and the projections
+    they return still differ per query."""
+    entrymod._RUN_MEMO.clear()
+    links = entrymod._q_er_links(SF)
+    n_memo = len(entrymod._RUN_MEMO)
+    clusters = entrymod._q_er_clusters(SF)
+    assert len(entrymod._RUN_MEMO) == n_memo  # no second run built
+    assert links.count() == clusters.count() > 0
+    le = entrymod._q_er_links_exact(SF)
+    ce = entrymod._q_er_clusters_exact(SF)
+    assert ("exact-links", SF) in entrymod._RUN_MEMO
+    assert le.count() == ce.count() > 0
+    entrymod._RUN_MEMO.clear()
