@@ -3694,6 +3694,69 @@ def _q_part_bfs_hops(sf_dir: str):
         return eng.bfs(seeds=[seed], max_hops=4).materialize()
 
 
+def _kcore_sql(k: int, unroll: int) -> str:
+    """Unrolled synchronous k-core peeling: surv_{i+1} = nodes whose
+    degree WITHIN surv_i is ≥ k — the same wave-simultaneous rule the
+    actor engine runs, so the fixpoint is the identical unique k-core.
+    ``unroll`` must cover the wave count at the correctness scales
+    (measured 5 @ sf0.001 / 9 @ sf0.01 for k=6; pinned by a pytest that
+    reads GraphEngine.last_kcore_rounds); extra rounds past the
+    fixpoint are no-ops."""
+    parts = [f"""
+    WITH e0 AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst
+                FROM lineitem
+                UNION ALL
+                SELECT l_partkey*2+1 AS src, l_orderkey*2 AS dst
+                FROM lineitem),
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+    s0 AS (SELECT DISTINCT src AS node FROM e)"""]
+    for i in range(1, unroll + 1):
+        parts.append(f""",
+    s{i} AS MATERIALIZED (SELECT e.src AS node FROM e
+             JOIN s{i-1} a ON e.src = a.node
+             JOIN s{i-1} b ON e.dst = b.node
+             GROUP BY e.src HAVING count(*) >= {k})""")
+    parts.append(f"""
+    SELECT e.src AS node, count(*) AS core_deg
+    FROM e JOIN s{unroll} a ON e.src = a.node
+           JOIN s{unroll} b ON e.dst = b.node
+    GROUP BY e.src""")
+    return "".join(parts)
+
+
+@register("part_copurchase_kcore", _kcore_sql(6, 16))
+def _q_part_copurchase_kcore(sf_dir: str):
+    """Dense-community extraction: the 6-core of the undirected-ized
+    order↔part co-purchase graph (node + within-core degree) — the
+    graph-sparsification step a blocking-graph cleaner runs before
+    expensive pairwise scoring. Synchronous distributed peeling on the
+    RESIDENT edge-shard engine (stages/graph_actors.py::kcore): edges
+    hash-partition once, each wave ships only the victims' pre-combined
+    neighbor decrements, so TOTAL exchange over the whole run is
+    O(|E|) however many waves it takes. Value-hash-checked against a
+    16-round unrolled peeling SQL program (wave-equivalent by
+    construction; 9 waves suffice at sf0.01) and equivalence-tested
+    against a single-process numpy reference."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.graph_actors import GraphEngine
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def both(b: pa.Table) -> pa.Table:
+        ok = pc.multiply(pc.cast(b["l_orderkey"], pa.int64()), 2)
+        pk = pc.add(pc.multiply(pc.cast(b["l_partkey"], pa.int64()), 2), 1)
+        ok = ok.combine_chunks() if isinstance(ok, pa.ChunkedArray) else ok
+        pk = pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk
+        return pa.table({"src": pa.concat_arrays([ok, pk]),
+                         "dst": pa.concat_arrays([pk, ok])})
+
+    edges = li.map_batches(both, batch_format="pyarrow")
+    with GraphEngine(edges, num_shards=8) as eng:
+        return eng.kcore(k=6).materialize()
+
+
 @register(
     "event_value_winsorized",
     """

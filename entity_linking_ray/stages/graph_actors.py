@@ -322,6 +322,54 @@ class EdgeShard:
         return pa.table({"node": pa.array(self.nodes, pa.int64()),
                          "label": pa.array(self.label, pa.int64())})
 
+    # ---------------- k-core (synchronous peeling) ----------------
+
+    def kcore_init(self, k: int) -> None:
+        """Peeling state over the pre-doubled graph: every owned node
+        starts alive with its full degree (all its out-edges are local,
+        so ``deg`` IS the undirected degree)."""
+        self.k = k
+        self.alive = np.ones(len(self.nodes), bool)
+        self.cur = self.deg.astype(np.int64).copy()
+
+    def kcore_peel(self) -> tuple[int, list]:
+        """One synchronous peel wave: kill every alive node whose
+        current degree is below k, then emit per-target (dst, count)
+        decrements for the killed nodes' out-neighbors — the same
+        pre-combined reduceat shape as pr_contribs, so the exchange is
+        O(distinct affected neighbors), never O(|E|). The wave is
+        simultaneous (membership checked BEFORE this round's
+        decrements land), so the fixpoint is the unique k-core
+        regardless of sharding."""
+        newly = self.alive & (self.cur < self.k)
+        self.alive[newly] = False
+        f = np.nonzero(newly)[0]
+        idx = _expand_ranges(self.csr_starts[f], self.deg[f])
+        d = self.csr_dst[idx]
+        u, c = (np.unique(d, return_counts=True) if len(d)
+                else (np.empty(0, np.int64), np.empty(0, np.int64)))
+        ow = _owner(u, self.S)
+        out = [ray.put((u[ow == t], c[ow == t].astype(np.int64)))
+               for t in range(self.S)]
+        return int(newly.sum()), out
+
+    def kcore_apply(self, refs: list) -> None:
+        """Apply peer decrements. Dead nodes' counters may keep
+        dropping — harmless, they can never re-enter ``alive``."""
+        for ref in refs:
+            u, c = ray.get(ref)
+            if len(u):
+                ok, idx = self._own_idx(u)
+                np.subtract.at(self.cur, idx, c[ok])
+
+    def kcore_result(self) -> pa.Table:
+        """Surviving nodes with their within-core degree (``cur`` at the
+        fixpoint counts alive neighbors only — every dead neighbor has
+        decremented it exactly once per edge)."""
+        m = self.alive
+        return pa.table({"node": pa.array(self.nodes[m], pa.int64()),
+                         "core_deg": pa.array(self.cur[m], pa.int64())})
+
 
 class GraphEngine:
     """Driver-side handle over the resident edge shards. Build once, run
@@ -397,6 +445,36 @@ class GraphEngine:
                 break
         return ray.data.from_arrow_refs(
             [s.cc_result.remote() for s in self.shards])
+
+    def kcore(self, *, k: int, max_iters: int = 100) -> ray.data.Dataset:
+        """Nodes of the k-core (maximal subgraph with min degree ≥ k)
+        plus their within-core degree, by synchronous distributed
+        peeling (Montresor et al.-style wave removal). Per-wave network
+        is the pre-combined decrement set of that wave's victims —
+        each node is killed (and its neighborhood notified) at most
+        once over the WHOLE run, so total exchange is O(|E|) no matter
+        how many waves, and the edge list never moves after the build.
+        Requires a pre-doubled (undirected) edge list, like
+        connected_components. Returns (node, core_deg); converged is
+        guaranteed — a wave with zero removals everywhere is the
+        fixpoint. ``self.last_kcore_rounds`` records the wave count
+        (the query oracle's SQL unroll depth is pinned against it)."""
+        ray.get([s.kcore_init.remote(k) for s in self.shards])
+        self.last_kcore_rounds = 0
+        for _ in range(max_iters):
+            res = ray.get([s.kcore_peel.remote() for s in self.shards])
+            removed = sum(r[0] for r in res)
+            if removed == 0:
+                break
+            self.last_kcore_rounds += 1
+            ray.get([self.shards[t].kcore_apply.remote(
+                [res[i][1][t] for i in range(self.S)])
+                for t in range(self.S)])
+        else:
+            raise RuntimeError(
+                f"k-core peeling did not converge in {max_iters} waves")
+        return ray.data.from_arrow_refs(
+            [s.kcore_result.remote() for s in self.shards])
 
     def shutdown(self) -> None:
         for s in self.shards:

@@ -155,3 +155,87 @@ def test_engine_empty_and_single_edge(ray_session):
         assert set(zip(cc["node"], cc["label"])) == {(1, 1), (2, 1)}
         hops = eng.bfs(seeds=[1], max_hops=3).to_pandas()
         assert dict(zip(hops["node"], hops["hop"])) == {1: 0, 2: 1}
+
+
+def _kcore_reference(src, dst, k):
+    """Single-process synchronous peeling over a pre-doubled, deduped
+    edge list: the textbook definition the engine must reproduce."""
+    e = np.unique(np.stack([np.asarray(src, np.int64),
+                            np.asarray(dst, np.int64)], 1), axis=0)
+    s, d = e[:, 0], e[:, 1]
+    surv = set(np.unique(s).tolist())
+    while True:
+        m = np.array([(a in surv) and (b in surv)
+                      for a, b in zip(s.tolist(), d.tolist())], bool) \
+            if len(s) else np.zeros(0, bool)
+        u, c = np.unique(s[m], return_counts=True)
+        new = set(u[c >= k].tolist())
+        if new == surv:
+            return {int(n): int(cnt) for n, cnt in zip(u, c) if n in surv}
+        surv = new
+
+
+@pytest.mark.parametrize("k", [2, 4, 7])
+def test_engine_kcore_equals_reference(ray_session, edge_table, k):
+    from entity_linking_ray.stages.graph_actors import GraphEngine
+
+    ref = _kcore_reference(edge_table["src"].to_numpy(),
+                           edge_table["dst"].to_numpy(), k)
+    for shards in (1, 4):
+        with GraphEngine(ray.data.from_arrow(edge_table).repartition(3),
+                         num_shards=shards) as eng:
+            out = eng.kcore(k=k)
+            assert [f.name for f in out.schema().base_schema] == \
+                ["node", "core_deg"]  # typed even when the core is empty
+            got = out.to_pandas()
+        if len(got) == 0:  # Ray to_pandas drops columns on 0 rows
+            assert ref == {}
+            continue
+        got_map = dict(zip(got["node"].astype(int),
+                           got["core_deg"].astype(int)))
+        assert got_map == ref
+
+
+def test_engine_kcore_empty_core_and_waves(ray_session):
+    """k above the max degree empties the core in one wave; the wave
+    counter feeds the SQL-unroll pin for the battery oracle."""
+    from entity_linking_ray.stages.graph_actors import GraphEngine
+
+    t = pa.table({"src": pa.array([1, 2, 2, 3], pa.int64()),
+                  "dst": pa.array([2, 1, 3, 2], pa.int64())})
+    with GraphEngine(ray.data.from_arrow(t), num_shards=2) as eng:
+        out = eng.kcore(k=5).to_pandas()
+        assert len(out) == 0
+        assert eng.last_kcore_rounds <= 2
+        # chain graph: 1-2-3 has no 2-core (endpoints peel, then middle)
+        out2 = eng.kcore(k=2).to_pandas()
+        assert len(out2) == 0
+        assert eng.last_kcore_rounds == 2
+
+
+def test_kcore_battery_waves_within_sql_unroll(ray_session):
+    """The part_copurchase_kcore oracle unrolls 16 peeling rounds; the
+    engine must converge within that on the correctness-scale input."""
+    import os
+
+    from entity_linking_ray.queries import _read
+    from entity_linking_ray.stages.graph_actors import GraphEngine
+
+    sf_dir = os.environ.get("GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def both(b):
+        import pyarrow.compute as pc
+        ok = pc.multiply(pc.cast(b["l_orderkey"], pa.int64()), 2)
+        pk = pc.add(pc.multiply(pc.cast(b["l_partkey"], pa.int64()), 2), 1)
+        ok = ok.combine_chunks() if isinstance(ok, pa.ChunkedArray) else ok
+        pk = pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk
+        return pa.table({"src": pa.concat_arrays([ok, pk]),
+                         "dst": pa.concat_arrays([pk, ok])})
+
+    edges = li.map_batches(both, batch_format="pyarrow")
+    with GraphEngine(edges, num_shards=4) as eng:
+        out = eng.kcore(k=6).to_pandas()
+        assert eng.last_kcore_rounds <= 16
+    assert len(out) > 0
+    assert int(out["core_deg"].min()) >= 6
