@@ -908,6 +908,53 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 @register(
+    "docs_near_dedup_keep",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([(hash(substring(text, i, 5)) & 9223372036854775807)::BIGINT
+                            FOR i IN range(1, length(text) - 3)]) AS s
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) >= 0.6 * len(list_distinct(a.s || b.s))
+    ),
+    eu AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+    rr(a, b) AS (
+      SELECT a, a FROM eu
+      UNION
+      SELECT rr.a, eu.b FROM rr JOIN eu ON rr.b = eu.a),
+    losers AS (SELECT a AS doc_id FROM rr GROUP BY a HAVING min(b) < a)
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def _q_docs_near_dedup_keep(sf_dir: str):
+    """END-TO-END MinHash near-dup removal (stages/dedup.minhash_dedup:
+    LSH pairs → connected components → keep each dup cluster's min-id
+    representative) — the keep-set twin of minhash_dup_pairs, mirroring
+    embeddings_semdedup_keep for the text channel. The oracle re-derives
+    the keep set from the EXACT 5-gram Jaccard pair set plus a
+    recursive-CTE closure with the same min-id winner rule (the planted
+    near-dups sit far from the 0.6 threshold, so LSH pair recovery is
+    exact — see minhash_dup_pairs). winner_mode="auto" resolves to the
+    broadcast path at this pair count; the keyed-join 100-TB path is
+    equivalence-tested in tests/test_dedup.py."""
+    import pyarrow as pa
+
+    from .stages.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    keep = minhash_dedup(ds, jaccard_threshold=0.6)
+    return keep.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "n_chars": b["n_chars"]}),
+        batch_format="pyarrow",
+    )
+
+
+@register(
     "jaccard_dup_pairs",
     """
     WITH w AS (
@@ -1726,6 +1773,59 @@ def _q_first_last(sf_dir: str):
                          "n_events": b["n_events"]})
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+@register(
+    "events_ohlc_5min",
+    """
+    WITH e AS (SELECT event_type,
+                      (epoch_us(ts) // 300000000) * 300000000 AS w,
+                      cast(round(value * 100) as bigint) AS cents,
+                      epoch_us(ts) AS t, event_id
+               FROM events),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, w
+                                    ORDER BY t, event_id) AS rf,
+                 row_number() OVER (PARTITION BY event_type, w
+                                    ORDER BY t DESC, event_id DESC) AS rl
+          FROM e)
+    SELECT event_type, w,
+           cast(max(CASE WHEN rf = 1 THEN cents END) as bigint) AS open,
+           cast(max(cents) as bigint) AS high,
+           cast(min(cents) as bigint) AS low,
+           cast(max(CASE WHEN rl = 1 THEN cents END) as bigint) AS close,
+           count(*) AS n_events
+    FROM r GROUP BY event_type, w
+    """,
+)
+def _q_events_ohlc_5min(sf_dir: str):
+    """OHLC downsampling (the candlestick / telemetry rollup): per
+    (event_type, 5-minute window) the first/max/min/last value under the
+    total (ts, event_id) order, in fixed-point cents. Rides
+    stages/windows.grouped_ohlc — the multi-key two-level combiner:
+    every batch collapses to one partial per (type, window) it touches
+    (run-boundary picks + reduceat extrema), so the shuffle moves
+    partials, never events."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.windows import grouped_ohlc
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        w = pc.multiply(pc.divide(t, 300_000_000), 300_000_000)
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_type": b["event_type"], "w": w,
+                         "ts": b["ts"], "event_id": b["event_id"],
+                         "cents": cents})
+
+    return grouped_ohlc(ev.map_batches(prep, batch_format="pyarrow"),
+                        key_cols=["event_type", "w"], ts_col="ts",
+                        id_col="event_id", val_col="cents")
 
 
 @register(
@@ -3826,6 +3926,95 @@ def _q_event_value_winsorized(sf_dir: str):
             "event_type": b["event_type"],
             "sum_clipped_cents": pc.cast(b["sum_clipped_cents"], pa.int64()),
             "n_clipped": pc.cast(b["n_clipped"], pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+@register(
+    "event_value_mad_outliers",
+    """
+    WITH e AS (SELECT event_type,
+                      cast(round(value * 100) as bigint) AS cents
+               FROM events),
+    m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+          FROM e GROUP BY event_type),
+    d AS (SELECT e.event_type, abs(cents - med) AS dev
+          FROM e JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+           FROM d GROUP BY event_type)
+    SELECT e.event_type,
+           cast(m.med as bigint) AS med_cents,
+           cast(md.mad as bigint) AS mad_cents,
+           cast(sum(CASE WHEN abs(e.cents - m.med) > 3 * md.mad
+                    THEN 1 ELSE 0 END) as bigint) AS n_outliers
+    FROM e JOIN m USING (event_type) JOIN md USING (event_type)
+    GROUP BY e.event_type, m.med, md.mad
+    """,
+)
+def _q_event_value_mad_outliers(sf_dir: str):
+    """Robust per-group outlier detection (median absolute deviation —
+    the quantile-based robust z-score, immune to the very outliers it
+    hunts, unlike mean/stddev): per event_type the exact integer median,
+    the MAD, and the count of values beyond 3 MADs. Two count-histogram
+    quantile passes (stages/rank.grouped_quantiles — integer quantile_disc
+    ranks), each landing one tiny row per type broadcast into the next
+    map; the events shuffle only as per-type count partials."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .stages.rank import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]).materialize()
+    med = {r["event_type"]: int(r["p50_units"])
+           for r in grouped_quantiles(ev, key_col="event_type",
+                                      val_col="value",
+                                      qs_pct=(50,)).take_all()}
+
+    def cents_of(b: pa.Table) -> np.ndarray:
+        return pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                round_mode="half_towards_infinity"),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+
+    def dev(b: pa.Table) -> pa.Table:
+        c = cents_of(b)
+        m = np.array([med[t] for t in b["event_type"].to_pylist()],
+                     np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "dev": pa.array(np.abs(c - m))})
+
+    mad = {r["event_type"]: int(r["p50_units"])
+           for r in grouped_quantiles(
+               ev.map_batches(dev, batch_format="pyarrow"),
+               key_col="event_type", val_col="dev",
+               qs_pct=(50,), scale=1).take_all()}
+
+    def flag_partial(b: pa.Table) -> pa.Table:
+        c = cents_of(b)
+        types = b["event_type"].to_pylist()
+        m = np.array([med[t] for t in types], np.int64)
+        a = np.array([mad[t] for t in types], np.int64)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "__o": pa.array((np.abs(c - m) > 3 * a).astype(np.int64)),
+        })
+        g = t.group_by("event_type").aggregate([("__o", "sum")])
+        return g.rename_columns(["event_type", "__o"])
+
+    agg = (ev.map_batches(flag_partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("__o", alias_name="n_outliers")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        types = b["event_type"].to_pylist()
+        return pa.table({
+            "event_type": b["event_type"],
+            "med_cents": pa.array([med[t] for t in types], pa.int64()),
+            "mad_cents": pa.array([mad[t] for t in types], pa.int64()),
+            "n_outliers": pc.cast(b["n_outliers"], pa.int64()),
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")

@@ -1104,3 +1104,105 @@ def gap_fill_counts(events: ray.data.Dataset, *, key_col: str, ts_col: str,
         })
 
     return counts.groupby(key_col).map_groups(fill, batch_format="pandas")
+
+
+def grouped_ohlc(events: ray.data.Dataset, *, key_cols: "list[str]",
+                 ts_col: str, id_col: str,
+                 val_col: str) -> ray.data.Dataset:
+    """→ key_cols + (open, high, low, close, n_events) — the OHLC
+    downsample (candlestick / telemetry rollup): per composite key, the
+    value of the earliest and latest row under the total order (ts, id)
+    plus the min/max over the key. The multi-key sibling of
+    :func:`grouped_first_last` with the same TWO-LEVEL combiner shape:
+    each batch reduces to one partial per key it contains (run-boundary
+    picks + ``reduceat`` extrema after an in-batch sort), so the shuffle
+    moves partials, never events; partials merge per coarse key-hash
+    bucket with the identical kernel. Pass an integer fixed-point
+    ``val_col`` for hash-exact oracles."""
+    def _boundaries(frames: "list[np.ndarray]") -> np.ndarray:
+        n = len(frames[0])
+        new = np.zeros(n, bool)
+        if n:
+            new[0] = True
+            for arr in frames:
+                new[1:] |= arr[1:] != arr[:-1]
+        return new
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            **{k: b[k].to_numpy(zero_copy_only=False) for k in key_cols},
+            "__t": t, "__i": ids,
+            "__v": b[val_col].to_numpy(zero_copy_only=False),
+        }).sort_values([*key_cols, "__t", "__i"], kind="mergesort")
+        n = len(df)
+        if n == 0:
+            return pa.table({
+                **{k: b[k] for k in key_cols},
+                "__ft": pa.array([], pa.int64()),
+                "__fi": pa.array([], pa.int64()),
+                "open": b[val_col],
+                "__lt": pa.array([], pa.int64()),
+                "__li": pa.array([], pa.int64()),
+                "close": b[val_col],
+                "high": b[val_col], "low": b[val_col],
+                "n_events": pa.array([], pa.int64())})
+        keys = [df[k].to_numpy() for k in key_cols]
+        new = _boundaries(keys)
+        s = np.nonzero(new)[0]
+        e = np.append(s[1:], n) - 1
+        v = df["__v"].to_numpy()
+        ts_sorted = df["__t"].to_numpy()
+        id_sorted = df["__i"].to_numpy()
+        return pa.table({
+            **{k: pa.array(arr[s]) for k, arr in zip(key_cols, keys)},
+            "__ft": pa.array(ts_sorted[s], pa.int64()),
+            "__fi": pa.array(id_sorted[s], pa.int64()),
+            "open": pa.array(v[s]),
+            "__lt": pa.array(ts_sorted[e], pa.int64()),
+            "__li": pa.array(id_sorted[e], pa.int64()),
+            "close": pa.array(v[e]),
+            "high": pa.array(np.maximum.reduceat(v, s)),
+            "low": pa.array(np.minimum.reduceat(v, s)),
+            "n_events": pa.array(np.diff(np.append(s, n)), pa.int64()),
+        })
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        kb = np.zeros(len(b), np.uint64)
+        for k in key_cols:
+            kb = kb * np.uint64(1000003) ^ pd.util.hash_array(
+                b[k].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "__kb", pa.array((kb % 64).astype(np.int64), pa.int64()))
+
+    def merge_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        gf = group.sort_values([*key_cols, "__ft", "__fi"],
+                               kind="mergesort")
+        gl = group.sort_values([*key_cols, "__lt", "__li"],
+                               kind="mergesort")
+        keys = [gf[k].to_numpy() for k in key_cols]
+        n = len(gf)
+        new = _boundaries(keys)
+        s = np.nonzero(new)[0]
+        e = np.append(s[1:], n) - 1
+        seg = np.cumsum(new) - 1
+        counts = np.zeros(len(s), np.int64)
+        np.add.at(counts, seg, gf["n_events"].to_numpy(np.int64))
+        return pd.DataFrame({
+            **{k: arr[s] for k, arr in zip(key_cols, keys)},
+            "open": gf["open"].to_numpy()[s],
+            "high": np.maximum.reduceat(gf["high"].to_numpy(), s),
+            "low": np.minimum.reduceat(gf["low"].to_numpy(), s),
+            "close": gl["close"].to_numpy()[e],
+            "n_events": counts,
+        })
+
+    out = (events.map_batches(partial, batch_format="pyarrow")
+           .map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__kb").map_groups(merge_bulk, batch_format="pandas"))
+    return _union_typed_empty(out, events, [
+        *[(k, k) for k in key_cols],
+        ("open", val_col), ("high", val_col), ("low", val_col),
+        ("close", val_col), ("n_events", pa.int64())])

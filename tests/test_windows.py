@@ -96,3 +96,61 @@ def test_window_ops_typed_empty_for_empty_input(ray_session):
     ev = _events([(1, 0, 1.0), (1, 10, 2.0)])
     out = session_windows(ev, gap_us=30 * _US_MIN).to_pandas()
     assert len(out) == 1 and int(out["n_events"].iloc[0]) == 2
+
+
+def test_grouped_ohlc_multi_key_vs_pandas(ray_session):
+    """grouped_ohlc across uneven partitions equals a pandas groupby
+    reference on (key1, key2), including (ts, id) tie-breaks."""
+    import pandas as pd
+
+    from entity_linking_ray.stages.windows import grouped_ohlc
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "w": rng.integers(0, 4, n).astype(np.int64),
+        # few distinct timestamps → real (ts, id) ties inside keys
+        "ts": rng.integers(0, 6, n).astype("int64"),
+        "cents": rng.integers(-500, 500, n).astype(np.int64),
+    })
+    tbl = pa.table({
+        "event_id": pa.array(df["event_id"]),
+        "event_type": pa.array(df["event_type"]),
+        "w": pa.array(df["w"]),
+        "ts": pa.array(df["ts"].to_numpy(), pa.timestamp("us")),
+        "cents": pa.array(df["cents"]),
+    })
+    out = grouped_ohlc(ray.data.from_arrow(tbl).repartition(7),
+                       key_cols=["event_type", "w"], ts_col="ts",
+                       id_col="event_id", val_col="cents"
+                       ).to_pandas().sort_values(["event_type", "w"])
+
+    sdf = df.sort_values(["ts", "event_id"], kind="mergesort")
+    ref = sdf.groupby(["event_type", "w"]).agg(
+        open=("cents", "first"), high=("cents", "max"),
+        low=("cents", "min"), close=("cents", "last"),
+        n_events=("cents", "size")).reset_index() \
+        .sort_values(["event_type", "w"])
+    for c in ("open", "high", "low", "close", "n_events"):
+        assert (out[c].to_numpy(np.int64) ==
+                ref[c].to_numpy(np.int64)).all(), c
+
+
+def test_grouped_ohlc_typed_empty(ray_session):
+    from entity_linking_ray.stages.windows import grouped_ohlc
+
+    empty = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "w": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "cents": pa.array([], pa.int64()),
+    }))
+    out = grouped_ohlc(empty, key_cols=["event_type", "w"], ts_col="ts",
+                       id_col="event_id", val_col="cents")
+    assert out.count() == 0
+    assert set(f.name for f in out.schema().base_schema) == {
+        "event_type", "w", "open", "high", "low", "close", "n_events"}
+    assert str(out.schema().base_schema.field("open").type) == "int64"
