@@ -94,8 +94,7 @@ def _q_er_clusters(sf_dir: str):
     return _default_run(sf_dir)["clusters"]
 
 
-def _run_exact_pipeline(sf_dir: str, pin: str | None = "links",
-                        annotate: str | None = None):
+def _run_exact_pipeline(sf_dir: str):
     """The flagship under its deterministic SQL-expressible configuration:
     exact-alias channel only (ann_k=0), strsim-only scoring
     (score_weights=(1,0) — the swap-protocol hook), salting off. Every
@@ -103,26 +102,29 @@ def _run_exact_pipeline(sf_dir: str, pin: str | None = "links",
     (score desc, entity_id asc) tie-break — the determinism hard-part of
     SURVEY.md §7 — and the 63-bit node/label hashes become reproducible
     in DuckDB (entity_linking_ray/oracles.py emulates the mod-2^64
-    arithmetic via HUGEINT partials)."""
+    arithmetic via HUGEINT partials).
+
+    ALL FIVE exact projections (links, clusters, mentions, scored_pairs,
+    annotated) share ONE memoized run with pin="scored": the expensive
+    front (extract → candidates → score) materializes once and every
+    projection — mentions drop-columns, the pairs explode, the links
+    flat map, clustering, the broadcast annotate — derives from the
+    pinned table. Common-subplan reuse, not result caching: each query
+    still projects and executes its own output, and every entry stays
+    independently oracle-checked. The eager broadcast-annotate
+    aggregation is included because the battery consumes it anyway and
+    it derives from pinned scored (one cheap flat map + groupby), no
+    longer a second front pass."""
     from entity_linking_ray.pipelines.link_and_cluster import run_pipeline
     from entity_linking_ray.testdata import derive_documents, derive_entities
 
-    # annotate=None by default: the broadcast annotate aggregation runs
-    # EAGERLY at pipeline-construction time, so queries that never consume
-    # annotated_documents should not pay for it
     def build():
         return run_pipeline(
             derive_documents(sf_dir), derive_entities(), concurrency=8,
             ann_k=0, score_weights=(1.0, 0.0), threshold=0.9,
-            hot_cap=1 << 40, pin=pin, annotate=annotate)
+            hot_cap=1 << 40, pin="scored", annotate="broadcast")
 
-    if pin == "links" and annotate is None:
-        # links/clusters twins share the pin="links" materialized front
-        # (see _RUN_MEMO); pin=None and annotate runs stay per-query —
-        # they are fully lazy / eager-extra configurations where a memo
-        # would either buy nothing or change what gets computed
-        return _memo_run(("exact-links", sf_dir), build)
-    return build()
+    return _memo_run(("exact-scored", sf_dir), build)
 
 
 def _q_er_links_exact(sf_dir: str):
@@ -144,10 +146,8 @@ def _q_er_mentions_exact(sf_dir: str):
     """Value-hash-oracled flagship MENTIONS table: surface, normalized
     surface, char offsets AND the ±120-char context windows (the M5
     context builder) checked against a DuckDB reconstruction of the
-    span chunking. pin=None: this query consumes only the front's
-    mentions projection, so the default links materialization would be a
-    wasted second front pass."""
-    return _run_exact_pipeline(sf_dir, pin=None)["mentions"]
+    span chunking. Projects off the shared pin="scored" run."""
+    return _run_exact_pipeline(sf_dir)["mentions"]
 
 
 def _q_er_annotated_exact(sf_dir: str):
@@ -155,7 +155,7 @@ def _q_er_annotated_exact(sf_dir: str):
     mention/link counts from the broadcast-searchsorted attach (the
     spans column — byte-identical pass-through, property-tested — is
     projected off because list<struct> has no canonical SQL form)."""
-    out = _run_exact_pipeline(sf_dir, annotate="broadcast")["annotated_documents"]
+    out = _run_exact_pipeline(sf_dir)["annotated_documents"]
     return out.select_columns(["doc_id", "n_mentions", "n_linked"])
 
 
@@ -163,9 +163,9 @@ def _q_er_scored_pairs_exact(sf_dir: str):
     """Value-hash-oracled flagship SCORED_PAIRS (the nested-candidates
     explode, stages/pairwise.explode_scored_pairs): every exact candidate
     with its tie-break rank, checked against the full alias→entity map
-    and a per-mention row_number in DuckDB (pin=None — single front
-    pass, as for er_mentions_exact)."""
-    return _run_exact_pipeline(sf_dir, pin=None)["scored_pairs"]
+    and a per-mention row_number in DuckDB. Projects off the shared
+    pin="scored" run."""
+    return _run_exact_pipeline(sf_dir)["scored_pairs"]
 
 
 def _run_incremental_halves(sf_dir: str, **kw):

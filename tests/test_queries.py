@@ -109,6 +109,13 @@ def test_er_twins_share_one_pipeline_run(ray_session):
     assert links.count() == clusters.count() > 0
     le = entrymod._q_er_links_exact(SF)
     ce = entrymod._q_er_clusters_exact(SF)
-    assert ("exact-links", SF) in entrymod._RUN_MEMO
+    me = entrymod._q_er_mentions_exact(SF)
+    pe = entrymod._q_er_scored_pairs_exact(SF)
+    ae = entrymod._q_er_annotated_exact(SF)
+    # all five exact projections share ONE pin="scored" run
+    assert ("exact-scored", SF) in entrymod._RUN_MEMO
+    assert len(entrymod._RUN_MEMO) == n_memo + 1
     assert le.count() == ce.count() > 0
+    assert pe.count() >= me.count() > 0
+    assert ae.count() > 0
     entrymod._RUN_MEMO.clear()
