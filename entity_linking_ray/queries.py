@@ -2368,6 +2368,78 @@ def _q_part_fuzzy(sf_dir: str):
                              block="last_token")
 
 
+def _phonetic_sql() -> tuple[str, str]:
+    from .functions.phonetic import soundex_sql_expr
+
+    blocks = f"""
+    SELECT {soundex_sql_expr('p_name')} AS key,
+           count(*) AS n_parts,
+           cast(count(distinct p_name) as bigint) AS n_names
+    FROM part GROUP BY key
+    """
+    last = r"regexp_extract(p_name, '(\S+)$', 1)"
+    pairs = f"""
+    WITH n AS (SELECT DISTINCT p_name,
+                      {soundex_sql_expr(last)} AS k
+               FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           cast(levenshtein(a.p_name, b.p_name) as bigint) AS dist
+    FROM n a JOIN n b
+      ON a.k = b.k AND a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """
+    return blocks, pairs
+
+
+_PHONETIC_BLOCKS_SQL, _PHONETIC_PAIRS_SQL = _phonetic_sql()
+
+
+@register("part_name_soundex_blocks", _PHONETIC_BLOCKS_SQL)
+def _q_part_soundex_blocks(sf_dir: str):
+    """Phonetic blocking-key profile: every part name keyed by
+    simplified Soundex (functions/phonetic.py — the classic
+    record-linkage blocking family beside surface-hash, LSH and
+    sorted-neighborhood), with per-key row and distinct-name counts.
+    The key computation is the VECTORIZED kernel (one LUT gather over
+    the Arrow utf-8 buffer + offset arithmetic, no per-row Python);
+    both aggregation levels ride bucketed_agg. The oracle recomputes
+    the identical key via chained RE2 replaces (soundex_sql_expr)."""
+    import pyarrow as pa
+
+    from .functions.phonetic import soundex_arrow
+    from .stages.agg import bucketed_agg
+
+    part = _read(sf_dir, "part", ["p_name"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({"p_name": b["p_name"],
+                         "key": soundex_arrow(b["p_name"])})
+
+    per_name = bucketed_agg(part.map_batches(keyed, batch_format="pyarrow"),
+                            ["p_name", "key"],
+                            [("p_name", "count", "n_rows")])
+    return bucketed_agg(per_name, ["key"],
+                        [("n_rows", "sum", "n_parts"),
+                         ("n_rows", "count", "n_names")])
+
+
+@register("part_name_phonetic_pairs", _PHONETIC_PAIRS_SQL)
+def _q_part_phonetic_pairs(sf_dir: str):
+    """Phonetic fuzzy similarity self-join: distinct part names blocked
+    by the simplified-Soundex key of their TRAILING token (the phonetic
+    widening of part_name_fuzzy_pairs — last-token variants that merely
+    sound alike still land in one block), verified by Levenshtein <= 2
+    (same stages/fuzzy.fuzzy_value_pairs plan, block="soundex_last_token").
+    Blocking recall below 1 is the phonetic family's documented trade:
+    the query's contract is pairs AGREEING on the key, which the
+    oracle's equality join replicates exactly."""
+    from .stages.fuzzy import fuzzy_value_pairs
+
+    part = _read(sf_dir, "part", ["p_name"])
+    return fuzzy_value_pairs(part, col="p_name", max_dist=2,
+                             block="soundex_last_token")
+
+
 @register(
     "user_top_event_type",
     """

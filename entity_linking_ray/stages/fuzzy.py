@@ -56,8 +56,24 @@ def fuzzy_value_pairs(ds: ray.data.Dataset, *, col: str,
     bounds the edit distance from below, so those pairs skip the DP).
     A block over ``max_block_values`` distinct values raises (quadratic
     guard — pick a more selective blocking key)."""
-    blocker = (_block_last_token if block == "last_token"
-               else _block_prefix(prefix_len))
+    if block == "last_token":
+        blocker = _block_last_token
+    elif block in ("soundex", "soundex_last_token"):
+        # phonetic blocking family (functions/phonetic.py): misspelled
+        # variants share a key, so the Levenshtein verify sees them even
+        # when exact prefix/suffix blocking would split them. The
+        # "_last_token" variant keys the trailing word only — the
+        # phonetic widening of "last_token" (multi-word values keep
+        # their most discriminative token while tolerating respellings)
+        from ..functions.phonetic import soundex
+
+        if block == "soundex":
+            blocker = soundex
+        else:
+            def blocker(s: str) -> str:
+                return soundex(_block_last_token(s))
+    else:
+        blocker = _block_prefix(prefix_len)
 
     def distinct_partial(b: pa.Table) -> pa.Table:
         part = b.select([col]).group_by([col]).aggregate([])
