@@ -343,6 +343,150 @@ def _q_events_sliding(sf_dir: str):
 
 
 @register(
+    "events_sliding_distinct_users",
+    """
+    SELECT ws AS window_start,
+           cast(count(distinct user_id) as bigint) AS n_users
+    FROM (
+      SELECT ((epoch_us(ts) // 900000000) - i.range) * 900000000 AS ws,
+             user_id
+      FROM events, range(4) i
+    )
+    GROUP BY ws
+    """,
+)
+def _q_events_sliding_distinct(sf_dir: str):
+    """Sliding-window COUNT DISTINCT (1 h windows every 15 min): the
+    window explode happens per batch WITH an in-batch (window, user)
+    dedup combiner, then bucketed_agg dedups globally (bucket hash on
+    the high-cardinality user), and a partial-count combiner + tiny
+    window-keyed groupby sums per window — users explode ×4 only as
+    pre-deduped partial rows, never as raw events."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .stages.agg import bucketed_agg
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    slide = 900_000_000
+    nwin = 4
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        base = t // slide
+        ws = ((np.repeat(base, nwin)
+               - np.tile(np.arange(nwin, dtype=np.int64), len(t)))
+              * slide)
+        t2 = pa.table({"user_id": pa.array(np.repeat(u, nwin)),
+                       "ws": pa.array(ws, pa.int64())})
+        return (t2.group_by(["user_id", "ws"]).aggregate([])
+                .rename_columns(["user_id", "ws"]))
+
+    pairs = bucketed_agg(ev.map_batches(explode, batch_format="pyarrow"),
+                         ["user_id", "ws"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["ws"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ws", "__c"])
+
+    out = (pairs.map_batches(count_partial, batch_format="pyarrow")
+           .groupby("ws").aggregate(Sum("__c", alias_name="n_users")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"window_start": b["ws"],
+                         "n_users": pc.cast(b["n_users"], pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+@register(
+    "event_value_rank_in_type",
+    """
+    WITH e AS (SELECT event_id, event_type,
+                      cast(round(value * 100) as bigint) AS cents
+               FROM events)
+    SELECT event_id, event_type, cents,
+           cast(rank() OVER (PARTITION BY event_type
+                             ORDER BY cents DESC) as bigint) AS rnk
+    FROM e
+    """,
+)
+def _q_event_value_rank_in_type(sf_dir: str):
+    """SQL RANK() with ties, distributively: rank of an event within its
+    type = 1 + (count of strictly greater values), so the engine builds
+    the per-(type, cents) count histogram (bucketed_agg — the only
+    shuffle, bounded by distinct values × types, never events), ranks
+    histogram rows per type with an exclusive cumsum, and broadcasts the
+    (type, cents) → rank table into a map over the raw events. Events
+    themselves never shuffle — the 100-TB-safe window-rank plan."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .stages.agg import bucketed_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"], "cents": cents})
+
+    evp = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    hist = bucketed_agg(evp, ["cents", "event_type"],
+                        [("cents", "count", "n")])
+
+    def rank_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "cents"],
+                          ascending=[True, False], kind="mergesort")
+        types = g["event_type"].to_numpy()
+        n = g["n"].to_numpy(np.int64)
+        start = np.zeros(len(g), bool)
+        if len(g):
+            start[0] = True
+            start[1:] = types[1:] != types[:-1]
+        run = np.cumsum(n) - n  # global exclusive cumsum
+        base = run[start][np.cumsum(start) - 1]  # reset per type
+        return pd.DataFrame({"event_type": types, "cents": g["cents"],
+                             "rnk": run - base + 1})
+
+    # one row per (type, distinct value): bounded by value cardinality,
+    # small enough to rank in one task and broadcast as sorted arrays
+    # keyed EXACTLY by (type index, cents) — no hash-collision surface
+    rt = rank_rows(hist.to_pandas())
+    type_idx = {t: i for i, t in enumerate(sorted(set(rt["event_type"])))}
+    T = max(len(type_idx), 1)
+    key = (rt["cents"].to_numpy(np.int64) * T
+           + np.array([type_idx[t] for t in rt["event_type"]], np.int64))
+    order = np.argsort(key)
+    lut = ray.put((key[order], rt["rnk"].to_numpy(np.int64)[order],
+                   type_idx))
+
+    def attach(b: pa.Table) -> pa.Table:
+        k, r, tix = ray.get(lut)
+        bk = (b["cents"].to_numpy(zero_copy_only=False) * len(tix)
+              + np.array([tix[t] for t in b["event_type"].to_pylist()],
+                         np.int64))
+        pos = np.searchsorted(k, bk)
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "cents": b["cents"],
+                         "rnk": pa.array(r[pos], pa.int64())})
+
+    return evp.map_batches(attach, batch_format="pyarrow")
+
+
+@register(
     "user_sessions",
     """
     SELECT user_id, min(t) AS session_start, count(*) AS n_events,
