@@ -2585,6 +2585,67 @@ def _q_part_phonetic_pairs(sf_dir: str):
 
 
 @register(
+    "customer_order_overlaps",
+    """
+    WITH mx AS (SELECT l_orderkey, max(epoch_us(l_shipdate)) AS e
+                FROM lineitem GROUP BY l_orderkey),
+    iv AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS s, e
+           FROM orders JOIN mx ON mx.l_orderkey = o_orderkey)
+    SELECT a.o_custkey, a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+           cast(least(a.e, b.e) - greatest(a.s, b.s) as bigint)
+             AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def _q_customer_order_overlaps(sf_dir: str):
+    """Interval-overlap self-join (the temporal-conflict operator): per
+    customer, every pair of orders whose fulfillment intervals
+    [orderdate, max shipdate] intersect, with the overlap length.
+    Intervals build from a per-order max-shipdate combiner joined to
+    orders; the pair generation is stages/joins.interval_overlap_pairs —
+    rows sort by (key, start) per coarse key bucket and a single
+    structured-view searchsorted finds every overlap run (starts
+    ascending ⇒ partners of a row are one contiguous slice), so pairs
+    emit vectorized and the all-pairs product never materializes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.agg import bucketed_agg
+    from .stages.joins import interval_overlap_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "ship_us": pc.cast(pc.cast(b["l_shipdate"],
+                                       pa.timestamp("us")), pa.int64())})
+
+    ends = bucketed_agg(li.map_batches(li_prep, batch_format="pyarrow"),
+                        ["l_orderkey"], [("ship_us", "max", "e")])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "s": pc.cast(pc.cast(b["o_orderdate"],
+                                 pa.timestamp("us")), pa.int64())})
+
+    np_ = _table_partitions(sf_dir, "orders", "lineitem")
+    # groupby → join needs the untyped-empty-block scrub on Ray 2.49
+    iv = (orders.map_batches(o_prep, batch_format="pyarrow")
+          .join(ends.repartition(np_), "inner", np_,
+                on=("o_orderkey",), right_on=("l_orderkey",)))
+    return interval_overlap_pairs(iv, key_col="o_custkey",
+                                  id_col="o_orderkey",
+                                  start_col="s", end_col="e")
+
+
+@register(
     "user_top_event_type",
     """
     SELECT user_id, event_type AS mode_val, cast(cnt as bigint) AS n

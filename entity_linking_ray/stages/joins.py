@@ -935,3 +935,96 @@ def interpolate_asof(left: ray.data.Dataset, right: ray.data.Dataset, *,
                          out_col: pa.array(vi.astype(np.int64))})
 
     return tagged.groupby("__kb").map_groups(interp, batch_format="pyarrow")
+
+
+def interval_overlap_pairs(ds: ray.data.Dataset, *, key_col: str,
+                           id_col: str, start_col: str, end_col: str,
+                           max_pairs_per_key: int = 1_000_000
+                           ) -> ray.data.Dataset:
+    """Self interval-overlap join within keys: → (key, id_a, id_b,
+    overlap_us) for every pair of rows of the same key whose
+    [start, end] intervals intersect (closed ends, ``id_a < id_b``) —
+    the temporal-conflict / concurrency-detection operator.
+
+    One coarse key-hash bucket shuffle (slim projection only), then a
+    vectorized sweep inside each bucket: rows sort by (key, start, id);
+    with starts ascending, the partners of row i are EXACTLY the
+    contiguous run of later rows whose start <= end_i (their own ends
+    can only reach further right), so one searchsorted per segment +
+    a repeat/arange expansion emits every pair without a Python loop
+    and without the all-pairs product. A key expanding past
+    ``max_pairs_per_key`` raises loudly (quadratic guard — overlap
+    volume is data, not plan, so the cap names the fix: narrower
+    intervals or a pre-filter)."""
+    from .windows import _add_key_bucket
+
+    slim = ds.select_columns([key_col, id_col, start_col, end_col])
+
+    def pairs_bulk(group: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            return pa.table({
+                key_col: pa.array([], group[key_col].type
+                                  if key_col in group.schema.names
+                                  else pa.int64()),
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "overlap_us": pa.array([], pa.int64())})
+
+        if key_col not in group.schema.names or not group.num_rows:
+            return empty()
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = group[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = group[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, kinv = np.unique(keys, return_inverse=True)
+        order = np.lexsort((ids, s, kinv))
+        kinv, ids, s, e = kinv[order], ids[order], s[order], e[order]
+        n = len(ids)
+        # partners of i: the contiguous run of later rows j of the same
+        # key with s_j <= e_i; one structured-view searchsorted over the
+        # (key, start) order finds every run end at once (same probe
+        # trick as the asof kernels above)
+        base = np.ascontiguousarray(
+            np.column_stack([kinv, s])).view("i8,i8").ravel()
+        probes = np.ascontiguousarray(
+            np.column_stack([kinv, e])).view("i8,i8").ravel()
+        hi = np.searchsorted(base, probes, side="right")
+        cnt = hi - np.arange(n) - 1
+        cnt = np.maximum(cnt, 0)
+        total = int(cnt.sum())
+        if total > max_pairs_per_key:
+            raise ValueError(
+                f"interval_overlap_pairs: bucket expands to {total} pairs "
+                f"(> {max_pairs_per_key}); narrow the intervals, pre-filter "
+                "the rows, or raise max_pairs_per_key")
+        if total == 0:
+            return empty()
+        ii = np.repeat(np.arange(n), cnt)
+        jj = (np.arange(total)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt)
+              + ii + 1)
+        # the run guarantees s_j <= e_i (the necessary half); verify the
+        # symmetric half s_i <= e_j so inverted intervals (end < start —
+        # present in malformed data) never over-match
+        keep = s[ii] <= e[jj]
+        ii, jj = ii[keep], jj[keep]
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        ov = np.minimum(e[ii], e[jj]) - np.maximum(s[ii], s[jj])
+        out_keys = keys[order][ii]
+        return pa.table({key_col: pa.array(out_keys),
+                         "id_a": pa.array(a), "id_b": pa.array(b),
+                         "overlap_us": pa.array(ov)})
+
+    out = (slim.map_batches(_add_key_bucket(key_col),
+                            batch_format="pyarrow")
+           .groupby("__kb").map_groups(pairs_bulk, batch_format="pyarrow"))
+    in_schema = ds.schema()
+    key_type = (dict(zip(in_schema.names, in_schema.types))
+                .get(key_col, pa.int64())
+                if in_schema is not None else pa.int64())
+    return out.union(ray.data.from_arrow(pa.table({
+        key_col: pa.array([], key_type),
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "overlap_us": pa.array([], pa.int64())})))

@@ -199,3 +199,60 @@ def test_interpolate_asof_matches_bruteforce_random(ray_session):
         else:
             want = -1
         assert got.loc[p["pid"]] == want, p["pid"]
+
+
+def test_interval_overlap_pairs_vs_bruteforce(ray_session):
+    """Sweep-run pair generation ≡ the O(n²) definition, including
+    inverted intervals (end < start) and closed-end touching pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from entity_linking_ray.stages.joins import interval_overlap_pairs
+
+    rng = np.random.default_rng(5)
+    n = 300
+    key = rng.integers(0, 12, n).astype(np.int64)
+    s = rng.integers(0, 100, n).astype(np.int64)
+    e = s + rng.integers(-20, 30, n)  # ~40% inverted
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"k": key, "id": ids, "s": s, "e": e})
+    out = interval_overlap_pairs(
+        ray.data.from_arrow(t).repartition(5), key_col="k", id_col="id",
+        start_col="s", end_col="e").to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if key[i] == key[j] and s[i] <= e[j] and s[j] <= e[i]:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert got == want
+    ov = dict(zip(zip(out["id_a"], out["id_b"]), out["overlap_us"]))
+    for (a, b), v in ov.items():
+        assert v == min(e[a], e[b]) - max(s[a], s[b])
+
+
+def test_interval_overlap_pairs_typed_empty_and_cap(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from entity_linking_ray.stages.joins import interval_overlap_pairs
+
+    empty = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
+        "s": pa.array([], pa.int64()), "e": pa.array([], pa.int64())}))
+    out = interval_overlap_pairs(empty, key_col="k", id_col="id",
+                                 start_col="s", end_col="e")
+    assert out.count() == 0
+    assert set(f.name for f in out.schema().base_schema) == {
+        "k", "id_a", "id_b", "overlap_us"}
+
+    hot = pa.table({"k": pa.array([1] * 50, pa.int64()),
+                    "id": pa.array(range(50), pa.int64()),
+                    "s": pa.array([0] * 50, pa.int64()),
+                    "e": pa.array([10] * 50, pa.int64())})
+    with pytest.raises(Exception, match="max_pairs_per_key"):
+        interval_overlap_pairs(ray.data.from_arrow(hot), key_col="k",
+                               id_col="id", start_col="s", end_col="e",
+                               max_pairs_per_key=100).materialize()
