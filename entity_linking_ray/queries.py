@@ -375,10 +375,12 @@ def _q_events_sliding_distinct(sf_dir: str):
     nwin = 4
 
     def explode(b: pa.Table) -> pa.Table:
-        t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
-                    pa.int64()).to_numpy(zero_copy_only=False)
+        tcol = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        t = tcol.to_numpy(zero_copy_only=False)
         u = b["user_id"].to_numpy(zero_copy_only=False)
-        base = t // slide
+        # pc.divide truncates toward zero like DuckDB's // — numpy's
+        # floor-dividing t // slide would diverge on pre-1970 timestamps
+        base = pc.divide(tcol, slide).to_numpy(zero_copy_only=False)
         ws = ((np.repeat(base, nwin)
                - np.tile(np.arange(nwin, dtype=np.int64), len(t)))
               * slide)

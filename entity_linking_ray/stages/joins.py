@@ -992,11 +992,19 @@ def interval_overlap_pairs(ds: ray.data.Dataset, *, key_col: str,
         cnt = hi - np.arange(n) - 1
         cnt = np.maximum(cnt, 0)
         total = int(cnt.sum())
-        if total > max_pairs_per_key:
+        # per-KEY quadratic guard (the cap names a degenerate key, not a
+        # busy bucket): segment-sum the candidate counts
+        seg_start = np.zeros(n, bool)
+        seg_start[0] = True
+        seg_start[1:] = kinv[1:] != kinv[:-1]
+        per_key = np.add.reduceat(cnt, np.nonzero(seg_start)[0])
+        if len(per_key) and int(per_key.max()) > max_pairs_per_key:
+            bad = keys[order][np.nonzero(seg_start)[0][int(per_key.argmax())]]
             raise ValueError(
-                f"interval_overlap_pairs: bucket expands to {total} pairs "
-                f"(> {max_pairs_per_key}); narrow the intervals, pre-filter "
-                "the rows, or raise max_pairs_per_key")
+                f"interval_overlap_pairs: key {bad!r} expands to "
+                f"{int(per_key.max())} pairs (> {max_pairs_per_key}); "
+                "narrow the intervals, pre-filter the rows, or raise "
+                "max_pairs_per_key")
         if total == 0:
             return empty()
         ii = np.repeat(np.arange(n), cnt)
@@ -1019,12 +1027,7 @@ def interval_overlap_pairs(ds: ray.data.Dataset, *, key_col: str,
     out = (slim.map_batches(_add_key_bucket(key_col),
                             batch_format="pyarrow")
            .groupby("__kb").map_groups(pairs_bulk, batch_format="pyarrow"))
-    in_schema = ds.schema()
-    key_type = (dict(zip(in_schema.names, in_schema.types))
-                .get(key_col, pa.int64())
-                if in_schema is not None else pa.int64())
-    return out.union(ray.data.from_arrow(pa.table({
-        key_col: pa.array([], key_type),
-        "id_a": pa.array([], pa.int64()),
-        "id_b": pa.array([], pa.int64()),
-        "overlap_us": pa.array([], pa.int64())})))
+    from .windows import _union_typed_empty
+    return _union_typed_empty(out, ds, [
+        (key_col, key_col), ("id_a", pa.int64()),
+        ("id_b", pa.int64()), ("overlap_us", pa.int64())])

@@ -618,77 +618,14 @@ def grouped_first_last(events: ray.data.Dataset, *, key_col: str,
                        val_col: str) -> ray.data.Dataset:
     """→ (key, first_val, last_val, n_events) — the distributed
     argmin/argmax-by-time pattern: for every key, the value of its
-    earliest and latest row under the total order (ts, id).
-
-    TWO-LEVEL combiner, not a raw co-group: each batch first reduces to
-    one (key, first, last, n) partial per key it contains (vectorized
-    run-boundary pick after an in-batch sort), so the shuffle moves at
-    most num_batches × distinct-keys-per-batch partial rows — never the
-    events. Partials merge per coarse key-hash bucket with the identical
-    kernel (first/last of firsts/lasts ordered by their own (t, id))."""
-    us_id = "__fl_t"
-
-    def partial(b: pa.Table) -> pa.Table:
-        t = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
-                    pa.int64()).to_numpy(zero_copy_only=False)
-        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({
-            key_col: b[key_col].to_numpy(zero_copy_only=False),
-            us_id: t, id_col: ids,
-            "__v": b[val_col].to_numpy(zero_copy_only=False),
-        }).sort_values([key_col, us_id, id_col], kind="mergesort")
-        keys = df[key_col].to_numpy()
-        n = len(df)
-        if n == 0:
-            return pa.table({key_col: b[key_col],
-                             "__ft": pa.array([], pa.int64()),
-                             "__fi": pa.array([], pa.int64()),
-                             "first_val": b[val_col],
-                             "__lt": pa.array([], pa.int64()),
-                             "__li": pa.array([], pa.int64()),
-                             "last_val": b[val_col],
-                             "n_events": pa.array([], pa.int64())})
-        new = np.ones(n, dtype=bool)
-        new[1:] = keys[1:] != keys[:-1]
-        s = np.nonzero(new)[0]
-        e = np.append(s[1:], n) - 1
-        return pa.table({
-            key_col: pa.array(keys[s]),
-            "__ft": pa.array(df[us_id].to_numpy()[s], pa.int64()),
-            "__fi": pa.array(df[id_col].to_numpy()[s], pa.int64()),
-            "first_val": pa.array(df["__v"].to_numpy()[s]),
-            "__lt": pa.array(df[us_id].to_numpy()[e], pa.int64()),
-            "__li": pa.array(df[id_col].to_numpy()[e], pa.int64()),
-            "last_val": pa.array(df["__v"].to_numpy()[e]),
-            "n_events": pa.array(np.diff(np.append(s, n)), pa.int64()),
-        })
-
-    def merge_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        # both sorts are key-primary, so key-run boundaries coincide:
-        # firsts come from run STARTS of the (__ft, __fi) order, lasts
-        # from run ENDS of the (__lt, __li) order
-        gf = group.sort_values([key_col, "__ft", "__fi"], kind="mergesort")
-        gl = group.sort_values([key_col, "__lt", "__li"], kind="mergesort")
-        keys = gf[key_col].to_numpy()
-        n = len(gf)
-        new = np.ones(n, dtype=bool)
-        if n > 1:
-            new[1:] = keys[1:] != keys[:-1]
-        s = np.nonzero(new)[0]
-        e = np.append(s[1:], n) - 1
-        seg = np.cumsum(new) - 1
-        counts = np.zeros(len(s), np.int64)
-        np.add.at(counts, seg, gf["n_events"].to_numpy(np.int64))
-        return pd.DataFrame({
-            key_col: keys[s],
-            "first_val": gf["first_val"].to_numpy()[s],
-            "last_val": gl["last_val"].to_numpy()[e],
-            "n_events": counts,
-        })
-
-    return (events.map_batches(partial, batch_format="pyarrow")
-            .map_batches(_add_key_bucket(key_col), batch_format="pyarrow")
-            .groupby("__kb").map_groups(merge_bulk, batch_format="pandas"))
+    earliest and latest row under the total order (ts, id). The
+    single-key, no-extrema specialization of the shared edge-aggregate
+    combiner (:func:`_grouped_edge_agg` — grouped_ohlc is the same
+    kernel with min/max reduceats switched on)."""
+    return _grouped_edge_agg(events, key_cols=[key_col], ts_col=ts_col,
+                             id_col=id_col, val_col=val_col,
+                             extrema=False, first_name="first_val",
+                             last_name="last_val")
 
 
 def grouped_running_sum(events: ray.data.Dataset, *, key_col: str,
@@ -1112,13 +1049,27 @@ def grouped_ohlc(events: ray.data.Dataset, *, key_cols: "list[str]",
     """→ key_cols + (open, high, low, close, n_events) — the OHLC
     downsample (candlestick / telemetry rollup): per composite key, the
     value of the earliest and latest row under the total order (ts, id)
-    plus the min/max over the key. The multi-key sibling of
-    :func:`grouped_first_last` with the same TWO-LEVEL combiner shape:
-    each batch reduces to one partial per key it contains (run-boundary
-    picks + ``reduceat`` extrema after an in-batch sort), so the shuffle
-    moves partials, never events; partials merge per coarse key-hash
-    bucket with the identical kernel. Pass an integer fixed-point
-    ``val_col`` for hash-exact oracles."""
+    plus the min/max over the key. Pass an integer fixed-point
+    ``val_col`` for hash-exact oracles. Shares the edge-aggregate
+    combiner with :func:`grouped_first_last`."""
+    return _grouped_edge_agg(events, key_cols=key_cols, ts_col=ts_col,
+                             id_col=id_col, val_col=val_col,
+                             extrema=True, first_name="open",
+                             last_name="close")
+
+
+def _grouped_edge_agg(events: ray.data.Dataset, *, key_cols: "list[str]",
+                      ts_col: str, id_col: str, val_col: str,
+                      extrema: bool, first_name: str,
+                      last_name: str) -> ray.data.Dataset:
+    """Shared TWO-LEVEL combiner behind grouped_first_last (single key,
+    edge values only) and grouped_ohlc (composite key + min/max): each
+    batch reduces to one partial per key tuple it contains (vectorized
+    run-boundary picks — plus ``reduceat`` extrema when ``extrema`` —
+    after an in-batch sort), so the shuffle moves partials, never
+    events; partials merge per coarse key-hash bucket with the identical
+    kernel (first/last of firsts/lasts under their own (t, id) order,
+    max of highs / min of lows, summed counts)."""
     def _boundaries(frames: "list[np.ndarray]") -> np.ndarray:
         n = len(frames[0])
         new = np.zeros(n, bool)
@@ -1139,16 +1090,18 @@ def grouped_ohlc(events: ray.data.Dataset, *, key_cols: "list[str]",
         }).sort_values([*key_cols, "__t", "__i"], kind="mergesort")
         n = len(df)
         if n == 0:
-            return pa.table({
-                **{k: b[k] for k in key_cols},
-                "__ft": pa.array([], pa.int64()),
-                "__fi": pa.array([], pa.int64()),
-                "open": b[val_col],
-                "__lt": pa.array([], pa.int64()),
-                "__li": pa.array([], pa.int64()),
-                "close": b[val_col],
-                "high": b[val_col], "low": b[val_col],
-                "n_events": pa.array([], pa.int64())})
+            cols = {**{k: b[k] for k in key_cols},
+                    "__ft": pa.array([], pa.int64()),
+                    "__fi": pa.array([], pa.int64()),
+                    first_name: b[val_col],
+                    "__lt": pa.array([], pa.int64()),
+                    "__li": pa.array([], pa.int64()),
+                    last_name: b[val_col]}
+            if extrema:
+                cols["high"] = b[val_col]
+                cols["low"] = b[val_col]
+            cols["n_events"] = pa.array([], pa.int64())
+            return pa.table(cols)
         keys = [df[k].to_numpy() for k in key_cols]
         new = _boundaries(keys)
         s = np.nonzero(new)[0]
@@ -1156,18 +1109,20 @@ def grouped_ohlc(events: ray.data.Dataset, *, key_cols: "list[str]",
         v = df["__v"].to_numpy()
         ts_sorted = df["__t"].to_numpy()
         id_sorted = df["__i"].to_numpy()
-        return pa.table({
+        cols = {
             **{k: pa.array(arr[s]) for k, arr in zip(key_cols, keys)},
             "__ft": pa.array(ts_sorted[s], pa.int64()),
             "__fi": pa.array(id_sorted[s], pa.int64()),
-            "open": pa.array(v[s]),
+            first_name: pa.array(v[s]),
             "__lt": pa.array(ts_sorted[e], pa.int64()),
             "__li": pa.array(id_sorted[e], pa.int64()),
-            "close": pa.array(v[e]),
-            "high": pa.array(np.maximum.reduceat(v, s)),
-            "low": pa.array(np.minimum.reduceat(v, s)),
-            "n_events": pa.array(np.diff(np.append(s, n)), pa.int64()),
-        })
+            last_name: pa.array(v[e]),
+        }
+        if extrema:
+            cols["high"] = pa.array(np.maximum.reduceat(v, s))
+            cols["low"] = pa.array(np.minimum.reduceat(v, s))
+        cols["n_events"] = pa.array(np.diff(np.append(s, n)), pa.int64())
+        return pa.table(cols)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         kb = np.zeros(len(b), np.uint64)
@@ -1190,19 +1145,22 @@ def grouped_ohlc(events: ray.data.Dataset, *, key_cols: "list[str]",
         seg = np.cumsum(new) - 1
         counts = np.zeros(len(s), np.int64)
         np.add.at(counts, seg, gf["n_events"].to_numpy(np.int64))
-        return pd.DataFrame({
+        cols = {
             **{k: arr[s] for k, arr in zip(key_cols, keys)},
-            "open": gf["open"].to_numpy()[s],
-            "high": np.maximum.reduceat(gf["high"].to_numpy(), s),
-            "low": np.minimum.reduceat(gf["low"].to_numpy(), s),
-            "close": gl["close"].to_numpy()[e],
-            "n_events": counts,
-        })
+            first_name: gf[first_name].to_numpy()[s],
+        }
+        if extrema:
+            cols["high"] = np.maximum.reduceat(gf["high"].to_numpy(), s)
+            cols["low"] = np.minimum.reduceat(gf["low"].to_numpy(), s)
+        cols[last_name] = gl[last_name].to_numpy()[e]
+        cols["n_events"] = counts
+        return pd.DataFrame(cols)
 
     out = (events.map_batches(partial, batch_format="pyarrow")
            .map_batches(add_bucket, batch_format="pyarrow")
            .groupby("__kb").map_groups(merge_bulk, batch_format="pandas"))
-    return _union_typed_empty(out, events, [
-        *[(k, k) for k in key_cols],
-        ("open", val_col), ("high", val_col), ("low", val_col),
-        ("close", val_col), ("n_events", pa.int64())])
+    spec = [*[(k, k) for k in key_cols], (first_name, val_col)]
+    if extrema:
+        spec += [("high", val_col), ("low", val_col)]
+    spec += [(last_name, val_col), ("n_events", pa.int64())]
+    return _union_typed_empty(out, events, spec)
