@@ -44,6 +44,11 @@ def _bucket_col(tbl: pa.Table, key: str, num_buckets: int) -> pa.Array:
     import pyarrow.compute as pc
 
     col = tbl[key]
+    if pa.types.is_null(col.type):
+        # an all-null column arrives TYPED null (e.g. Arrow inference
+        # over [None, ...]); fill_null can't cast into it — every key is
+        # the null group, so the whole column is one sentinel bucket
+        return pa.array(np.zeros(len(col), np.int64), pa.int64())
     if pa.types.is_integer(col.type):
         if col.null_count:
             col = pc.fill_null(col, 0)
