@@ -763,6 +763,35 @@ def _q_event_quantiles(sf_dir: str):
 
 
 @register(
+    "event_value_quantiles_cont",
+    """
+    WITH e AS (SELECT event_type,
+                      cast(round(value * 100) as bigint) AS cents
+               FROM events)
+    SELECT event_type, cast(count(*) as bigint) AS n,
+           quantile_cont(cents, 0.25) AS p25_cont,
+           quantile_cont(cents, 0.50) AS p50_cont,
+           quantile_cont(cents, 0.75) AS p75_cont
+    FROM e GROUP BY event_type
+    """,
+)
+def _q_event_quantiles_cont(sf_dir: str):
+    """INTERPOLATED per-type quartiles (SQL quantile_cont /
+    percentile_cont): the same distributed count-histogram plan as
+    event_value_quantiles, finalized at rank q·(n−1) with linear
+    interpolation (stages/rank.grouped_quantiles_cont). The percentile
+    set is restricted to quarter fractions, where integer cents make
+    every float64 intermediate EXACT — so this float-valued output is
+    value-hash-stable against DuckDB regardless of its interpolation
+    formula variant (other percentiles are refused loudly)."""
+    from .stages.rank import grouped_quantiles_cont
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles_cont(ev, key_col="event_type",
+                                  val_col="value", qs_pct=(25, 50, 75))
+
+
+@register(
     "top_orders_per_priority",
     """
     SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (

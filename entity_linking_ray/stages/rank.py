@@ -71,6 +71,63 @@ def grouped_quantiles(ds: ray.data.Dataset, *, key_col: str, val_col: str,
             .map_groups(finalize, batch_format="pandas"))
 
 
+def grouped_quantiles_cont(ds: ray.data.Dataset, *, key_col: str,
+                           val_col: str,
+                           qs_pct: tuple[int, ...] = (25, 50, 75),
+                           scale: int = 100) -> ray.data.Dataset:
+    """→ (key_col, n: int64, p{q}_cont: float64 per q) — SQL
+    ``quantile_cont`` (linear interpolation at rank q·(n−1) over the
+    sorted multiset), same count-histogram plan as
+    :func:`grouped_quantiles` (per-batch (key, unit) count combiner, one
+    key shuffle of histogram rows — values never move).
+
+    ``qs_pct`` is restricted to {25, 50, 75}: quarter fractions and
+    integer units make EVERY intermediate exactly representable in
+    float64, so the result is the exact rational regardless of which
+    algebraic variant of the interpolation formula the oracle engine
+    uses — the float output stays value-hash-stable. Other percentiles
+    would ride DuckDB's exact float rounding behavior and are refused
+    loudly rather than silently hash-flaky."""
+    qs = tuple(int(q) for q in qs_pct)
+    bad = [q for q in qs if q not in (25, 50, 75)]
+    if bad:
+        raise ValueError(
+            f"grouped_quantiles_cont: percentiles {bad} are not exactly "
+            "float64-representable quarter fractions; only 25/50/75 keep "
+            "the interpolated result bit-stable across engines")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        units = pc.cast(pc.round(
+            pc.multiply(pc.cast(batch[val_col], pa.float64()),
+                        pa.scalar(float(scale))),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({key_col: batch[key_col], "__u": units})
+        g = t.group_by([key_col, "__u"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "__u", "__c"])
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        u = group["__u"].to_numpy(np.int64)
+        c = group["__c"].to_numpy(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        cc = np.zeros(len(uu), np.int64)
+        np.add.at(cc, inv, c)
+        cum = np.cumsum(cc)
+        n = int(cum[-1])
+        out = {key_col: [group[key_col].iloc[0]], "n": [n]}
+        for p in qs:
+            r = (p / 100.0) * (n - 1)  # exact: p/100 ∈ {.25,.5,.75}
+            k = int(np.floor(r))
+            frac = r - k
+            lo = float(uu[np.searchsorted(cum, k + 1)])
+            hi = float(uu[np.searchsorted(cum, min(k + 2, n))])
+            out[f"p{p}_cont"] = [lo + (hi - lo) * frac]
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(hist, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(finalize, batch_format="pandas"))
+
+
 def block_topn(df: pd.DataFrame, key_col: str, order_col: str,
                id_col: str, n: int) -> pd.DataFrame:
     """Top-``n`` rows per key within one block (order desc, id asc) —

@@ -114,3 +114,46 @@ def test_skyline_2d_dominance_semantics(ray_session):
                         and (xs[j] < xs[i] or ys[j] < ys[i]))
                        for j in range(400))]
     assert got == want
+
+
+def test_grouped_quantiles_cont_matches_duckdb(ray_session):
+    """quantile_cont parity on uneven group sizes and tied values —
+    quarter-fraction ranks keep every float64 intermediate exact."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from entity_linking_ray.stages.rank import grouped_quantiles_cont
+
+    rng = np.random.default_rng(11)
+    n = 501
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "c"], n)),
+        "v": pa.array(rng.integers(-300, 300, n).astype(np.float64) / 100),
+    })
+    got = (grouped_quantiles_cont(
+        ray.data.from_arrow(t).repartition(4), key_col="k", val_col="v",
+        qs_pct=(25, 50, 75)).to_pandas().sort_values("k")
+        .reset_index(drop=True))
+    want = duckdb.sql("""
+        WITH e AS (SELECT k, cast(round(v*100) as bigint) AS c FROM t)
+        SELECT k, count(*) AS n, quantile_cont(c, 0.25) AS p25_cont,
+               quantile_cont(c, 0.5) AS p50_cont,
+               quantile_cont(c, 0.75) AS p75_cont
+        FROM e GROUP BY k ORDER BY k""").df()
+    for c in ("n", "p25_cont", "p50_cont", "p75_cont"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_grouped_quantiles_cont_refuses_inexact_percentiles(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from entity_linking_ray.stages.rank import grouped_quantiles_cont
+
+    t = pa.table({"k": ["a"], "v": [1.0]})
+    with pytest.raises(ValueError, match="quarter"):
+        grouped_quantiles_cont(ray.data.from_arrow(t), key_col="k",
+                               val_col="v", qs_pct=(95,))
