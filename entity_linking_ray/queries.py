@@ -1166,6 +1166,34 @@ def _q_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_dup_pairs(ds, threshold=0.7)
 
 
+def _digest_sql() -> str:
+    from .oracles import fnv1a_sql
+
+    return f"""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(((sum(h >> 31) * 2147483648 + sum(h & 2147483647))
+                 % 9223372036854775808) as bigint) AS digest
+    FROM (SELECT CAST({fnv1a_sql("CAST(doc_id AS VARCHAR) || '|' || text")}
+                      & 9223372036854775807 AS BIGINT) AS h
+          FROM documents)
+    """
+
+
+@register("docs_table_digest", _digest_sql())
+def _q_docs_table_digest(sf_dir: str):
+    """Order/partition-independent corpus checksum
+    (stages/sketch.table_digest): Σ fnv1a64(doc_id|text) mod 2^63 over
+    every document, reduced to one (n_rows, digest) row — the
+    replication / snapshot-restore / migration verification primitive.
+    Commutative addition makes the digest identical under ANY block
+    layout; the oracle replays the byte-exact FNV loop (oracles.py) and
+    the 31-bit limb algebra in HUGEINT."""
+    from .stages.sketch import table_digest
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return table_digest(docs, cols=["doc_id", "text"])
+
+
 @register("simhash_fingerprints")
 def _q_simhash(sf_dir: str):
     from .stages.dedup import simhash_fingerprints

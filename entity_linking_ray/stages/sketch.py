@@ -404,3 +404,57 @@ def approx_quantiles(ds: "ray.data.Dataset", *, val_col: str,
                                              batch_format="pandas")
     return level1.groupby("__g").map_groups(merge_final,
                                             batch_format="pandas")
+
+
+def table_digest(ds: ray.data.Dataset, *, cols: "list[str]",
+                 sep: str = "|") -> ray.data.Dataset:
+    """→ ONE row (n_rows, digest) — an order- and partition-independent
+    corpus checksum: Σ over rows of ``fnv1a64(col1|col2|…) & MASK63``,
+    mod 2^63. The replication/CDC verification primitive: two sides
+    (a snapshot and its restore, a primary and a replica, pre- and
+    post-migration) compare one 8-byte value instead of shipping rows;
+    addition is commutative, so ANY partitioning/ordering produces the
+    identical digest.
+
+    Shape: each batch canonicalizes rows with one Arrow
+    ``binary_join_element_wise`` (casts + join, no Python per row),
+    hashes zero-copy off the utf-8 buffer, and reduces to a single
+    (lo, hi, n) limb row — 31-bit limbs keep every int64 sum exact up
+    to 2^32 rows per batch. The per-block partials (one tiny row each)
+    fold in one final task with uint64 wrap-around arithmetic, which
+    preserves the value mod 2^63 exactly. The DuckDB oracle replicates
+    the FNV byte loop (oracles.fnv1a_sql) and the limb algebra in
+    HUGEINT."""
+    from ..functions.hashing import hash_strings_arrow
+
+    M31 = np.int64((1 << 31) - 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            col = b[c]
+            if not pa.types.is_string(col.type):
+                col = pc.cast(col, pa.string())
+            parts.append(col.combine_chunks()
+                         if isinstance(col, pa.ChunkedArray) else col)
+        joined = (pc.binary_join_element_wise(*parts, sep)
+                  if len(parts) > 1 else parts[0])
+        h = hash_strings_arrow(joined)  # fnv1a64 & MASK63 (seed 0)
+        return pa.table({
+            "__lo": pa.array([int((h & M31).sum())], pa.int64()),
+            "__hi": pa.array([int((h >> 31).sum())], pa.int64()),
+            "__n": pa.array([len(h)], pa.int64()),
+        })
+
+    def final(b: pa.Table) -> pa.Table:
+        lo = b["__lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hi = b["__hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = int(b["__n"].to_numpy(zero_copy_only=False).sum())
+        total = (hi.sum() << np.uint64(31)) + lo.sum()  # wraps mod 2^64
+        digest = int(total & np.uint64(0x7FFFFFFFFFFFFFFF))
+        return pa.table({"n_rows": pa.array([n], pa.int64()),
+                         "digest": pa.array([digest], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow"))

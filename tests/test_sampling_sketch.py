@@ -338,3 +338,29 @@ def test_approx_quantiles_rank_error_bound(ray_session):
     out2 = (approx_quantiles(ds, val_col="v", qs=qs, sketch_size=256)
             .to_pandas().sort_values("q").reset_index(drop=True))
     assert (out2["value"].values == out["value"].values).all()
+
+
+def test_table_digest_partition_and_order_invariant(ray_session):
+    """The digest is identical under any repartitioning/row order and
+    changes when any row's content changes."""
+    import pyarrow as pa
+    import ray.data
+
+    from entity_linking_ray.stages.sketch import table_digest
+
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": pa.array([f"doc body {i}" for i in range(100)])})
+    base = table_digest(ray.data.from_arrow(t),
+                        cols=["doc_id", "text"]).to_pandas()
+    assert int(base["n_rows"].iloc[0]) == 100
+    for nparts in (1, 7):
+        perm = t.take(pa.array(list(reversed(range(100)))))
+        d2 = table_digest(ray.data.from_arrow(perm).repartition(nparts),
+                          cols=["doc_id", "text"]).to_pandas()
+        assert int(d2["digest"].iloc[0]) == int(base["digest"].iloc[0])
+        assert int(d2["n_rows"].iloc[0]) == 100
+    mutated = t.set_column(1, "text", pa.array(
+        [f"doc body {i}" if i != 50 else "tampered" for i in range(100)]))
+    d3 = table_digest(ray.data.from_arrow(mutated),
+                      cols=["doc_id", "text"]).to_pandas()
+    assert int(d3["digest"].iloc[0]) != int(base["digest"].iloc[0])
