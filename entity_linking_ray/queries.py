@@ -3275,6 +3275,81 @@ def _q_part_order_pagerank(sf_dir: str):
         return eng.pagerank(iters=5).materialize()
 
 
+def _pagerank_weighted_sql(iters: int = 5) -> str:
+    """Unrolled WEIGHTED PageRank: each node's 85% share splits per unit
+    of edge weight — c(edge) = w × ((85·r) // (100·wdeg)), the division
+    per NODE first so the engine's int64 arithmetic never overflows and
+    the SQL replays it exactly. Every per-round CTE is MATERIALIZED
+    (each r_i is referenced twice — inlining would grow 2^iters)."""
+    units = 10**15
+    parts = [f"""
+    WITH e0 AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst,
+                       cast(l_quantity as bigint) AS w
+                FROM lineitem
+                UNION ALL
+                SELECT l_partkey*2+1 AS src, l_orderkey*2 AS dst,
+                       cast(l_quantity as bigint) AS w
+                FROM lineitem),
+    e AS MATERIALIZED (SELECT src, dst, cast(sum(w) as bigint) AS w
+                       FROM e0 GROUP BY src, dst),
+    deg AS (SELECT src AS node, cast(sum(w) as bigint) AS wd
+            FROM e GROUP BY src),
+    params AS (SELECT count(*) AS n FROM deg),
+    r0 AS MATERIALIZED (
+        SELECT node, cast({units} // (SELECT n FROM params) AS bigint)
+               AS r, wd
+        FROM deg)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    c{i} AS MATERIALIZED (
+        SELECT e.dst AS node,
+               sum(e.w * ((85 * r{i-1}.r) // (100 * r{i-1}.wd))) AS s
+        FROM e JOIN r{i-1} ON e.src = r{i-1}.node GROUP BY e.dst),
+    r{i} AS MATERIALIZED (
+        SELECT r{i-1}.node,
+               cast((SELECT (15 * {units}) // (100 * n) FROM params)
+                    + coalesce(c{i}.s, 0) AS bigint) AS r,
+               r{i-1}.wd
+        FROM r{i-1} LEFT JOIN c{i} ON c{i}.node = r{i-1}.node)""")
+    parts.append(f"\n    SELECT node, r FROM r{iters}")
+    return "".join(parts)
+
+
+@register("part_order_pagerank_weighted", _pagerank_weighted_sql(5))
+def _q_part_order_pagerank_weighted(sf_dir: str):
+    """WEIGHTED entity-popularity prior: PageRank over the order↔part
+    graph with edge weight = summed line quantity, so heavily-bought
+    links carry proportionally more rank (the quantity-aware version of
+    the reference's link-count boost). 5 exact int64 fixed-point
+    iterations on the resident edge-shard engine
+    (stages/graph_actors.py, ``weight_col`` + ``pagerank(weighted=True)``
+    — duplicate edges sum weights at seal, per-iteration exchange stays
+    the pre-combined per-dst sums). Value-hash-checked against the
+    materialized unrolled weighted-CTE program."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.graph_actors import GraphEngine
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def both(b: pa.Table) -> pa.Table:
+        ok = pc.multiply(pc.cast(b["l_orderkey"], pa.int64()), 2)
+        pk = pc.add(pc.multiply(pc.cast(b["l_partkey"], pa.int64()), 2), 1)
+        w = pc.cast(b["l_quantity"], pa.int64())
+        ok = ok.combine_chunks() if isinstance(ok, pa.ChunkedArray) else ok
+        pk = pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk
+        w = w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
+        return pa.table({"src": pa.concat_arrays([ok, pk]),
+                         "dst": pa.concat_arrays([pk, ok]),
+                         "w": pa.concat_arrays([w, w])})
+
+    edges = li.map_batches(both, batch_format="pyarrow")
+    with GraphEngine(edges, num_shards=8, weight_col="w") as eng:
+        return eng.pagerank(iters=5, weighted=True).materialize()
+
+
 @register("event_value_sketch_quantiles")
 def _q_event_value_sketch_quantiles(sf_dir: str):
     """APPROXIMATE global quantiles of event value via the mergeable
@@ -3541,6 +3616,81 @@ def _q_event_type_cooccurrence(sf_dir: str):
             .map_groups(pair_kernel, batch_format="pandas")
             .groupby(["type_a", "type_b"])
             .aggregate(Sum("__n", alias_name="n_users")))
+
+
+@register(
+    "part_pair_support",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS support
+    FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b HAVING count(*) >= 2
+    """,
+)
+def _q_part_pair_support(sf_dir: str):
+    """Frequent-itemset support counting (the A-priori first pass over
+    baskets): unordered part pairs bought together in ≥ 2 orders. Same
+    shape as event_type_cooccurrence — per-batch distinct combiner, one
+    order-hash co-group emitting each basket's pairs with the vectorized
+    segment kernel (baskets hold ≤ 7 parts, so ≤ 21 pairs each) — but
+    the pair key space scales with the catalog, so the final count rides
+    bucketed_agg instead of a native pair groupby, and the support
+    filter prunes before any driver sees a row."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.agg import bucketed_agg
+    from .stages.windows import _add_key_bucket
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dist(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    pairs_src = (li.map_batches(dist, batch_format="pyarrow")
+                 .map_batches(_add_key_bucket("l_orderkey"),
+                              batch_format="pyarrow"))
+
+    def pair_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["l_orderkey", "l_partkey"],
+                              kind="mergesort")
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        orders = g["l_orderkey"].to_numpy()
+        parts = g["l_partkey"].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = orders[1:] != orders[:-1]
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.append(starts, n))
+        seg = np.cumsum(new) - 1
+        pos = np.arange(n) - starts[seg]
+        reps = cnt[seg] - pos - 1
+        ai = np.repeat(np.arange(n), reps)
+        off = (np.arange(reps.sum())
+               - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]),
+                           reps) + 1)
+        bi = ai + off
+        out = pd.DataFrame({"part_a": parts[ai], "part_b": parts[bi]})
+        return out.groupby(["part_a", "part_b"], as_index=False) \
+            .size().rename(columns={"size": "__n"})
+
+    counts = bucketed_agg(
+        pairs_src.groupby("__kb").map_groups(pair_kernel,
+                                             batch_format="pandas"),
+        ["part_a", "part_b"], [("__n", "sum", "support")])
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b["support"], 2)
+        return pa.table({"part_a": pc.array_filter(b["part_a"], m),
+                         "part_b": pc.array_filter(b["part_b"], m),
+                         "support": pc.array_filter(b["support"], m)})
+
+    return counts.map_batches(keep, batch_format="pyarrow")
 
 
 @register(

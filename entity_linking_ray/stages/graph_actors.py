@@ -76,27 +76,39 @@ class EdgeShard:
         self.S = num_shards
         self._src: list[np.ndarray] = []
         self._dst: list[np.ndarray] = []
+        self._w: list[np.ndarray] = []
 
-    def add(self, src: np.ndarray, dst: np.ndarray) -> int:
+    def add(self, src: np.ndarray, dst: np.ndarray,
+            w: np.ndarray | None = None) -> int:
         self._src.append(np.asarray(src, np.int64))
         self._dst.append(np.asarray(dst, np.int64))
+        self._w.append(np.asarray(w, np.int64) if w is not None
+                       else np.ones(len(src), np.int64))
         return len(src)
 
     def seal(self) -> int:
-        """Dedup (src, dst), build both orderings + segment metadata.
-        All edges of an owned src live here (hash-by-src routing), so
-        local dedup == global dedup."""
+        """Dedup (src, dst) — duplicate edges SUM their weights (the
+        multiplicity semantics: an unweighted graph pushed with w=1
+        everywhere keeps w=1 after dedup only if the input had no
+        duplicates; the unweighted algorithms ignore w entirely, so
+        their dedup semantics are unchanged) — and build both orderings
+        + segment metadata. All edges of an owned src live here
+        (hash-by-src routing), so local dedup == global dedup."""
         src = (np.concatenate(self._src) if self._src
                else np.empty(0, np.int64))
         dst = (np.concatenate(self._dst) if self._dst
                else np.empty(0, np.int64))
-        self._src = self._dst = []
-        # dedup via lexsort on (src, dst)
+        w = (np.concatenate(self._w) if self._w
+             else np.empty(0, np.int64))
+        self._src = self._dst = self._w = []
+        # dedup via lexsort on (src, dst); weights sum per kept edge
         o = np.lexsort((dst, src))
-        src, dst = src[o], dst[o]
+        src, dst, w = src[o], dst[o], w[o]
         if len(src):
             keep = np.ones(len(src), bool)
             keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            starts = np.nonzero(keep)[0]
+            w = np.add.reduceat(w, starts)
             src, dst = src[keep], dst[keep]
         # CSR by src (already src-sorted)
         self.nodes, self.deg = (np.unique(src, return_counts=True)
@@ -107,12 +119,16 @@ class EdgeShard:
             [[np.int64(0)], np.cumsum(self.deg)[:-1]]) \
             if len(self.nodes) else np.empty(0, np.int64)
         self.csr_dst = dst.copy()
+        # per-node weighted out-degree (weighted pagerank's denominator)
+        self.wdeg = (np.add.reduceat(w, self.csr_starts)
+                     if len(self.nodes) else np.empty(0, np.int64))
         # exchange ordering: sort edges by (dst_owner, dst); precompute
         # per-target slices + reduceat starts over distinct dsts + the
         # local src index of every edge (for gathering per-node values)
         downer = _owner(dst, self.S)
         o2 = np.lexsort((dst, downer))
         e_src, e_dst, e_ow = src[o2], dst[o2], downer[o2]
+        self.e_w = w[o2]
         self.e_src_li = np.searchsorted(self.nodes, e_src)
         self.tgt_slices: list[tuple[int, int]] = []
         self.tgt_u: list[np.ndarray] = []
@@ -146,13 +162,25 @@ class EdgeShard:
         self.r = np.full(len(self.nodes), r0, np.int64)
         self.base = (15 * UNITS) // (100 * n_total)
 
-    def pr_contribs(self) -> list:
+    def pr_contribs(self, weighted: bool = False) -> list:
         """Per-target pre-combined (dst, Σ contribution) — exact int64
         reduceat over the sealed segment starts. Returns S object refs;
-        per-iteration exchange is O(distinct dsts), never O(|E|)."""
-        cnode = (85 * self.r) // (100 * self.deg) \
-            if len(self.nodes) else np.empty(0, np.int64)
+        per-iteration exchange is O(distinct dsts), never O(|E|).
+
+        ``weighted``: each edge carries w × the per-unit-weight share
+        ``(85·r) // (100·wdeg)`` — the division happens per NODE first
+        so no intermediate exceeds int64 (r·w would overflow at
+        UNITS-scale ranks), and the identical expression replays in
+        SQL bigints."""
+        if not len(self.nodes):
+            cnode = np.empty(0, np.int64)
+        elif weighted:
+            cnode = (85 * self.r) // (100 * self.wdeg)
+        else:
+            cnode = (85 * self.r) // (100 * self.deg)
         c_edge = cnode[self.e_src_li]
+        if weighted:
+            c_edge = c_edge * self.e_w
         out = []
         for t in range(self.S):
             lo, hi = self.tgt_slices[t]
@@ -378,6 +406,7 @@ class GraphEngine:
 
     def __init__(self, edges: ray.data.Dataset, *, num_shards: int = 8,
                  src_col: str = "src", dst_col: str = "dst",
+                 weight_col: str | None = None,
                  actor_num_cpus: float = 0):
         self.S = num_shards
         self.shards = [
@@ -389,12 +418,15 @@ class GraphEngine:
         def push(b: pa.Table) -> pa.Table:
             src = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = (b[weight_col].to_numpy(zero_copy_only=False)
+                 .astype(np.int64) if weight_col else None)
             ow = _owner(src, S)
             pend = []
             for s in range(S):
                 m = ow == s
                 if m.any():
-                    pend.append(shards[s].add.remote(src[m], dst[m]))
+                    pend.append(shards[s].add.remote(
+                        src[m], dst[m], w[m] if w is not None else None))
             ray.get(pend)  # backpressure: don't outrun the actors
             return pa.table({"n": pa.array([len(src)], pa.int64())})
 
@@ -404,10 +436,15 @@ class GraphEngine:
         self.n_nodes = int(sum(counts))
 
     # -- pagerank: same exact fixed-point update as stages/graph.py --
-    def pagerank(self, *, iters: int = 5) -> ray.data.Dataset:
+    def pagerank(self, *, iters: int = 5,
+                 weighted: bool = False) -> ray.data.Dataset:
+        """``weighted=True`` splits each node's outgoing 85% share per
+        unit of edge weight ((85·r)//(100·wdeg) × w per edge — exact
+        int64, SQL-replayable; build the engine with ``weight_col``)."""
         ray.get([s.pr_init.remote(self.n_nodes) for s in self.shards])
         for _ in range(iters):
-            outs = ray.get([s.pr_contribs.remote() for s in self.shards])
+            outs = ray.get([s.pr_contribs.remote(weighted)
+                            for s in self.shards])
             ray.get([self.shards[t].pr_apply.remote(
                 [outs[i][t] for i in range(self.S)])
                 for t in range(self.S)])

@@ -239,3 +239,44 @@ def test_kcore_battery_waves_within_sql_unroll(ray_session):
         assert eng.last_kcore_rounds <= 16
     assert len(out) > 0
     assert int(out["core_deg"].min()) >= 6
+
+
+def test_engine_weighted_pagerank_reference_and_unit_weights(ray_session):
+    from entity_linking_ray.stages.graph_actors import UNITS, GraphEngine
+
+    # small weighted digraph (pre-doubled where undirected not required:
+    # pagerank runs on the directed edge set as given)
+    src = np.array([1, 1, 2, 3, 3, 3], np.int64)
+    dst = np.array([2, 3, 1, 1, 2, 2], np.int64)  # (3,2) duplicated
+    w = np.array([5, 1, 7, 2, 3, 4], np.int64)    # dup weights sum → 7
+    t = pa.table({"src": src, "dst": dst, "w": w})
+    with GraphEngine(ray.data.from_arrow(t).repartition(2), num_shards=2,
+                     weight_col="w") as eng:
+        got = eng.pagerank(iters=4, weighted=True).to_pandas()
+    got_map = dict(zip(got["node"].astype(int), got["r"].astype(int)))
+
+    # python reference of the exact fixed-point scheme
+    edges = {(1, 2): 5, (1, 3): 1, (2, 1): 7, (3, 1): 2, (3, 2): 7}
+    nodes = sorted({a for a, _ in edges})
+    wdeg = {u: sum(wt for (a, _), wt in edges.items() if a == u)
+            for u in nodes}
+    n = len(nodes)
+    r = {u: UNITS // n for u in nodes}
+    base = (15 * UNITS) // (100 * n)
+    for _ in range(4):
+        acc = {u: 0 for u in nodes}
+        for (a, b), wt in edges.items():
+            acc[b] += wt * ((85 * r[a]) // (100 * wdeg[a]))
+        r = {u: base + acc[u] for u in nodes}
+    assert got_map == r
+
+    # all-ones weights on a duplicate-free graph ≡ the unweighted path
+    t1 = pa.table({"src": src[:5], "dst": dst[:5],
+                   "w": pa.array(np.ones(5, np.int64))})
+    with GraphEngine(ray.data.from_arrow(t1), num_shards=2,
+                     weight_col="w") as eng:
+        a = eng.pagerank(iters=3, weighted=True).to_pandas()
+        b = eng.pagerank(iters=3, weighted=False).to_pandas()
+    am = dict(zip(a["node"].astype(int), a["r"].astype(int)))
+    bm = dict(zip(b["node"].astype(int), b["r"].astype(int)))
+    assert am == bm
