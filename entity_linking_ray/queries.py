@@ -3587,27 +3587,13 @@ def _q_event_type_cooccurrence(sf_dir: str):
                               batch_format="pyarrow"))
 
     def pair_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        from .stages.blocking import segment_pairs
+
         g = group.sort_values(["user_id", "event_type"], kind="mergesort")
         g = g.drop_duplicates(["user_id", "event_type"])
-        users = g["user_id"].to_numpy()
         types = g["event_type"].to_numpy()
-        n = len(g)
-        new = np.ones(n, dtype=bool)
-        if n > 1:
-            new[1:] = users[1:] != users[:-1]
-        starts = np.nonzero(new)[0]
-        cnt = np.diff(np.append(starts, n))
-        seg = np.cumsum(new) - 1
-        pos = np.arange(n) - starts[seg]
-        # vectorized within-segment pair generation: row i pairs with the
-        # (cnt - pos - 1) rows after it in its segment
-        reps = cnt[seg] - pos - 1
-        ai = np.repeat(np.arange(n), reps)
-        # offset of the partner: 1..reps per anchor
-        off = (np.arange(reps.sum())
-               - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]),
-                           reps) + 1)
-        bi = ai + off
+        # vectorized within-segment pair generation (shared kernel)
+        ai, bi = segment_pairs(g["user_id"].to_numpy())
         out = pd.DataFrame({"type_a": types[ai], "type_b": types[bi]})
         return out.groupby(["type_a", "type_b"], as_index=False) \
             .size().rename(columns={"size": "__n"})  # in-bucket combiner
@@ -3656,25 +3642,13 @@ def _q_part_pair_support(sf_dir: str):
                               batch_format="pyarrow"))
 
     def pair_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        from .stages.blocking import segment_pairs
+
         g = group.sort_values(["l_orderkey", "l_partkey"],
                               kind="mergesort")
         g = g.drop_duplicates(["l_orderkey", "l_partkey"])
-        orders = g["l_orderkey"].to_numpy()
         parts = g["l_partkey"].to_numpy()
-        n = len(g)
-        new = np.ones(n, dtype=bool)
-        if n > 1:
-            new[1:] = orders[1:] != orders[:-1]
-        starts = np.nonzero(new)[0]
-        cnt = np.diff(np.append(starts, n))
-        seg = np.cumsum(new) - 1
-        pos = np.arange(n) - starts[seg]
-        reps = cnt[seg] - pos - 1
-        ai = np.repeat(np.arange(n), reps)
-        off = (np.arange(reps.sum())
-               - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]),
-                           reps) + 1)
-        bi = ai + off
+        ai, bi = segment_pairs(g["l_orderkey"].to_numpy())
         out = pd.DataFrame({"part_a": parts[ai], "part_b": parts[bi]})
         return out.groupby(["part_a", "part_b"], as_index=False) \
             .size().rename(columns={"size": "__n"})

@@ -192,3 +192,26 @@ def sorted_neighborhood_pairs(ds: "ray.data.Dataset", *, val_col: str,
 
     return (ranked.map_batches(route, batch_format="pyarrow")
             .groupby("__kb").map_groups(pairs, batch_format="pyarrow"))
+
+
+def segment_pairs(keys: "np.ndarray") -> "tuple[np.ndarray, np.ndarray]":
+    """→ (ai, bi) index pairs of every unordered within-segment
+    combination of a KEY-SORTED array — the vectorized basket /
+    pair-explosion kernel shared by the co-occurrence and itemset-
+    support queries (no Python loop, never a cross-segment pair). Sort
+    the rows by (key, value) first and ``vals[ai] < vals[bi]`` holds by
+    construction for distinct values."""
+    n = len(keys)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = keys[1:] != keys[:-1]
+    starts = np.nonzero(new)[0]
+    cnt = np.diff(np.append(starts, n))
+    seg = np.cumsum(new) - 1
+    pos = np.arange(n) - starts[seg]
+    reps = cnt[seg] - pos - 1
+    ai = np.repeat(np.arange(n), reps)
+    off = (np.arange(reps.sum())
+           - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]),
+                       reps) + 1)
+    return ai, ai + off

@@ -71,9 +71,11 @@ class EdgeShard:
     iterations. Owns every out-edge of its nodes (partitioned by src),
     hence their degrees, ranks/hops/labels — the per-node state."""
 
-    def __init__(self, shard_id: int, num_shards: int):
+    def __init__(self, shard_id: int, num_shards: int,
+                 weighted: bool = False):
         self.sid = shard_id
         self.S = num_shards
+        self.weighted = weighted
         self._src: list[np.ndarray] = []
         self._dst: list[np.ndarray] = []
         self._w: list[np.ndarray] = []
@@ -82,33 +84,36 @@ class EdgeShard:
             w: np.ndarray | None = None) -> int:
         self._src.append(np.asarray(src, np.int64))
         self._dst.append(np.asarray(dst, np.int64))
-        self._w.append(np.asarray(w, np.int64) if w is not None
-                       else np.ones(len(src), np.int64))
+        if self.weighted:
+            self._w.append(np.asarray(w, np.int64) if w is not None
+                           else np.ones(len(src), np.int64))
         return len(src)
 
     def seal(self) -> int:
-        """Dedup (src, dst) — duplicate edges SUM their weights (the
-        multiplicity semantics: an unweighted graph pushed with w=1
-        everywhere keeps w=1 after dedup only if the input had no
-        duplicates; the unweighted algorithms ignore w entirely, so
-        their dedup semantics are unchanged) — and build both orderings
-        + segment metadata. All edges of an owned src live here
+        """Dedup (src, dst) — on a weighted shard duplicate edges SUM
+        their weights (multiplicity semantics); unweighted shards never
+        materialize weight state at all (wdeg/e_w stay None — the |E|
+        weight column would grow resident edge memory ~50% for
+        algorithms that never read it) — and build both orderings +
+        segment metadata. All edges of an owned src live here
         (hash-by-src routing), so local dedup == global dedup."""
         src = (np.concatenate(self._src) if self._src
                else np.empty(0, np.int64))
         dst = (np.concatenate(self._dst) if self._dst
                else np.empty(0, np.int64))
-        w = (np.concatenate(self._w) if self._w
-             else np.empty(0, np.int64))
+        w = ((np.concatenate(self._w) if self._w
+              else np.empty(0, np.int64)) if self.weighted else None)
         self._src = self._dst = self._w = []
         # dedup via lexsort on (src, dst); weights sum per kept edge
         o = np.lexsort((dst, src))
-        src, dst, w = src[o], dst[o], w[o]
+        src, dst = src[o], dst[o]
+        if self.weighted:
+            w = w[o]
         if len(src):
             keep = np.ones(len(src), bool)
             keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
-            starts = np.nonzero(keep)[0]
-            w = np.add.reduceat(w, starts)
+            if self.weighted:
+                w = np.add.reduceat(w, np.nonzero(keep)[0])
             src, dst = src[keep], dst[keep]
         # CSR by src (already src-sorted)
         self.nodes, self.deg = (np.unique(src, return_counts=True)
@@ -120,15 +125,16 @@ class EdgeShard:
             if len(self.nodes) else np.empty(0, np.int64)
         self.csr_dst = dst.copy()
         # per-node weighted out-degree (weighted pagerank's denominator)
-        self.wdeg = (np.add.reduceat(w, self.csr_starts)
-                     if len(self.nodes) else np.empty(0, np.int64))
+        self.wdeg = ((np.add.reduceat(w, self.csr_starts)
+                      if len(self.nodes) else np.empty(0, np.int64))
+                     if self.weighted else None)
         # exchange ordering: sort edges by (dst_owner, dst); precompute
         # per-target slices + reduceat starts over distinct dsts + the
         # local src index of every edge (for gathering per-node values)
         downer = _owner(dst, self.S)
         o2 = np.lexsort((dst, downer))
         e_src, e_dst, e_ow = src[o2], dst[o2], downer[o2]
-        self.e_w = w[o2]
+        self.e_w = w[o2] if self.weighted else None
         self.e_src_li = np.searchsorted(self.nodes, e_src)
         self.tgt_slices: list[tuple[int, int]] = []
         self.tgt_u: list[np.ndarray] = []
@@ -172,6 +178,9 @@ class EdgeShard:
         so no intermediate exceeds int64 (r·w would overflow at
         UNITS-scale ranks), and the identical expression replays in
         SQL bigints."""
+        if weighted and not self.weighted:
+            raise ValueError("weighted pagerank needs a GraphEngine "
+                             "built with weight_col")
         if not len(self.nodes):
             cnode = np.empty(0, np.int64)
         elif weighted:
@@ -410,7 +419,8 @@ class GraphEngine:
                  actor_num_cpus: float = 0):
         self.S = num_shards
         self.shards = [
-            EdgeShard.options(num_cpus=actor_num_cpus).remote(s, num_shards)
+            EdgeShard.options(num_cpus=actor_num_cpus).remote(
+                s, num_shards, weight_col is not None)
             for s in range(num_shards)]
         shards = self.shards
         S = num_shards

@@ -32,6 +32,35 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def _unit_hist(key_col: str, val_col: str, scale: int):
+    """Per-batch (key, round(val·scale) unit, count) combiner — the
+    shared first stage of both quantile operators (the round_mode must
+    match DuckDB ``round()`` exactly; change it in ONE place only)."""
+    def hist(batch: pa.Table) -> pa.Table:
+        units = pc.cast(pc.round(
+            pc.multiply(pc.cast(batch[val_col], pa.float64()),
+                        pa.scalar(float(scale))),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({key_col: batch[key_col], "__u": units})
+        g = t.group_by([key_col, "__u"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "__u", "__c"])
+
+    return hist
+
+
+def _merged_hist(group: pd.DataFrame):
+    """(sorted distinct units, cumulative counts, n) of one key's
+    partial histogram rows — merges duplicate units coming from
+    different blocks' partials; shared by both quantile finalizers."""
+    u = group["__u"].to_numpy(np.int64)
+    c = group["__c"].to_numpy(np.int64)
+    uu, inv = np.unique(u, return_inverse=True)
+    cc = np.zeros(len(uu), np.int64)
+    np.add.at(cc, inv, c)
+    cum = np.cumsum(cc)
+    return uu, cum, int(cum[-1])
+
+
 def grouped_quantiles(ds: ray.data.Dataset, *, key_col: str, val_col: str,
                       qs_pct: tuple[int, ...] = (50, 95, 99),
                       scale: int = 100) -> ray.data.Dataset:
@@ -42,31 +71,16 @@ def grouped_quantiles(ds: ray.data.Dataset, *, key_col: str, val_col: str,
     drift against the SQL oracle."""
     qs = tuple(int(q) for q in qs_pct)
 
-    def hist(batch: pa.Table) -> pa.Table:
-        units = pc.cast(pc.round(
-            pc.multiply(pc.cast(batch[val_col], pa.float64()),
-                        pa.scalar(float(scale))),
-            round_mode="half_towards_infinity"), pa.int64())
-        t = pa.table({key_col: batch[key_col], "__u": units})
-        g = t.group_by([key_col, "__u"]).aggregate([([], "count_all")])
-        return g.rename_columns([key_col, "__u", "__c"])
-
     def finalize(group: pd.DataFrame) -> pd.DataFrame:
-        u = group["__u"].to_numpy(np.int64)
-        c = group["__c"].to_numpy(np.int64)
-        # merge duplicate units coming from different blocks' partials
-        uu, inv = np.unique(u, return_inverse=True)
-        cc = np.zeros(len(uu), np.int64)
-        np.add.at(cc, inv, c)
-        cum = np.cumsum(cc)
-        n = int(cum[-1])
+        uu, cum, n = _merged_hist(group)
         out = {key_col: [group[key_col].iloc[0]], "n": [n]}
         for p in qs:
             r = max(1, (p * n + 99) // 100)  # ceil(p/100 * n), integer-exact
             out[f"p{p}_units"] = [int(uu[np.searchsorted(cum, r)])]
         return pd.DataFrame(out)
 
-    return (ds.map_batches(hist, batch_format="pyarrow")
+    return (ds.map_batches(_unit_hist(key_col, val_col, scale),
+                           batch_format="pyarrow")
             .groupby(key_col)
             .map_groups(finalize, batch_format="pandas"))
 
@@ -96,23 +110,8 @@ def grouped_quantiles_cont(ds: ray.data.Dataset, *, key_col: str,
             "float64-representable quarter fractions; only 25/50/75 keep "
             "the interpolated result bit-stable across engines")
 
-    def hist(batch: pa.Table) -> pa.Table:
-        units = pc.cast(pc.round(
-            pc.multiply(pc.cast(batch[val_col], pa.float64()),
-                        pa.scalar(float(scale))),
-            round_mode="half_towards_infinity"), pa.int64())
-        t = pa.table({key_col: batch[key_col], "__u": units})
-        g = t.group_by([key_col, "__u"]).aggregate([([], "count_all")])
-        return g.rename_columns([key_col, "__u", "__c"])
-
     def finalize(group: pd.DataFrame) -> pd.DataFrame:
-        u = group["__u"].to_numpy(np.int64)
-        c = group["__c"].to_numpy(np.int64)
-        uu, inv = np.unique(u, return_inverse=True)
-        cc = np.zeros(len(uu), np.int64)
-        np.add.at(cc, inv, c)
-        cum = np.cumsum(cc)
-        n = int(cum[-1])
+        uu, cum, n = _merged_hist(group)
         out = {key_col: [group[key_col].iloc[0]], "n": [n]}
         for p in qs:
             r = (p / 100.0) * (n - 1)  # exact: p/100 ∈ {.25,.5,.75}
@@ -123,7 +122,8 @@ def grouped_quantiles_cont(ds: ray.data.Dataset, *, key_col: str,
             out[f"p{p}_cont"] = [lo + (hi - lo) * frac]
         return pd.DataFrame(out)
 
-    return (ds.map_batches(hist, batch_format="pyarrow")
+    return (ds.map_batches(_unit_hist(key_col, val_col, scale),
+                           batch_format="pyarrow")
             .groupby(key_col)
             .map_groups(finalize, batch_format="pandas"))
 

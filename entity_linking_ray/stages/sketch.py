@@ -419,8 +419,9 @@ def table_digest(ds: ray.data.Dataset, *, cols: "list[str]",
     Shape: each batch canonicalizes rows with one Arrow
     ``binary_join_element_wise`` (casts + join, no Python per row),
     hashes zero-copy off the utf-8 buffer, and reduces to a single
-    (lo, hi, n) limb row — 31-bit limbs keep every int64 sum exact up
-    to 2^32 rows per batch. The per-block partials (one tiny row each)
+    (lo, hi, n) limb row — 31-bit lo limbs keep the int64 batch sums
+    exact up to 2^32 rows per batch (the 32-bit hi limbs to 2^31; both
+    far above any real block). The per-block partials (one tiny row each)
     fold in one final task with uint64 wrap-around arithmetic, which
     preserves the value mod 2^63 exactly. The DuckDB oracle replicates
     the FNV byte loop (oracles.fnv1a_sql) and the limb algebra in
@@ -450,7 +451,8 @@ def table_digest(ds: ray.data.Dataset, *, cols: "list[str]",
         lo = b["__lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
         hi = b["__hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
         n = int(b["__n"].to_numpy(zero_copy_only=False).sum())
-        total = (hi.sum() << np.uint64(31)) + lo.sum()  # wraps mod 2^64
+        with np.errstate(over="ignore"):  # wrap mod 2^64 is the design
+            total = (hi.sum() << np.uint64(31)) + lo.sum()
         digest = int(total & np.uint64(0x7FFFFFFFFFFFFFFF))
         return pa.table({"n_rows": pa.array([n], pa.int64()),
                          "digest": pa.array([digest], pa.int64())})
